@@ -1,0 +1,134 @@
+"""The long-lived partition actor: CSR + vertex state across supersteps.
+
+The reference's worker process loads its subgraph once in the constructor
+and then reacts to master RPCs (PEval/IncEval/ExchangeMessage/Assemble,
+/root/reference/src/worker/PRWorker.go:293-418). The actor below is the Ray
+equivalent: state must persist across iterations, which per-call map_batches
+actors don't guarantee, so this is one of the few places the engine drops to
+a raw ``@ray.remote`` class (SURVEY.md §2.4 A1).
+
+``superstep`` returns ``(metrics, payload_for_part_0, …, payload_for_P-1)``
+via ``num_returns=P+1`` so each outbound payload ships through the object
+store exactly once, to exactly its destination actor — the Ray-native form
+of the reference's per-destination chunked RPC fan-out.
+
+Checkpoints are Parquet per partition (vertex state + the pending inbound
+messages for the next superstep) so a resumed run continues mid-iteration
+with identical results (north rule; the reference has no fault tolerance —
+any RPC error is log.Fatal, /root/reference/src/worker/PRWorker.go:65-67).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from drone_ray.graph.csr import PartitionGraph
+from drone_ray.graph.messages import combine_inbound, route
+from drone_ray.graph.partition import read_partition
+
+
+@ray.remote
+class GraphPartitionActor:
+    def __init__(self, manifest: dict, p: int, program_cls, program_kwargs: dict | None):
+        self.p = p
+        self.P = int(manifest["num_partitions"])
+        ed = read_partition(manifest["edges_dir"], p, ["src", "dst"])
+        vd = read_partition(manifest["vertices_dir"], p, ["vid"])
+        owned = np.unique(vd["vid"])
+        self.g = PartitionGraph(p, self.P, owned, ed["src"], ed["dst"])
+        self.program = program_cls(**(program_kwargs or {}))
+        self.state = self.program.init_state(self.g)
+        self._pending: list | None = None  # inbound restored from checkpoint
+
+    def ready(self) -> dict:
+        return {"part": self.p, "n_vertices": self.g.n, "n_edges": self.g.m}
+
+    # ------------------------------------------------------------------
+    def superstep(self, step: int, *inbound):
+        t0 = time.perf_counter()
+        if self._pending is not None:
+            payloads = self._pending
+            self._pending = None
+        else:
+            payloads = list(inbound)
+        if step == 0:
+            msgs, info = self.program.peval(self.g, self.state)
+        else:
+            inb = combine_inbound(payloads, self.program.combine_op, self.program.extra_key)
+            msgs, info = self.program.inceval(self.g, self.state, inb)
+        routed = route(msgs, self.P, self.program.combine_op, self.program.extra_key)
+        n_out = sum(r["vid"].size for r in routed if r is not None)
+        metrics = {
+            "step": step,
+            "part": self.p,
+            "seconds": time.perf_counter() - t0,
+            "msgs_out": int(n_out),
+            "has_msgs": n_out > 0,
+            **info,
+        }
+        return (metrics, *routed)
+
+    # ------------------------------------------------------------------
+    def emit(self) -> pa.Table:
+        return self.program.emit(self.g, self.state)
+
+    def emit_write(self, out_dir: str) -> int:
+        """Per-partition result file — the reference's Assemble layout
+        (/root/reference/src/worker/PRWorker.go:249-267), resumable."""
+        os.makedirs(out_dir, exist_ok=True)
+        t = self.program.emit(self.g, self.state)
+        tmp = os.path.join(out_dir, f".part-{self.p}.parquet.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(out_dir, f"part-{self.p}.parquet"))
+        return t.num_rows
+
+    # ------------------------------------------------------------------
+    def checkpoint(self, ckpt_dir: str, step: int, *inbound_for_next) -> bool:
+        step_dir = os.path.join(ckpt_dir, f"step={step}")
+        os.makedirs(step_dir, exist_ok=True)
+        cols = {"vid": pa.array(self.g.owned, pa.int64())}
+        for k, v in self.state.items():
+            if k != "aux":
+                cols[k] = pa.array(v)
+        meta = {b"aux": json.dumps(self.state.get("aux", {})).encode()}
+        t = pa.table(cols).replace_schema_metadata(meta)
+        tmp = os.path.join(step_dir, f".state-{self.p}.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(step_dir, f"state-{self.p}.parquet"))
+
+        live = [m for m in inbound_for_next if m is not None and m["vid"].size > 0]
+        if live:
+            mcols = {k: pa.array(np.concatenate([m[k] for m in live])) for k in live[0]}
+            mt = pa.table(mcols)
+            tmp = os.path.join(step_dir, f".msgs-{self.p}.tmp")
+            pq.write_table(mt, tmp)
+            os.replace(tmp, os.path.join(step_dir, f"msgs-{self.p}.parquet"))
+        return True
+
+    def load_checkpoint(self, ckpt_dir: str, step: int) -> bool:
+        step_dir = os.path.join(ckpt_dir, f"step={step}")
+        t = pq.read_table(os.path.join(step_dir, f"state-{self.p}.parquet"))
+        state: dict = {}
+        for name in t.column_names:
+            if name != "vid":
+                # copy: Arrow-backed numpy views are read-only, state must mutate
+                state[name] = np.array(t[name].to_numpy(zero_copy_only=False))
+        meta = t.schema.metadata or {}
+        state["aux"] = json.loads(meta.get(b"aux", b"{}").decode())
+        self.state = state
+        msgs_path = os.path.join(step_dir, f"msgs-{self.p}.parquet")
+        if os.path.exists(msgs_path):
+            mt = pq.read_table(msgs_path)
+            self._pending = [
+                {c: mt[c].to_numpy(zero_copy_only=False) for c in mt.column_names}
+            ]
+        else:
+            self._pending = [None]
+        return True

@@ -1,0 +1,129 @@
+"""Zero-copy-friendly CSR subgraph partition (SURVEY.md §1.3).
+
+Replaces the reference's per-worker nested adjacency hash maps
+(/root/reference/src/graph/graph.go:103-122, ≫100 B/edge) with contiguous
+int64 numpy arrays (~16 B/edge) built once per partition actor from that
+partition's hash-partitioned edge slice.
+
+Ownership model: vertex v is owned by partition ``owner_partition(v, P)``;
+because edges are partitioned by ``owner(src)``, *all* out-edges of an owned
+vertex are local, so the global out-degree (the reference's offline
+``Degree.<i>`` files, /root/reference/src/graph/graph.go:462-485) is just
+``diff(indptr)`` — no extra shuffle. There is no master/mirror replication
+(/root/reference/src/graph/graph.go:199-211); cross-partition effects travel
+as combined messages instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from drone_ray.hashing import owner_partition
+
+
+class PartitionGraph:
+    """One partition's CSR + local/remote edge split + owned-vertex index."""
+
+    def __init__(
+        self,
+        p: int,
+        num_partitions: int,
+        owned_vids: np.ndarray,
+        src: np.ndarray,
+        dst: np.ndarray,
+    ) -> None:
+        self.p = p
+        self.P = num_partitions
+        self.owned = np.asarray(owned_vids, dtype=np.int64)  # sorted unique
+        self.n = int(self.owned.size)
+
+        # sort + exact dedup of (src, dst): duplicate edges collapse, matching
+        # the reference's last-wins AddEdge with weight forced to 1.0
+        # (/root/reference/src/graph/graph.go:213-243,357-362).
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        order = np.lexsort((dst, src))
+        s, d = src[order], dst[order]
+        if s.size:
+            keep = np.empty(s.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+            s, d = s[keep], d[keep]
+        self.m = int(s.size)
+
+        # CSR over owned vertices (rows in `owned` order)
+        src_local = np.searchsorted(self.owned, s)
+        counts = np.bincount(src_local, minlength=self.n) if self.m else np.zeros(self.n, np.int64)
+        self.indptr = np.zeros(self.n + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.indptr[1:])
+        self.adj = d                      # global dst vids, grouped by src
+        self.adj_src_local = src_local    # local row of each edge's src
+        self.out_degree = np.diff(self.indptr)  # == global out-degree (see above)
+
+        # local/remote edge split
+        adj_owner = owner_partition(d, num_partitions)
+        local_mask = adj_owner == p
+        # local edges grouped by *destination* for reduceat-based in-partition
+        # propagation (the subgraph-centric local-fixpoint speedup,
+        # /root/reference/src/algorithm/CC.go:28-45)
+        l_dst = np.searchsorted(self.owned, d[local_mask])
+        l_src = src_local[local_mask]
+        o2 = np.argsort(l_dst, kind="stable")
+        self.lin_src = l_src[o2]          # local src row, grouped by dst
+        ld_sorted = l_dst[o2]
+        if ld_sorted.size:
+            ng = np.empty(ld_sorted.size, dtype=bool)
+            ng[0] = True
+            ng[1:] = ld_sorted[1:] != ld_sorted[:-1]
+            self.lin_starts = np.flatnonzero(ng)
+            self.lin_dsts = ld_sorted[self.lin_starts]
+        else:
+            self.lin_starts = np.empty(0, dtype=np.int64)
+            self.lin_dsts = np.empty(0, dtype=np.int64)
+        self.m_local = int(ld_sorted.size)
+
+        # remote-only CSR (for boundary sends after a local fixpoint)
+        r_mask = ~local_mask
+        r_counts = (
+            np.bincount(src_local[r_mask], minlength=self.n)
+            if r_mask.any()
+            else np.zeros(self.n, np.int64)
+        )
+        self.r_indptr = np.zeros(self.n + 1, dtype=np.int64)
+        np.cumsum(r_counts, out=self.r_indptr[1:])
+        # stable: within src, remote edges keep (src,dst) order
+        self.r_adj = d[r_mask]
+
+    # ------------------------------------------------------------------
+    def local_index(self, vids: np.ndarray) -> np.ndarray:
+        """Global vid → local row (vids must be owned by this partition)."""
+        return np.searchsorted(self.owned, vids)
+
+    @staticmethod
+    def _gather_slices(indptr: np.ndarray, adj: np.ndarray, rows: np.ndarray):
+        """Concatenated adjacency slices for the given rows (fully vectorized)."""
+        starts = indptr[rows]
+        lens = indptr[rows + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=adj.dtype), lens
+        offs = np.repeat(starts, lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        return adj[offs], lens
+
+    def push(
+        self, rows: np.ndarray, values: np.ndarray, remote_only: bool = False
+    ):
+        """Replicate per-source ``values`` along out-edges of ``rows``.
+
+        Returns (dst_vids, vals) — the raw outbound message columns before
+        pre-combine. ``remote_only`` pushes only along edges whose dst is
+        owned elsewhere (used after an in-partition fixpoint already applied
+        the local edges).
+        """
+        indptr = self.r_indptr if remote_only else self.indptr
+        adj = self.r_adj if remote_only else self.adj
+        dsts, lens = self._gather_slices(indptr, adj, rows)
+        vals = np.repeat(values, lens)
+        return dsts, vals

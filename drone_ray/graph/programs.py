@@ -1,0 +1,306 @@
+"""VertexProgram protocol + the four built-in programs (SURVEY.md §2.11-2.12).
+
+The reference's de-facto plugin API is the (PEval, IncEval, Assemble) triple
+per algorithm wired into a gRPC worker (/root/reference/src/protobuf/
+worker_service.proto:11-22). Here a program is a plain Python class executed
+inside every partition actor:
+
+    init_state(g)            -> dict of numpy arrays (length g.n) + "aux" scalars
+    peval(g, st)             -> (Messages|None, info)   # full first pass
+    inceval(g, st, inbound)  -> (Messages|None, info)   # consume combined msgs
+    emit(g, st)              -> pyarrow.Table           # the Assemble writer
+
+``inbound`` is already owner-combined (sum/min per key); outbound Messages
+are pre-combined per destination partition by the actor. All numeric work is
+vectorized numpy over the CSR arrays — no per-row Python in supersteps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from drone_ray.graph.csr import PartitionGraph
+from drone_ray.graph.messages import Messages
+
+INF = float("inf")
+
+
+class VertexProgram:
+    combine_op: str = "sum"
+    extra_key: str | None = None
+    needs_symmetrized: bool = False
+
+    def init_state(self, g: PartitionGraph) -> dict:
+        raise NotImplementedError
+
+    def peval(self, g: PartitionGraph, st: dict):
+        raise NotImplementedError
+
+    def inceval(self, g: PartitionGraph, st: dict, inbound: Messages | None):
+        raise NotImplementedError
+
+    def emit(self, g: PartitionGraph, st: dict) -> pa.Table:
+        raise NotImplementedError
+
+    @classmethod
+    def should_stop(cls, step_metrics: list[dict], step: int) -> bool:
+        """Default: stop when no partition produced messages — the master's
+        OR-reduce over MessageToSend (/root/reference/src/master.go:267-271)."""
+        return not any(m.get("has_msgs") for m in step_metrics)
+
+
+def _msgs(vid: np.ndarray, val: np.ndarray, **extra) -> Messages | None:
+    if vid.size == 0:
+        return None
+    return {"vid": vid, "val": val, **extra}
+
+
+# ---------------------------------------------------------------------------
+class PageRank(VertexProgram):
+    """Delta-propagation PageRank, exact reference recurrence (SURVEY §2.12).
+
+    ``pr = 0.85·acc + 0.15`` with acc = Σ_in pr(u)/outdeg(u) — un-normalized
+    Pregel-style PR, init 1.0, damping 0.85, additive (1-α) not (1-α)/N
+    (/root/reference/src/algorithm/PageRank.go:10-11,19-23,74). A vertex
+    re-sends only when its pr moved more than ``eps`` since its last send;
+    the unsent residual stays pending against ``last_sent`` so no mass is
+    lost (reference diff/acc dance, PageRank.go:56-88). Dangling vertices
+    (outdeg 0) never push — no dangling-mass redistribution, matching
+    PageRank.go:29-31. eps is the reference's 0.01 knob, default tightened
+    to 1e-10 so converged scores are allclose(1e-6) to the dense fixpoint.
+    """
+
+    def __init__(self, eps: float = 1e-10, damping: float = 0.85):
+        self.eps = eps
+        self.damping = damping
+
+    def init_state(self, g):
+        return {
+            "pr": np.ones(g.n),
+            "acc": np.zeros(g.n),
+            "last_sent": np.ones(g.n),
+            "aux": {"dense_done": False},
+        }
+
+    def peval(self, g, st):
+        rows = np.flatnonzero(g.out_degree > 0)
+        share = st["pr"][rows] / g.out_degree[rows]  # = 1/outdeg at init
+        dst, val = g.push(rows, share)
+        return _msgs(dst, val), {"edges": int(val.size), "max_delta": 1.0}
+
+    def inceval(self, g, st, inbound):
+        if inbound is not None:
+            recv = g.local_index(inbound["vid"])
+            st["acc"][recv] += inbound["val"]
+        else:
+            recv = np.empty(0, dtype=np.int64)
+        if not st["aux"]["dense_done"]:
+            # first IncEval applies the recurrence to every vertex so
+            # zero-in-degree vertices settle at 0.15 (dense fixpoint oracle)
+            targets = np.arange(g.n)
+            st["aux"]["dense_done"] = True
+        else:
+            targets = recv
+        if targets.size == 0:
+            return None, {"edges": 0, "max_delta": 0.0, "active": 0}
+        new_pr = self.damping * st["acc"][targets] + (1.0 - self.damping)
+        max_delta = float(np.abs(new_pr - st["pr"][targets]).max())
+        st["pr"][targets] = new_pr
+        delta = new_pr - st["last_sent"][targets]
+        send = (np.abs(delta) > self.eps) & (g.out_degree[targets] > 0)
+        rows = targets[send]
+        st["last_sent"][rows] = new_pr[send]
+        dst, val = g.push(rows, delta[send] / g.out_degree[rows])
+        return _msgs(dst, val), {
+            "edges": int(val.size),
+            "max_delta": max_delta,
+            "active": int(rows.size),
+        }
+
+    def emit(self, g, st):
+        return pa.table(
+            {"vid": pa.array(g.owned, pa.int64()), "score": pa.array(st["pr"], pa.float64())}
+        )
+
+
+# ---------------------------------------------------------------------------
+def _local_min_fixpoint(g: PartitionGraph, vals: np.ndarray, add: float = 0.0) -> int:
+    """In-partition min-propagation to local fixpoint (the subgraph-centric
+    speedup vs one-hop-per-superstep, /root/reference/src/algorithm/CC.go:28-45).
+    Mutates ``vals``; returns edges scanned."""
+    scanned = 0
+    while g.lin_starts.size:
+        srcv = vals[g.lin_src] + add
+        mins = np.minimum.reduceat(srcv, g.lin_starts)
+        scanned += g.m_local
+        upd = mins < vals[g.lin_dsts]
+        if not upd.any():
+            break
+        np.minimum.at(vals, g.lin_dsts[upd], mins[upd])
+    return scanned
+
+
+class ConnectedComponents(VertexProgram):
+    """Min-label propagation to fixpoint over *symmetrized* edges → WCC.
+
+    The reference propagates min labels through out-edges only and relies on
+    its preprocessing to double undirected edges
+    (/root/reference/src/algorithm/CC.go:28-45,94-100;
+    src/generate_subgraph_json.py:44); we symmetrize explicitly at graph
+    build. Component id = min vid in the component, init cc[v]=v (CC.go:51-54).
+    """
+
+    combine_op = "min"
+    needs_symmetrized = True
+
+    def init_state(self, g):
+        return {"label": g.owned.copy(), "aux": {}}
+
+    def _boundary(self, g, st, rows):
+        rows = rows[(g.r_indptr[rows + 1] - g.r_indptr[rows]) > 0]
+        dst, val = g.push(rows, st["label"][rows], remote_only=True)
+        return _msgs(dst, val), int(val.size)
+
+    def peval(self, g, st):
+        scanned = _local_min_fixpoint(g, st["label"])
+        msgs, sent = self._boundary(g, st, np.arange(g.n))
+        return msgs, {"edges": scanned + sent}
+
+    def inceval(self, g, st, inbound):
+        if inbound is None:
+            return None, {"edges": 0, "n_changed": 0}
+        l = g.local_index(inbound["vid"])
+        smaller = inbound["val"] < st["label"][l]
+        if not smaller.any():
+            return None, {"edges": 0, "n_changed": 0}
+        before = st["label"].copy()
+        st["label"][l[smaller]] = inbound["val"][smaller]
+        scanned = _local_min_fixpoint(g, st["label"])
+        changed = np.flatnonzero(st["label"] < before)
+        msgs, sent = self._boundary(g, st, changed)
+        return msgs, {"edges": scanned + sent, "n_changed": int(changed.size)}
+
+    def emit(self, g, st):
+        return pa.table(
+            {"vid": pa.array(g.owned, pa.int64()), "component": pa.array(st["label"], pa.int64())}
+        )
+
+
+# ---------------------------------------------------------------------------
+class LabelPropagation(VertexProgram):
+    """Synchronous LPA (north-rule addition; absent in the reference —
+    SURVEY.md §2.12). Labels init to vid over symmetrized edges; each round
+    every vertex takes the most frequent neighbor label, ties broken by the
+    lowest label; stops when no label changed or after ``max_rounds``.
+    Message = (dst, label, count) with sum-combine per (dst, label)."""
+
+    combine_op = "sum"
+    extra_key = "label"
+    needs_symmetrized = True
+
+    def __init__(self, max_rounds: int = 10):
+        self.max_rounds = max_rounds
+
+    def init_state(self, g):
+        return {"label": g.owned.copy(), "aux": {"round": 0}}
+
+    def _broadcast(self, g, st):
+        rows = np.flatnonzero(g.out_degree > 0)
+        dst, lab = g.push(rows, st["label"][rows])
+        return _msgs(dst, np.ones(dst.size, dtype=np.int64), label=lab), int(dst.size)
+
+    def peval(self, g, st):
+        msgs, sent = self._broadcast(g, st)
+        return msgs, {"edges": sent, "n_changed": g.n}
+
+    def inceval(self, g, st, inbound):
+        st["aux"]["round"] += 1
+        n_changed = 0
+        if inbound is not None:
+            vid, lab, cnt = inbound["vid"], inbound["label"], inbound["val"]
+            # winner per vid: highest count, tie → lowest label (deterministic)
+            order = np.lexsort((lab, -cnt, vid))
+            v_s = vid[order]
+            first = np.empty(v_s.size, dtype=bool)
+            first[0] = True
+            first[1:] = v_s[1:] != v_s[:-1]
+            win_v = v_s[first]
+            win_l = lab[order][first]
+            li = g.local_index(win_v)
+            changed = win_l != st["label"][li]
+            n_changed = int(changed.sum())
+            st["label"][li] = win_l
+        if st["aux"]["round"] >= self.max_rounds:
+            return None, {"edges": 0, "n_changed": n_changed}
+        msgs, sent = self._broadcast(g, st)
+        return msgs, {"edges": sent, "n_changed": n_changed}
+
+    @classmethod
+    def should_stop(cls, step_metrics, step):
+        if not any(m.get("has_msgs") for m in step_metrics):
+            return True
+        return step >= 1 and sum(m.get("n_changed", 0) for m in step_metrics) == 0
+
+    def emit(self, g, st):
+        return pa.table(
+            {"vid": pa.array(g.owned, pa.int64()), "label": pa.array(st["label"], pa.int64())}
+        )
+
+
+# ---------------------------------------------------------------------------
+class SSSP(VertexProgram):
+    """Single-source shortest paths: local relax-to-fixpoint per superstep +
+    min-combine on boundaries (/root/reference/src/algorithm/SSSP.go:63-106,
+    145-150). All edge weights are 1.0 — the reference forces this at load
+    (/root/reference/src/graph/graph.go:357-362) — so distances are BFS hop
+    counts. The source is a parameter (the reference hard-codes 73723936,
+    src/worker/SSSPworker.go:160)."""
+
+    combine_op = "min"
+
+    def __init__(self, source: int):
+        self.source = int(source)
+
+    def init_state(self, g):
+        return {"dist": np.full(g.n, INF), "aux": {}}
+
+    def _boundary(self, g, st, rows):
+        rows = rows[(g.r_indptr[rows + 1] - g.r_indptr[rows]) > 0]
+        dst, val = g.push(rows, st["dist"][rows] + 1.0, remote_only=True)
+        return _msgs(dst, val), int(val.size)
+
+    def peval(self, g, st):
+        idx = np.searchsorted(g.owned, self.source)
+        if idx >= g.n or g.owned[idx] != self.source:
+            return None, {"edges": 0}
+        st["dist"][idx] = 0.0
+        scanned = _local_min_fixpoint(g, st["dist"], add=1.0)
+        changed = np.flatnonzero(np.isfinite(st["dist"]))
+        msgs, sent = self._boundary(g, st, changed)
+        return msgs, {"edges": scanned + sent}
+
+    def inceval(self, g, st, inbound):
+        if inbound is None:
+            return None, {"edges": 0}
+        l = g.local_index(inbound["vid"])
+        smaller = inbound["val"] < st["dist"][l]
+        if not smaller.any():
+            return None, {"edges": 0}
+        before = st["dist"].copy()
+        np.minimum.at(st["dist"], l[smaller], inbound["val"][smaller])
+        scanned = _local_min_fixpoint(g, st["dist"], add=1.0)
+        changed = np.flatnonzero(st["dist"] < before)
+        msgs, sent = self._boundary(g, st, changed)
+        return msgs, {"edges": scanned + sent, "n_changed": int(changed.size)}
+
+    def emit(self, g, st):
+        # unreachable rows omitted, matching the reference's Assemble filter
+        # (/root/reference/src/worker/SSSPworker.go:269-273)
+        ok = np.isfinite(st["dist"])
+        return pa.table(
+            {
+                "vid": pa.array(g.owned[ok], pa.int64()),
+                "dist": pa.array(st["dist"][ok], pa.float64()),
+            }
+        )

@@ -1,0 +1,131 @@
+"""Dense/driver-side reference implementations for conformance tests
+(FIXTURES.md §5). Pure numpy/python on small graphs — never used in
+pipelines, only as pytest oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _relabel(src: np.ndarray, dst: np.ndarray):
+    vids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(vids, src)
+    d = np.searchsorted(vids, dst)
+    return vids, s, d
+
+
+def pagerank_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    damping: float = 0.85,
+    tol: float = 1e-12,
+    max_iter: int = 5000,
+):
+    """Dense power iteration of the exact reference recurrence
+    ``pr = 0.85·(Σ_in pr/outdeg) + 0.15``, init 1.0
+    (/root/reference/src/algorithm/PageRank.go:19-23,74). Returns (vids, pr)."""
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    # exact-dedup edges, matching the engine's loader
+    pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    n = vids.size
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    pr = np.ones(n)
+    share = np.zeros(n)
+    for _ in range(max_iter):
+        np.divide(pr, outdeg, out=share, where=outdeg > 0)
+        acc = np.zeros(n)
+        np.add.at(acc, d, share[s])
+        new = damping * acc + (1.0 - damping)
+        if np.abs(new - pr).max() < tol:
+            pr = new
+            break
+        pr = new
+    return vids, pr
+
+
+def components_oracle(src: np.ndarray, dst: np.ndarray):
+    """Union-find WCC on symmetrized edges; component id = min vid.
+    Returns (vids, component)."""
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    parent = np.arange(vids.size)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(s, d):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # union always hangs the larger root under the smaller, so find(i) is the
+    # minimum index in i's component; vids is sorted ascending ⇒ min vid.
+    comp = np.array([vids[find(i)] for i in range(vids.size)], dtype=np.int64)
+    return vids, comp
+
+
+def triangles_oracle(src: np.ndarray, dst: np.ndarray):
+    """Brute-force triangle count on the undirected simple graph (self-loops
+    dropped). Returns (total, vids, per_vertex_counts)."""
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    n = vids.size
+    adj = np.zeros((n, n), dtype=bool)
+    adj[s, d] = True
+    adj[d, s] = True
+    np.fill_diagonal(adj, False)
+    a = adj.astype(np.int64)
+    tri_per_vertex = (a @ a * a).sum(axis=1) // 2
+    total = int(tri_per_vertex.sum() // 3)
+    return total, vids, tri_per_vertex
+
+
+def lpa_oracle(src: np.ndarray, dst: np.ndarray, max_rounds: int = 10):
+    """Synchronous LPA with the engine's exact semantics: symmetrized simple
+    graph, label init = vid, new label = most frequent neighbor label with
+    ties to the lowest label, vertices with no neighbors keep their label,
+    stop on no change or round cap. Returns (vids, labels, rounds)."""
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    n = vids.size
+    # symmetrize + dedup
+    es = np.concatenate([s, d])
+    ed = np.concatenate([d, s])
+    pairs = np.unique(np.stack([es, ed], axis=1), axis=0)
+    es, ed = pairs[:, 0], pairs[:, 1]
+    labels = vids.copy()
+    rounds = 0
+    for _ in range(max_rounds):
+        new = labels.copy()
+        for v in range(n):
+            nbrs = es[ed == v]
+            if nbrs.size == 0:
+                continue
+            ls, cs = np.unique(labels[nbrs], return_counts=True)
+            best = ls[cs == cs.max()].min()
+            new[v] = best
+        rounds += 1
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return vids, labels, rounds
+
+
+def bfs_oracle(src: np.ndarray, dst: np.ndarray, source: int):
+    """BFS hop counts (all weights 1.0, /root/reference/src/graph/graph.go:357-362).
+    Returns dict vid -> dist for reachable vertices only."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(np.asarray(src).tolist(), np.asarray(dst).tolist()):
+        adj.setdefault(a, []).append(b)
+    dist = {int(source): 0.0}
+    q = deque([int(source)])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):  # directed
+            if v not in dist:
+                dist[v] = dist[u] + 1.0
+                q.append(v)
+    return dist

@@ -1,0 +1,88 @@
+"""High-level graph analytics entry points over an edge Dataset.
+
+Each function: build (or reuse) the hash-partitioned graph layout, run the
+VertexProgram superstep harness, return the emitted per-vertex table as a
+``pyarrow.Table`` (small results) plus the ProgramResult for metrics.
+
+Graph builds are cached on disk keyed by (cache_key, P, symmetrized) so
+repeated queries over the same input skip the partitioning shuffle — the
+manifest's content token is the lineage link (SURVEY.md §4 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from drone_ray.graph.harness import ProgramResult, run_vertex_program
+from drone_ray.graph.partition import MANIFEST_NAME, GraphManifest, build_graph
+from drone_ray.graph.programs import SSSP, ConnectedComponents, LabelPropagation, PageRank
+
+_CACHE_ROOT = os.environ.get("DRONE_RAY_CACHE", "/tmp/drone_ray/graphs")
+
+
+def graph_for(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int,
+    symmetrize: bool = False,
+) -> GraphManifest:
+    """Build the partitioned layout once per (cache_key, P, symmetrize)."""
+    token = hashlib.blake2b(
+        f"{cache_key}|P={num_partitions}|sym={symmetrize}".encode(), digest_size=8
+    ).hexdigest()
+    work_dir = os.path.join(_CACHE_ROOT, token)
+    if os.path.exists(os.path.join(work_dir, MANIFEST_NAME)):
+        return GraphManifest.load(work_dir)
+    return build_graph(
+        edges_factory(),
+        work_dir,
+        num_partitions,
+        symmetrize=symmetrize,
+        source=cache_key,
+    )
+
+
+def _run(manifest, cls, kwargs, **hk) -> ProgramResult:
+    return run_vertex_program(manifest, cls, kwargs, **hk)
+
+
+def pagerank(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    eps: float = 1e-10,
+    damping: float = 0.85,
+    **harness_kwargs,
+) -> ProgramResult:
+    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=False)
+    return _run(m, PageRank, {"eps": eps, "damping": damping}, **harness_kwargs)
+
+
+def connected_components(
+    edges_factory, cache_key: str, num_partitions: int = 8, **harness_kwargs
+) -> ProgramResult:
+    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=True)
+    return _run(m, ConnectedComponents, {}, **harness_kwargs)
+
+
+def label_propagation(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    max_rounds: int = 10,
+    **harness_kwargs,
+) -> ProgramResult:
+    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=True)
+    return _run(m, LabelPropagation, {"max_rounds": max_rounds}, **harness_kwargs)
+
+
+def sssp(
+    edges_factory,
+    cache_key: str,
+    source: int,
+    num_partitions: int = 8,
+    **harness_kwargs,
+) -> ProgramResult:
+    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=False)
+    return _run(m, SSSP, {"source": source}, **harness_kwargs)

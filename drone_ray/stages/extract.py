@@ -1,0 +1,89 @@
+"""M8 — HTML → (text, out-links) extraction (SURVEY.md §2.3 M8).
+
+The reference engine has no HTML stage (it consumes pre-partitioned edge
+lists, /root/reference/src/graph/graph.go:332-460); the north rule adds a
+Common-Crawl-style ingest. The driver invariant (BASELINE.json input_hint)
+is that extracted text per url is **byte-identical at any batch size or
+parallelism** — so extraction is a pure per-row function with no cross-row
+state, applied inside ``map_batches``.
+
+Extraction contract (fixed; the synthetic page generator and the oracle
+``text`` column both follow it):
+
+* text     = the normalized contents of the ``<title>`` element followed by
+             the normalized contents of every ``<p>`` element, in document
+             order, joined with ``"\\n"``; empty segments are dropped.
+             "Normalized" = inner tags stripped, the five standard HTML
+             entities unescaped (&amp; &lt; &gt; &quot; &#39;), runs of
+             whitespace collapsed to one space, ends stripped.
+* links    = the value of every ``href="..."`` attribute of ``<a>`` tags in
+             the raw HTML, in document order, duplicates preserved
+             (canonicalization/dedup happens downstream, M9/D3).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
+_P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+_HREF_RE = re.compile(r"""<a\s[^>]*?href=["']([^"']*)["']""", re.S | re.I)
+
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so "&amp;lt;" → "&lt;" (single-pass, per spec)
+)
+
+
+def normalize_segment(raw: str) -> str:
+    """Strip inner tags, unescape entities, collapse whitespace."""
+    s = _TAG_RE.sub(" ", raw)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_text(html: str) -> str:
+    """Pure per-row text extraction following the module contract."""
+    segments = []
+    m = _TITLE_RE.search(html)
+    if m:
+        segments.append(normalize_segment(m.group(1)))
+    for pm in _P_RE.finditer(html):
+        segments.append(normalize_segment(pm.group(1)))
+    return "\n".join(s for s in segments if s)
+
+
+def extract_links(html: str) -> list[str]:
+    """All raw href values of anchors, document order, dups preserved."""
+    return _HREF_RE.findall(html)
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """map_batches body: pages(url, html, ...) → (url, text, links).
+
+    ``links`` is a list<string> column of raw hrefs; downstream M9 resolves
+    and hashes them. Row-independent ⇒ byte-identical output at any batch
+    size / parallelism (driver invariant).
+    """
+    htmls = batch["html"].to_pylist()
+    texts: list[str] = []
+    links: list[list[str]] = []
+    for raw in htmls:
+        html = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
+        texts.append(extract_text(html))
+        links.append(extract_links(html))
+    return pa.table(
+        {
+            "url": batch["url"],
+            "text": pa.array(texts, type=pa.string()),
+            "links": pa.array(links, type=pa.list_(pa.string())),
+        }
+    )
