@@ -83,11 +83,17 @@ def run_vertex_program(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = True,
-    actor_cpus: float = 1.0,
+    actor_cpus: float = 0,
     output_dir: str | None = None,
 ) -> ProgramResult:
     """Run a VertexProgram over a built graph; returns emitted results +
     per-superstep metrics. Does NOT call ray.init (caller owns the session).
+
+    ``actor_cpus`` defaults to 0 (no CPU reservation): partition actors are
+    barrier-synchronized — all busy or all idle — so reserving P full CPUs
+    only risks deadlocking small sessions where P exceeds the CPU count. On
+    a real multi-node cluster set ``actor_cpus ≈ cluster_cpus / P`` so the
+    scheduler spreads actors across nodes.
 
     With ``output_dir`` the actors write their result partitions straight to
     Parquet (the scalable sink — the reference's per-worker Assemble files,

@@ -1,0 +1,77 @@
+"""Extraction + canonicalization unit tests (no Ray needed).
+
+Covers the driver invariant: extracted text per url is byte-identical to the
+oracle ``text`` column at any batch size / ordering (BASELINE.json input_hint).
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from drone_ray.sources.pages import pages_batch, pages_table
+from drone_ray.stages.canonicalize import canonicalize, links_to_edges_batch
+from drone_ray.stages.extract import extract_batch, extract_links, extract_text
+
+
+def test_text_byte_identical_any_batching():
+    n = 300
+    t = pages_table(n, seed=42)
+    expected = t["text"].to_pylist()
+    for bs in (1, 7, 64, n):
+        got = []
+        for off in range(0, n, bs):
+            got.extend(extract_batch(t.slice(off, bs))["text"].to_pylist())
+        assert got == expected, f"batch_size={bs}"
+
+
+def test_generator_row_independent():
+    n = 300
+    full = pages_table(n, seed=42)
+    sub = pages_batch(np.array([5, 17, 33, 101, 250]), n, seed=42)
+    for i, idx in enumerate([5, 17, 33, 101, 250]):
+        assert sub["html"][i].as_py() == full["html"][idx].as_py()
+        assert sub["url"][i].as_py() == full["url"][idx].as_py()
+
+
+def test_entities_and_tags():
+    html = (
+        "<html><head><title>A&amp;B &lt;x&gt;</title></head><body>"
+        "<p>hello <a href=\"https://a.example/1\">link&amp;text</a> world</p>"
+        "<p>  spaced\t\tout  </p><p></p></body></html>"
+    )
+    assert extract_text(html) == "A&B <x>\nhello link&text world\nspaced out"
+    assert extract_links(html) == ["https://a.example/1"]
+
+
+def test_empty_and_malformed():
+    assert extract_text("<html><body></body></html>") == ""
+    # unclosed inner tag is stripped, content kept
+    assert extract_text("<p><b>bold text</p>") == "bold text"
+
+
+def test_canonicalize():
+    base = "https://site1.example/p/10"
+    assert canonicalize(base, "/p/3") == "https://site1.example/p/3"
+    assert canonicalize(base, "q/4") == "https://site1.example/p/q/4"
+    assert canonicalize(base, "https://b.example/x#frag") == "https://b.example/x"
+    assert canonicalize(base, "mailto:x@y.z") is None
+    assert canonicalize(base, "javascript:void(0)") is None
+    assert canonicalize(base, "   ") is None
+    assert canonicalize(base, "#frag") == base
+
+
+def test_links_to_edges_batch_dedup_preserved():
+    batch = pa.table(
+        {
+            "url": ["https://a.example/p"],
+            "links": [["/x", "/x", "mailto:q@r.s", "https://b.example/y#f"]],
+        }
+    )
+    out = links_to_edges_batch(batch)
+    # duplicates preserved (dedup is a later stage); mailto dropped
+    assert out.num_rows == 3
+    assert out["dst_url"].to_pylist() == [
+        "https://a.example/x",
+        "https://a.example/x",
+        "https://b.example/y",
+    ]
+    assert out["src"][0].as_py() == out["src"][1].as_py()
