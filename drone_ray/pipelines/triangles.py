@@ -113,20 +113,56 @@ def _undirected_with_degrees(edges: Dataset, num_partitions: int):
     )
 
 
+_WEDGE_SCHEMA = pa.schema([("x", pa.int64()), ("y", pa.int64()), ("center", pa.int64())])
+_EDGE_MARKER = -1  # vids are non-negative (63-bit hashes / test ids)
+
+
+def _close(group: pd.DataFrame) -> pd.DataFrame:
+    if (group["center"] == _EDGE_MARKER).any():
+        return group[group["center"] != _EDGE_MARKER]
+    return group.iloc[0:0]
+
+
+def _pin(schema: pa.Schema):
+    def fix(b: pa.Table) -> pa.Table:
+        return b.cast(schema) if b.num_columns else schema.empty_table()
+
+    return fix
+
+
 def triangles(edges: Dataset, num_partitions: int = 16) -> Dataset:
     """All closed wedges: rows (x, y, center) — one row per triangle, where
-    (x, y) and (center→x), (center→y) are degree-oriented edges."""
+    (x, y) and (center→x), (center→y) are degree-oriented edges.
+
+    The wedge↔edge closure is a union + groupby(["x","y"]) semi-join rather
+    than a hash join: Ray's join operator rejects a fully-empty side (a
+    triangle-free graph produces zero wedges), and the grouped form costs
+    the same single shuffle on the same key."""
     withdeg = _undirected_with_degrees(edges, num_partitions)
     oriented = withdeg.map_batches(_orient, batch_format="pyarrow")
-    wedges = oriented.groupby("a").map_groups(_wedges, batch_format="pandas")
-    closed = wedges.join(
-        oriented.select_columns(["a", "b"]),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("x", "y"),
-        right_on=("a", "b"),
+    wedges = (
+        oriented.groupby("a")
+        .map_groups(_wedges, batch_format="pandas")
+        .map_batches(_pin(_WEDGE_SCHEMA), batch_format="pyarrow")
     )
-    return closed.select_columns(["x", "y", "center"])
+    markers = oriented.map_batches(
+        lambda b: pa.table(
+            {
+                "x": b["a"],
+                "y": b["b"],
+                "center": pa.array(
+                    np.full(b.num_rows, _EDGE_MARKER, np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        wedges.union(markers)
+        .groupby(["x", "y"])
+        .map_groups(_close, batch_format="pandas")
+        .map_batches(_pin(_WEDGE_SCHEMA), batch_format="pyarrow")
+    )
 
 
 def triangle_count(edges: Dataset, num_partitions: int = 16) -> int:
@@ -150,8 +186,10 @@ def triangles_per_vertex(edges: Dataset, num_partitions: int = 16) -> Dataset:
             {"vid": pa.array(vid, pa.int64()), "_c": pa.array(cnt, pa.int64())}
         )
 
+    out_schema = pa.schema([("vid", pa.int64()), ("triangles", pa.int64())])
     return (
         tri.map_batches(melt, batch_format="pyarrow")
         .groupby("vid")
         .aggregate(Sum("_c", alias_name="triangles"))
+        .map_batches(_pin(out_schema), batch_format="pyarrow")
     )
