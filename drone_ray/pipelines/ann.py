@@ -1,0 +1,146 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: exact brute-force cosine top-k — per-batch numpy matmul against a
+broadcast query matrix (ray.put once, read per task), per-batch partial
+top-k, tiny final merge. Scale path: random-hyperplane LSH buckets probed
+per query (approximate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from drone_ray.functions.vectors import (
+    batch_matrix,
+    cosine_matrix,
+    hyperplane_signs,
+    make_planes,
+)
+
+
+def _query_matrix(emb: Dataset, query_ids, id_col: str, vec_col: str):
+    qset = set(int(q) for q in query_ids)
+    ids, vecs = [], []
+    for b in emb.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+        for i, v in zip(b[id_col].to_pylist(), b[vec_col].to_pylist()):
+            if i in qset:
+                ids.append(i)
+                vecs.append(v)
+    order = np.argsort(ids)
+    q = np.array(vecs, dtype=np.float64)[order]
+    return np.array(ids, dtype=np.int64)[order], q
+
+
+def ann_topk_exact(
+    emb: Dataset,
+    query_ids=(0, 1, 2, 3, 4),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """(query_id, vec_id, cosine) — exact top-k per query, deterministic
+    ties broken by ascending vec_id; cosine rounded to 6 decimals after
+    selection. Each task holds only (batch × queries) similarities."""
+    qids, q = _query_matrix(emb, query_ids, id_col, vec_col)
+    ref = ray.put((qids, q))
+
+    def partial(b: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        x = batch_matrix(b, vec_col)
+        ids = np.array(b[id_col].to_pylist(), dtype=np.int64)
+        if x.size == 0 or qm.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        sims = cosine_matrix(x, qm)  # (n, m)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        kk = min(k, len(ids))
+        for m, qid in enumerate(qi):
+            s = sims[:, m]
+            # partial top-k with deterministic (cosine desc, vec_id asc)
+            idx = np.lexsort((ids, -s))[:kk]
+            rows["query_id"].extend([qid] * len(idx))
+            rows["vec_id"].extend(ids[idx].tolist())
+            rows["cosine"].extend(s[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        )
+
+    # final merge: tiny (n_batches × m × k rows)
+    df = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["cosine"] = out["cosine"].round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ann_topk_lsh(
+    emb: Dataset,
+    query_ids=(0, 1, 2, 3, 4),
+    k: int = 10,
+    n_bits: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Approximate top-k: candidates limited to vectors sharing a
+    random-hyperplane bucket with the query in any of n_tables tables."""
+    qids, q = _query_matrix(emb, query_ids, id_col, vec_col)
+    d = q.shape[1] if q.size else 1
+    planes = [make_planes(d, n_bits, seed=42 + t) for t in range(n_tables)]
+    qbuckets = [hyperplane_signs(q, p) for p in planes]  # per table: (m,)
+    ref = ray.put((qids, q, planes, qbuckets))
+
+    def partial(b: pa.Table) -> pa.Table:
+        qi, qm, pls, qbs = ray.get(ref)
+        x = batch_matrix(b, vec_col)
+        ids = np.array(b[id_col].to_pylist(), dtype=np.int64)
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        if x.size and qm.size:
+            xb = [hyperplane_signs(x, p) for p in pls]
+            for m, qid in enumerate(qi):
+                cand = np.zeros(len(ids), dtype=bool)
+                for t in range(len(pls)):
+                    cand |= xb[t] == qbs[t][m]
+                if not cand.any():
+                    continue
+                s = cosine_matrix(x[cand], qm[m : m + 1])[:, 0]
+                cids = ids[cand]
+                idx = np.lexsort((cids, -s))[: min(k, len(cids))]
+                out["query_id"].extend([qid] * len(idx))
+                out["vec_id"].extend(cids[idx].tolist())
+                out["cosine"].extend(s[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
+
+    df = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["cosine"] = out["cosine"].round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)

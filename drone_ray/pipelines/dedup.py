@@ -1,0 +1,319 @@
+"""Deduplication family over a documents table (doc_id, text):
+
+  * exact        — content-fingerprint groupby (hash-partition, keep min id)
+  * MinHash+LSH  — shingle → minhash → band → bucket groupby → candidate
+                   pairs → exact-Jaccard verification
+  * SimHash      — 64-bit simhash, banded buckets, Hamming-verified pairs
+  * n-gram Jaccard — the verification kernel, exposed directly
+  * embedding cosine — exact blocked matmul baseline + LSH-bucketed variant
+
+Scale notes: every candidate-generation step is a map_batches + groupby on a
+bucket key (no driver-side pairwise loops). Verification fetches only the
+candidate pairs' texts; at web scale that lookup becomes a bucketed join on
+doc_id — here the pair set is small enough to broadcast the needed texts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from drone_ray.functions.minhash import (
+    MinHasher,
+    band_hashes,
+    hamming64,
+    jaccard,
+    simhash64,
+    simhash_bands,
+    word_shingles,
+)
+from drone_ray.functions.text import fingerprint
+from drone_ray.functions.vectors import batch_matrix, cosine_matrix, hyperplane_signs, make_planes
+
+
+# --- exact dedup -----------------------------------------------------------
+def exact_dedup(docs: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """(fp, doc_id=min id, n_dups) per distinct content fingerprint."""
+
+    def fp_batch(b: pa.Table) -> pa.Table:
+        fps = [fingerprint(t) for t in b[text_col].to_pylist()]
+        return pa.table({"fp": pa.array(fps, pa.string()), id_col: b[id_col]})
+
+    return (
+        docs.map_batches(fp_batch, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_dups"))
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+class _MinhashStage:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, num_perm: int, num_bands: int, k: int, id_col: str, text_col: str):
+        self.mh = MinHasher(num_perm=num_perm)
+        self.num_bands = num_bands
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.mh.signature(word_shingles(t, self.k))
+            bh = band_hashes(sig, self.num_bands)
+            out_id.extend([i] * self.num_bands)
+            out_band.extend(range(self.num_bands))
+            out_hash.extend(bh.tolist())
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(np.array(out_hash, dtype=np.uint64).astype(np.int64)),
+                self.id_col: pa.array(out_id),
+            }
+        )
+
+
+def _bucket_pairs(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    ids = np.sort(group[id_col].to_numpy())
+    if ids.size < 2:
+        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+    i, j = np.triu_indices(ids.size, k=1)
+    return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _pin(schema: pa.Schema):
+    def fix(b: pa.Table) -> pa.Table:
+        return b.cast(schema) if b.num_columns else schema.empty_table()
+
+    return fix
+
+
+def minhash_candidates(
+    docs: Dataset,
+    *,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 4,
+) -> Dataset:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band."""
+    bands = docs.map_batches(
+        _MinhashStage,
+        fn_constructor_args=(num_perm, num_bands, k, id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pairs = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(lambda g: _bucket_pairs(g, id_col), batch_format="pandas")
+        .map_batches(_pin(_PAIR_SCHEMA), batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
+    )
+
+
+def verify_jaccard(
+    pairs: Dataset,
+    docs: Dataset,
+    *,
+    k: int = 3,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Exact k-shingle Jaccard for each candidate pair; keeps jaccard ≥
+    threshold. Texts are broadcast once via ray.put (small side); at web
+    scale replace with a bucketed join of pairs against the docs table."""
+    lookup: dict = {}
+    for b in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
+        lookup.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
+    ref = ray.put(lookup)
+
+    def verify(b: pa.Table) -> pa.Table:
+        texts = ray.get(ref)
+        a = b["a"].to_pylist()
+        bb = b["b"].to_pylist()
+        js = [
+            round(jaccard(word_shingles(texts[x], k), word_shingles(texts[y], k)), 6)
+            for x, y in zip(a, bb)
+        ]
+        t = pa.table({"a": b["a"], "b": b["b"], "jaccard": pa.array(js, pa.float64())})
+        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_near_dups(docs: Dataset, threshold: float = 0.7, **kw) -> Dataset:
+    return verify_jaccard(minhash_candidates(docs, **kw), docs, threshold=threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+def simhash_table(docs: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    def sh(b: pa.Table) -> pa.Table:
+        hs = [simhash64(t) for t in b[text_col].to_pylist()]
+        return pa.table(
+            {id_col: b[id_col], "simhash": pa.array(np.array(hs, np.uint64).astype(np.int64))}
+        )
+
+    return docs.map_batches(sh, batch_format="pyarrow")
+
+
+def simhash_near_dups(
+    docs: Dataset,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Pairs (a, b, hamming ≤ max_hamming). Banding guarantee: distance <
+    num_bands implies a shared band, so max_hamming ≤ num_bands-1 is exact."""
+    sh = simhash_table(docs, id_col, text_col)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, hs = b[id_col].to_pylist(), b["simhash"].to_pylist()
+        rid, rband, rkey, rhash = [], [], [], []
+        for i, h in zip(ids, hs):
+            for bi, key in enumerate(simhash_bands(h & 0xFFFFFFFFFFFFFFFF, num_bands)):
+                rid.append(i)
+                rband.append(bi)
+                rkey.append(key)
+                rhash.append(h)
+        return pa.table(
+            {
+                "band_id": pa.array(rband, pa.int32()),
+                "band_key": pa.array(rkey, pa.int64()),
+                id_col: pa.array(rid),
+                "simhash": pa.array(rhash, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype=np.int64)
+        i, j = np.triu_indices(ids.size, k=1)
+        d = hamming64(hs[i], hs[j])
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {"a": ids[i][keep], "b": ids[j][keep], "hamming": d[keep].astype(np.int64)}
+        )
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())])
+    pairs = (
+        sh.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band_id", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# --- embedding cosine near-dup --------------------------------------------
+def embedding_near_dups_exact(
+    emb: Dataset, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> Dataset:
+    """Exact pairs (a < b, cosine ≥ threshold): every batch is compared
+    against the full broadcast matrix (ray.put once, read per task). This is
+    the small-side baseline the SQL oracle reproduces; the LSH variant below
+    is the web-scale path."""
+    ids_all: list[int] = []
+    mats = []
+    for b in emb.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+        ids_all.extend(b[id_col].to_pylist())
+        mats.append(batch_matrix(b, vec_col))
+    full = np.vstack(mats) if mats else np.zeros((0, 0))
+    ids_np = np.array(ids_all, dtype=np.int64)
+    ref = ray.put((ids_np, full))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        rids = np.array(b[id_col].to_pylist(), dtype=np.int64)
+        x = batch_matrix(b, vec_col)
+        oids, mat = ray.get(ref)
+        sims = cosine_matrix(x, mat)
+        ii, jj = np.nonzero(sims >= threshold)
+        a, bb, s = rids[ii], oids[jj], sims[ii, jj]
+        keep = a < bb
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(bb[keep], pa.int64()),
+                "cosine": pa.array(np.round(s[keep], 6), pa.float64()),
+            }
+        )
+
+    return emb.map_batches(pairs, batch_format="pyarrow")
+
+
+def embedding_near_dups_lsh(
+    emb: Dataset,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Scale path: random-hyperplane buckets (n_tables independent tables),
+    exact cosine only within buckets. Approximate — pairs in no shared
+    bucket are missed; recall grows with n_tables."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        x = batch_matrix(b, vec_col)
+        ids = np.array(b[id_col].to_pylist(), dtype=np.int64)
+        tables, keys, rid, vecs = [], [], [], []
+        for t in range(n_tables):
+            p = make_planes(x.shape[1] if x.size else 1, n_bits, seed=42 + t)
+            sig = hyperplane_signs(x, p) if x.size else np.empty(0, np.int64)
+            tables.extend([t] * len(ids))
+            keys.extend(sig.tolist())
+            rid.extend(ids.tolist())
+            vecs.extend(x.tolist())
+        return pa.table(
+            {
+                "table_id": pa.array(tables, pa.int32()),
+                "bucket": pa.array(keys, pa.int64()),
+                id_col: pa.array(rid, pa.int64()),
+                "vec": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        x = np.vstack(g["vec"].to_numpy())
+        sims = cosine_matrix(x, x)
+        i, j = np.triu_indices(ids.size, k=1)
+        s = sims[i, j]
+        keep = s >= threshold
+        return pd.DataFrame(
+            {"a": ids[i][keep], "b": ids[j][keep], "cosine": np.round(s[keep], 6)}
+        )
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())])
+    pairs = (
+        emb.map_batches(explode, batch_format="pyarrow")
+        .groupby(["table_id", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow")
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))

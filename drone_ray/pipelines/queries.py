@@ -1,0 +1,502 @@
+"""Query registry: every SURVEY.md §2 operator exposed as a named pipeline
+over the driver's testdata tables, with an ANSI-SQL DuckDB oracle wherever
+the semantics are SQL-expressible.
+
+The link graph for the graph queries is derived deterministically from
+lineitem — ``src = l_orderkey % M, dst = l_partkey % M`` (distinct, no
+self-loops) — so the identical graph is constructible in SQL. Iterative
+fixpoint algorithms (PageRank/WCC/LPA/SSSP) are not SQL-expressible and are
+registered without an oracle (their conformance gate is the pytest numpy
+oracles, tests/test_graph_engine.py).
+
+Column names match between Ray results and oracle SQL exactly (driver
+hash-compare requirement). Float aggregates are integerized (cents via
+floor(x*100+0.5), identical in numpy and DuckDB) or rounded to 6 decimals
+after selection so value hashes are stable across summation orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from drone_ray.stages.edges import dedup_edges, out_degrees
+
+M = 1499  # vertex-id modulus for the lineitem-derived link graph
+# testdata embeddings are random vectors (max pairwise cosine ~0.48); 0.35
+# keeps the near-dup queries non-vacuous while staying selective
+NEAR_DUP_COS = 0.35
+GRAPH_PARTITIONS = 4
+
+EDGES_SQL = (
+    f"SELECT DISTINCT l_orderkey % {M} AS src, l_partkey % {M} AS dst "
+    f"FROM lineitem WHERE (l_orderkey % {M}) <> (l_partkey % {M})"
+)
+
+
+def _read(sf_dir: str, table: str, columns=None) -> Dataset:
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def lg_edges(sf_dir: str) -> Dataset:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        s = b["l_orderkey"].to_numpy(zero_copy_only=False) % M
+        d = b["l_partkey"].to_numpy(zero_copy_only=False) % M
+        keep = s != d
+        return pa.table(
+            {"src": pa.array(s[keep], pa.int64()), "dst": pa.array(d[keep], pa.int64())}
+        )
+
+    return dedup_edges(li.map_batches(derive, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
+# graph queries
+# --------------------------------------------------------------------------
+def q_edges(sf_dir: str):
+    return lg_edges(sf_dir)
+
+
+def q_out_degrees(sf_dir: str):
+    return out_degrees(lg_edges(sf_dir))
+
+
+def q_degree_topk(sf_dir: str):
+    return (
+        out_degrees(lg_edges(sf_dir))
+        .sort(["out_degree", "src"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def q_triangle_total(sf_dir: str):
+    from drone_ray.pipelines.triangles import triangle_count
+
+    n = triangle_count(lg_edges(sf_dir), num_partitions=GRAPH_PARTITIONS)
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def q_triangles_per_vertex(sf_dir: str):
+    from drone_ray.pipelines.triangles import triangles_per_vertex
+
+    return triangles_per_vertex(lg_edges(sf_dir), num_partitions=GRAPH_PARTITIONS)
+
+
+def _graph_key(sf_dir: str) -> str:
+    return f"lg:{sf_dir}:M={M}"
+
+
+def q_pagerank(sf_dir: str):
+    from drone_ray.pipelines.analytics import pagerank
+
+    res = pagerank(lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS)
+    t = res.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def q_wcc(sf_dir: str):
+    from drone_ray.pipelines.analytics import connected_components
+
+    return connected_components(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS
+    ).to_table()
+
+
+def q_lpa(sf_dir: str):
+    from drone_ray.pipelines.analytics import label_propagation
+
+    return label_propagation(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS, max_rounds=10
+    ).to_table()
+
+
+def q_sssp(sf_dir: str):
+    from drone_ray.pipelines.analytics import sssp
+
+    edges = lg_edges(sf_dir)
+    source = int(edges.min("src"))  # deterministic: smallest source vid
+    return sssp(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), source, GRAPH_PARTITIONS
+    ).to_table()
+
+
+def q_pagerank_pages(sf_dir: str):
+    """Flagship chain on synthetic Common-Crawl-style pages: generate →
+    extract (M8) → canonicalize/hash (M9) → edges → PageRank. Page count
+    scales with the sf directory name."""
+    import ray.data as rd
+
+    from drone_ray.pipelines.analytics import pagerank
+    from drone_ray.sources.pages import write_pages
+    from drone_ray.stages.canonicalize import links_to_edges_batch
+    from drone_ray.stages.extract import extract_batch
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_pages = max(200, int(float(sf) * 200_000))
+    pages_dir = write_pages(f"/tmp/drone_ray/pages_sf{sf}", n_pages, seed=42)
+
+    def edge_factory():
+        pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+        return (
+            pages.map_batches(extract_batch, batch_format="pyarrow")
+            .map_batches(links_to_edges_batch, batch_format="pyarrow")
+            .select_columns(["src", "dst"])
+        )
+
+    res = pagerank(edge_factory, f"pages:{pages_dir}", GRAPH_PARTITIONS)
+    t = res.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def q_extract_pages(sf_dir: str):
+    """(url, text) from the synthetic pages fixture — byte-identical to the
+    generator's oracle text column (asserted in pytest; rows-only here)."""
+    import ray.data as rd
+
+    from drone_ray.sources.pages import write_pages
+    from drone_ray.stages.extract import extract_batch
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_pages = max(200, int(float(sf) * 20_000))
+    pages_dir = write_pages(f"/tmp/drone_ray/pages_x_sf{sf}", n_pages, seed=43)
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+    return pages.map_batches(extract_batch, batch_format="pyarrow").select_columns(
+        ["url", "text"]
+    )
+
+
+# --------------------------------------------------------------------------
+# documents: dedup family + text analysis
+# --------------------------------------------------------------------------
+_NORM_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+def q_doc_dedup(sf_dir: str):
+    from drone_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_token_stats(sf_dir: str):
+    from drone_ray.functions.text import token_stats_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from drone_ray.functions.text import fingerprint_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_langid(sf_dir: str):
+    from drone_ray.functions.text import langid_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        langid_batch, batch_format="pyarrow"
+    )
+
+
+def q_quality(sf_dir: str):
+    from drone_ray.functions.text import quality_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+def q_minhash_near_dup(sf_dir: str):
+    from drone_ray.pipelines.dedup import minhash_near_dups
+
+    return minhash_near_dups(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+
+
+def q_simhash_near_dup(sf_dir: str):
+    from drone_ray.pipelines.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+    )
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search + near-dup
+# --------------------------------------------------------------------------
+def q_ann_topk(sf_dir: str):
+    from drone_ray.pipelines.ann import ann_topk_exact
+
+    return ann_topk_exact(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=10)
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    from drone_ray.pipelines.ann import ann_topk_lsh
+
+    return ann_topk_lsh(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=10)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from drone_ray.pipelines.dedup import embedding_near_dups_exact
+
+    return embedding_near_dups_exact(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=NEAR_DUP_COS
+    )
+
+
+def q_embedding_near_dup_lsh(sf_dir: str):
+    from drone_ray.pipelines.dedup import embedding_near_dups_lsh
+
+    return embedding_near_dups_lsh(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=NEAR_DUP_COS
+    )
+
+
+# --------------------------------------------------------------------------
+# relational / windowed demos (events, lineitem, joins)
+# --------------------------------------------------------------------------
+def _cents(x: np.ndarray) -> np.ndarray:
+    # floor(x*100 + 0.5): identical semantics in numpy and DuckDB (no
+    # banker's-rounding ambiguity), keeps money sums integer-exact
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def q_events_hourly(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts = b["ts"].cast(pa.int64()).to_numpy()  # µs since epoch
+        hour = ts // 3_600_000_000
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pylist(),
+                "hour": hour,
+                "cents": _cents(b["value"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        g = (
+            df.groupby(["event_type", "hour"], sort=False)
+            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+
+def q_lineitem_agg(sf_dir: str):
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_pylist(),
+                "l_linestatus": b["l_linestatus"].to_pylist(),
+                "qty": b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "cents": _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("qty", "sum"), sum_cents=("cents", "sum"), n_rows=("qty", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+def q_customer_orders(sf_dir: str):
+    """Broadcast-free hash join demo: orders ⋈ customer via Dataset.join."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+                "cents": _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        g = (
+            df.groupby("o_custkey", sort=False)
+            .agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=GRAPH_PARTITIONS,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.select_columns(["c_name", "o_custkey", "n_orders", "total_cents"])
+
+
+# --------------------------------------------------------------------------
+# registry: name -> (ray_fn, oracle_sql | None)
+# --------------------------------------------------------------------------
+_UND_SQL = (
+    f"SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+    f"FROM ({EDGES_SQL}) WHERE src <> dst"
+)
+_TRI_SQL = (
+    f"WITH e AS ({_UND_SQL}), "
+    "t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 "
+    "JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)"
+)
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+REGISTRY: dict[str, tuple] = {
+    "edges": (q_edges, EDGES_SQL),
+    "out_degrees": (
+        q_out_degrees,
+        f"SELECT src, count(*) AS out_degree FROM ({EDGES_SQL}) GROUP BY src",
+    ),
+    "degree_topk": (
+        q_degree_topk,
+        f"SELECT src, count(*) AS out_degree FROM ({EDGES_SQL}) GROUP BY src "
+        "ORDER BY out_degree DESC, src LIMIT 20",
+    ),
+    "triangle_total": (
+        q_triangle_total,
+        f"{_TRI_SQL} SELECT count(*) AS n_triangles FROM t",
+    ),
+    "triangles_per_vertex": (
+        q_triangles_per_vertex,
+        f"{_TRI_SQL} SELECT vid, count(*) AS triangles FROM "
+        "(SELECT a AS vid FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) "
+        "GROUP BY vid",
+    ),
+    "pagerank": (q_pagerank, None),  # iterative fixpoint — pytest numpy oracle
+    "wcc": (q_wcc, None),
+    "lpa": (q_lpa, None),
+    "sssp": (q_sssp, None),
+    "pagerank_pages": (q_pagerank_pages, None),
+    "extract_pages": (q_extract_pages, None),
+    "doc_dedup": (
+        q_doc_dedup,
+        f"SELECT {_NORM_SQL} AS fp, min(doc_id) AS doc_id, count(*) AS n_dups "
+        "FROM documents GROUP BY 1",
+    ),
+    "token_stats": (
+        q_token_stats,
+        "SELECT doc_id, length(text) AS n_chars, "
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END AS n_tokens, "
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE len(list_distinct({_TOKENS_SQL})) END "
+        "AS n_uniq_tokens FROM documents",
+    ),
+    "doc_fingerprint": (
+        q_doc_fingerprint,
+        f"SELECT doc_id, {_NORM_SQL} AS fp FROM documents",
+    ),
+    "langid": (q_langid, None),  # heuristic model — unit-tested on pages fixture
+    "quality": (q_quality, None),
+    "minhash_near_dup": (q_minhash_near_dup, None),  # custom hashing
+    "simhash_near_dup": (q_simhash_near_dup, None),
+    "ann_topk": (
+        q_ann_topk,
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+        "FROM embeddings WHERE vec_id < 5) "
+        "SELECT query_id, vec_id, round(list_cosine_similarity(qe, "
+        "CAST(embedding AS DOUBLE[])), 6) AS cosine FROM q, embeddings "
+        "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY "
+        "list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC, vec_id) <= 10",
+    ),
+    "ann_topk_lsh": (q_ann_topk_lsh, None),  # approximate by design
+    "embedding_near_dup": (
+        q_embedding_near_dup,
+        "SELECT a.vec_id AS a, b.vec_id AS b, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND "
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_COS}",
+    ),
+    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
+    "events_hourly": (
+        q_events_hourly,
+        "SELECT event_type, epoch_us(ts) // 3600000000 AS hour, "
+        "count(*) AS n_events, "
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents "
+        "FROM events GROUP BY 1, 2",
+    ),
+    "lineitem_agg": (
+        q_lineitem_agg,
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_cents, "
+        "count(*) AS n_rows FROM lineitem GROUP BY 1, 2",
+    ),
+    "customer_orders": (
+        q_customer_orders,
+        "SELECT c_name, o_custkey, count(*) AS n_orders, "
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2",
+    ),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -85,7 +85,16 @@ def _wedges(group: pd.DataFrame) -> pd.DataFrame:
 
 
 def _undirected_with_degrees(edges: Dataset, num_partitions: int):
-    und = edges.map_batches(_und_batch, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    # per-batch unique is only a partial dedup: (a,b) and (b,a) arriving in
+    # different batches fold to the same (u,v) — finish with a grouped count
+    und = (
+        edges.map_batches(_und_batch, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["u", "v"])
+    )
     deg = (
         und.map_batches(_degree_partial, batch_format="pyarrow")
         .groupby("vid")

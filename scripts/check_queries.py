@@ -1,0 +1,102 @@
+"""Driver-gate emulation: run every queries() entry at a given sf and
+compare against its oracle_sql() via DuckDB (row count, column names,
+order-insensitive values). Usage: python scripts/check_queries.py [sf_dir] [names...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray
+
+ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+
+DataContext.get_current().enable_progress_bars = False
+
+import __ray_entry__ as entrymod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(res):
+    import pyarrow as pa
+    from ray.data import Dataset
+
+    if isinstance(res, Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            continue
+        if np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype(np.float64).round(6)
+    return df
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: ray error {type(e).__name__}: {str(e)[:300]}")
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(got)} cols={list(got.columns)} ({dt:.1f}s, rows-only)")
+            continue
+        exp = canon(con.execute(oracles[name]).df())
+        status = "ok  "
+        if list(got.columns) != list(exp.columns):
+            status = "FAIL"
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        elif len(got) != len(exp):
+            status = "FAIL"
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+        else:
+            try:
+                pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, atol=1e-9)
+            except AssertionError as e:
+                status = "FAIL"
+                print(f"FAIL {name}: values differ: {str(e)[:400]}")
+        if status == "ok  ":
+            print(f"ok   {name}: rows={len(got)} matches oracle ({dt:.1f}s)")
+        else:
+            failures.append(name)
+    print("----")
+    print("FAILURES:", failures if failures else "none")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
