@@ -1,0 +1,167 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+under ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints
+ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "pagerank": {...steps/teps...}}
+
+`--scaling` re-runs the same headline in two fresh processes at num_cpus=8
+and num_cpus=32 on the same input and prints throughputs + efficiency
+(the sandbox stand-in for the N vs 4N cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.1
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from drone_ray.pipelines.analytics import connected_components, pagerank
+    from drone_ray.pipelines.ann import ann_topk_exact
+    from drone_ray.pipelines.dedup import minhash_near_dups
+    from drone_ray.pipelines.queries import lg_edges
+    from drone_ray.pipelines.triangles import triangle_count
+    from drone_ray.sources.pages import write_pages
+    from drone_ray.stages.canonicalize import links_to_edges_batch
+    from drone_ray.stages.edges import dedup_edges
+    from drone_ray.stages.extract import extract_batch
+
+    sf = _sf(SF_DIR)
+    n_pages = max(2000, int(sf * 600_000))
+    pages_dir = write_pages(f"/tmp/drone_ray/bench_pages_{n_pages}", n_pages, seed=42, use_ray=True)
+    # warm the OS page cache so the timed run measures compute + shuffle
+    rd.read_parquet(pages_dir, columns=["url"]).count()
+
+    timings: dict[str, float] = {}
+    P = max(4, min(16, NUM_CPUS // 2))
+    edges_out = f"/tmp/drone_ray/bench_edges_{n_pages}_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(edges_out, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+    links = pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
+        links_to_edges_batch, batch_format="pyarrow"
+    ).select_columns(["src", "dst"])
+    dedup_edges(links).write_parquet(edges_out)
+    timings["extract_edges"] = time.perf_counter() - t0
+
+    def edge_factory():
+        return rd.read_parquet(edges_out, columns=["src", "dst"])
+
+    cache_key = f"bench:{edges_out}"
+    t0 = time.perf_counter()
+    pr = pagerank(edge_factory, cache_key, num_partitions=P)
+    timings["pagerank"] = time.perf_counter() - t0
+    pr_info = {
+        "steps": pr.steps,
+        "converged": pr.converged,
+        "edges_traversed": pr.edges_traversed,
+        "teps": int(pr.teps),
+        "superstep_wall_sec": round(pr.wall_seconds, 3),
+    }
+
+    t0 = time.perf_counter()
+    cc = connected_components(edge_factory, cache_key, num_partitions=P)
+    timings["wcc"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_tri = triangle_count(rd.read_parquet(edges_out), num_partitions=P)
+    timings["triangles"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    minhash_near_dups(docs, threshold=0.5).to_pandas()
+    timings["minhash_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ann_topk_exact(emb, k=10)
+    timings["ann_topk"] = time.perf_counter() - t0
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "n_triangles": int(n_tri),
+        "pagerank": pr_info,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "sf": r_lo["sf"],
+        "num_cpus": [lo, hi],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

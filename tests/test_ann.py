@@ -1,0 +1,52 @@
+"""Similarity search: exact top-k vs full numpy, LSH variant recall."""
+
+import numpy as np
+import pyarrow as pa
+
+from drone_ray.functions.vectors import cosine_matrix
+from drone_ray.pipelines.ann import ann_topk_exact, ann_topk_lsh
+
+
+def _emb_ds(n=200, d=32, seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d))
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(x.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    # float32 storage round-trip, matching the parquet column type
+    x32 = np.array(x, dtype=np.float32).astype(np.float64)
+    return ds, x32
+
+
+def test_ann_exact_matches_numpy():
+    ds, x = _emb_ds()
+    out = ann_topk_exact(ds, query_ids=(0, 1, 2), k=5).to_pandas()
+    sims = cosine_matrix(x, x[:3])
+    for m, qid in enumerate((0, 1, 2)):
+        ids = np.arange(len(x))
+        idx = np.lexsort((ids, -sims[:, m]))[:5]
+        sub = out[out["query_id"] == qid]
+        assert sub["vec_id"].tolist() == ids[idx].tolist()
+        assert np.allclose(sub["cosine"].to_numpy(), np.round(sims[idx, m], 6))
+    # query itself is rank 1 with cosine 1.0
+    assert out[out["query_id"] == 0].iloc[0]["vec_id"] == 0
+
+
+def test_ann_lsh_subset_of_exact_space():
+    ds, x = _emb_ds()
+    out = ann_topk_lsh(ds, query_ids=(0,), k=5, n_bits=4, n_tables=6).to_pandas()
+    assert len(out) <= 5
+    # the query shares every bucket with itself → always recalled
+    assert out.iloc[0]["vec_id"] == 0
+    assert abs(out.iloc[0]["cosine"] - 1.0) < 1e-9
+    # all reported cosines are true cosines
+    sims = cosine_matrix(x, x[:1])[:, 0]
+    for _, r in out.iterrows():
+        assert abs(r["cosine"] - round(sims[int(r["vec_id"])], 6)) < 1e-6

@@ -1,0 +1,70 @@
+"""Text-analysis kernels: token stats vs pure python, fingerprint
+normalization, language ID on the per-language pages vocabulary."""
+
+import pyarrow as pa
+
+from drone_ray.functions.text import (
+    detect_lang,
+    fingerprint,
+    langid_batch,
+    quality_batch,
+    token_stats_batch,
+)
+from drone_ray.sources.pages import pages_table
+
+
+def test_token_stats():
+    b = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b  a", "", "  x\ty z z\n"],
+        }
+    )
+    out = token_stats_batch(b)
+    assert out["n_tokens"].to_pylist() == [3, 0, 4]
+    assert out["n_uniq_tokens"].to_pylist() == [2, 0, 3]
+    assert out["n_chars"].to_pylist() == [6, 0, 10]
+
+
+def test_fingerprint_normalization():
+    assert fingerprint("A  b\tC") == fingerprint("a b c")
+    assert fingerprint("") == fingerprint("   ")
+    assert fingerprint("ab") != fingerprint("a b")
+
+
+def test_detect_lang():
+    assert detect_lang("der hund und die katze mit einem ball") == "de"
+    assert detect_lang("the cat and the dog is on a mat for it") == "en"
+    assert detect_lang("el perro y la casa en un lugar que es") == "es"
+    assert detect_lang("le chien et la maison est dans un jardin pour") == "fr"
+    assert detect_lang("图分区顶点边爬虫锚点") == "zh"
+    assert detect_lang("") == "en"
+
+
+def test_langid_on_pages_fixture():
+    """German and Chinese synthetic pages use per-language vocab; the
+    heuristic must separate zh (CJK) perfectly and de mostly."""
+    t = pages_table(300, seed=42)
+    out = langid_batch(
+        pa.table({"doc_id": list(range(300)), "text": t["text"]})
+    )
+    preds = out["lang_pred"].to_pylist()
+    langs = t["lang"].to_pylist()
+    texts = t["text"].to_pylist()
+    zh_rows = [i for i in range(300) if langs[i] == "zh" and texts[i]]
+    assert all(preds[i] == "zh" for i in zh_rows)
+    de_rows = [i for i in range(300) if langs[i] == "de" and texts[i]]
+    de_acc = sum(preds[i] == "de" for i in de_rows) / len(de_rows)
+    assert de_acc > 0.9
+
+
+def test_quality_batch_ranges():
+    b = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["the quick brown fox jumps over the lazy dog " * 10, "!!! 111 ???"],
+        }
+    )
+    out = quality_batch(b)
+    q = out["quality"].to_pylist()
+    assert 0.0 <= q[1] < q[0] <= 1.0
