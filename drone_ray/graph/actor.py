@@ -96,7 +96,8 @@ class GraphPartitionActor:
         cols = {"vid": pa.array(self.g.owned, pa.int64())}
         for k, v in self.state.items():
             if k != "aux":
-                cols[k] = pa.array(v)
+                # 2-D state (e.g. simulation sim/post matrices) → list column
+                cols[k] = pa.array(v.tolist()) if v.ndim == 2 else pa.array(v)
         meta = {b"aux": json.dumps(self.state.get("aux", {})).encode()}
         t = pa.table(cols).replace_schema_metadata(meta)
         tmp = os.path.join(step_dir, f".state-{self.p}.tmp")
@@ -118,8 +119,12 @@ class GraphPartitionActor:
         state: dict = {}
         for name in t.column_names:
             if name != "vid":
-                # copy: Arrow-backed numpy views are read-only, state must mutate
-                state[name] = np.array(t[name].to_numpy(zero_copy_only=False))
+                col = t[name]
+                if pa.types.is_list(col.type):
+                    state[name] = np.array(col.to_pylist(), dtype=np.int64)
+                else:
+                    # copy: Arrow-backed numpy views are read-only, state mutates
+                    state[name] = np.array(col.to_numpy(zero_copy_only=False))
         meta = t.schema.metadata or {}
         state["aux"] = json.loads(meta.get(b"aux", b"{}").decode())
         self.state = state

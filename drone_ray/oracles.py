@@ -129,3 +129,32 @@ def bfs_oracle(src: np.ndarray, dst: np.ndarray, source: int):
                 dist[v] = dist[u] + 1.0
                 q.append(v)
     return dist
+
+
+def simulation_oracle(src, dst, pattern_attrs, pattern_targets, attr_mod=100):
+    """Naive graph-simulation fixpoint (reference Sim semantics, SURVEY §2.12).
+    Returns sorted (pattern_node, vid) pairs."""
+    import numpy as np
+
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    vids = np.unique(np.concatenate([src, dst]))
+    out: dict[int, set] = {int(v): set() for v in vids}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        out[a].add(b)
+    sim = {
+        int(v): {u for u, a in pattern_attrs.items() if a == int(v) % attr_mod}
+        for v in vids
+    }
+    changed = True
+    while changed:
+        changed = False
+        for v in vids:
+            v = int(v)
+            for u in list(sim[v]):
+                for up in pattern_targets.get(u, []):
+                    if not any(up in sim[w] for w in out[v]):
+                        sim[v].discard(u)
+                        changed = True
+                        break
+    return sorted((u, v) for v, s in sim.items() for u in s)

@@ -86,3 +86,32 @@ def sssp(
 ) -> ProgramResult:
     m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=False)
     return _run(m, SSSP, {"source": source}, **harness_kwargs)
+
+
+def graph_simulation(
+    edges_factory,
+    cache_key: str,
+    pattern_attrs: dict,
+    pattern_targets: dict,
+    num_partitions: int = 8,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Graph pattern simulation (reference Sim). The engine graph is built
+    over REVERSED edges — see drone_ray.graph.simulation for why."""
+    import pyarrow as pa
+
+    from drone_ray.graph.simulation import GraphSimulation
+
+    def reversed_factory():
+        return edges_factory().map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+            batch_format="pyarrow",
+        )
+
+    m = graph_for(reversed_factory, cache_key + ":rev", num_partitions, symmetrize=False)
+    return _run(
+        m,
+        GraphSimulation,
+        {"pattern_attrs": pattern_attrs, "pattern_targets": pattern_targets},
+        **harness_kwargs,
+    )
