@@ -14,9 +14,11 @@ wedge-join algorithm, expressed entirely in Ray Data:
 Group-heavy steps are BUCKETED: instead of one map_groups call per vertex or
 per (x,y) pair (Python overhead × millions of tiny groups), rows are grouped
 by ``hash(key) % B`` and each bucket is processed with vectorized
-numpy/pandas — the explicit partitioned hash-join pattern. Shuffle keys:
-degrees `vid`; degree attach `u`/`v` (Dataset.join); wedges `hash(a)%B`;
-closure `hash(x,y)%B`; counts `vid`.
+numpy/pandas — the explicit partitioned hash-join pattern. Exactly four
+all-to-all exchanges, all sort-based groupbys: center rows by ``hash(vid)``
+(dedup + degree count for free — every copy of (vid, nbr) lands in vid's
+bucket), pair rows by ``hash(u,v)`` (orientation), oriented adjacency by
+``hash(center)`` (wedges), wedge∪edge rows by ``hash(x,y)`` (closure).
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from drone_ray.hashing import mix64
 
@@ -41,46 +43,83 @@ def _pin(schema: pa.Schema):
     return fix
 
 
-def _und_batch(b: pa.Table) -> pa.Table:
+def _center_rows(b: pa.Table, num_buckets: int) -> pa.Table:
+    """Each directed edge → two center rows (vid, nbr), self-loops dropped,
+    in-batch pre-dedup, bucketed by hash(vid). Global dedup needs no extra
+    shuffle: every copy of (vid, nbr) lands in vid's bucket."""
     s = b["src"].to_numpy(zero_copy_only=False)
     d = b["dst"].to_numpy(zero_copy_only=False)
     keep = s != d
     s, d = s[keep], d[keep]
-    u = np.minimum(s, d)
-    v = np.maximum(s, d)
-    order = np.lexsort((v, u))
-    u, v = u[order], v[order]
-    if u.size:
-        k = np.empty(u.size, dtype=bool)
+    vid = np.concatenate([s, d])
+    nbr = np.concatenate([d, s])
+    order = np.lexsort((nbr, vid))
+    vid, nbr = vid[order], nbr[order]
+    if vid.size:
+        k = np.empty(vid.size, dtype=bool)
         k[0] = True
-        k[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
-        u, v = u[k], v[k]
-    return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
-
-
-def _degree_partial(b: pa.Table) -> pa.Table:
-    ids = np.concatenate(
-        [b["u"].to_numpy(zero_copy_only=False), b["v"].to_numpy(zero_copy_only=False)]
+        k[1:] = (vid[1:] != vid[:-1]) | (nbr[1:] != nbr[:-1])
+        vid, nbr = vid[k], nbr[k]
+    return pa.table(
+        {
+            "vid": pa.array(vid, pa.int64()),
+            "nbr": pa.array(nbr, pa.int64()),
+            "vbucket": pa.array((mix64(vid) % np.uint64(num_buckets)).astype(np.int64)),
+        }
     )
-    vid, cnt = np.unique(ids, return_counts=True)
-    return pa.table({"vid": pa.array(vid, pa.int64()), "_c": pa.array(cnt, pa.int64())})
 
 
-def _orient(b: pa.Table, num_buckets: int) -> pa.Table:
-    u = b["u"].to_numpy(zero_copy_only=False)
-    v = b["v"].to_numpy(zero_copy_only=False)
-    du = b["du"].to_numpy(zero_copy_only=False)
-    dv = b["dv"].to_numpy(zero_copy_only=False)
+def _attach_deg(g: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    """Per vid-bucket: finish the (vid, nbr) dedup, compute degree = neighbor
+    count per vid (vectorized), re-key by the undirected pair for the
+    orientation pairing stage."""
+    vid = g["vid"].to_numpy()
+    nbr = g["nbr"].to_numpy()
+    order = np.lexsort((nbr, vid))
+    vid, nbr = vid[order], nbr[order]
+    if vid.size:
+        k = np.empty(vid.size, dtype=bool)
+        k[0] = True
+        k[1:] = (vid[1:] != vid[:-1]) | (nbr[1:] != nbr[:-1])
+        vid, nbr = vid[k], nbr[k]
+    uniq, inv, cnt = np.unique(vid, return_inverse=True, return_counts=True)
+    dvid = cnt[inv]
+    km = np.minimum(vid, nbr)
+    kM = np.maximum(vid, nbr)
+    return pd.DataFrame(
+        {
+            "vid": vid,
+            "nbr": nbr,
+            "dvid": dvid.astype(np.int64),
+            "pbucket": _pair_bucket(km, kM, num_buckets),
+        }
+    )
+
+
+def _pair_orient(g: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    """Per pair-bucket: the two center rows of each edge meet here; pair them
+    and orient low→high by (degree, vid)."""
+    vid = g["vid"].to_numpy()
+    nbr = g["nbr"].to_numpy()
+    dvid = g["dvid"].to_numpy()
+    km = np.minimum(vid, nbr)
+    kM = np.maximum(vid, nbr)
+    order = np.lexsort((vid, kM, km))
+    vid, dvid = vid[order], dvid[order]
+    km, kM = km[order], kM[order]
+    # rows come in pairs: (vid=km, deg=du) then (vid=kM, deg=dv)
+    u, v = km[::2], kM[::2]
+    du, dv = dvid[::2], dvid[1::2]
     u_first = (du < dv) | ((du == dv) & (u < v))
     a = np.where(u_first, u, v)
     bb = np.where(u_first, v, u)
     bd = np.where(u_first, dv, du)
-    return pa.table(
+    return pd.DataFrame(
         {
-            "a": pa.array(a, pa.int64()),
-            "b": pa.array(bb, pa.int64()),
-            "bd": pa.array(bd, pa.int64()),
-            "abucket": pa.array((mix64(a) % np.uint64(num_buckets)).astype(np.int64)),
+            "a": a,
+            "b": bb,
+            "bd": bd.astype(np.int64),
+            "abucket": (mix64(a) % np.uint64(num_buckets)).astype(np.int64),
         }
     )
 
@@ -126,47 +165,32 @@ def _close_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return wedges.merge(edges, on=["x", "y"])
 
 
-def _undirected_with_degrees(edges: Dataset, num_partitions: int):
-    # per-batch unique is only a partial dedup: (a,b) and (b,a) arriving in
-    # different batches fold to the same (u,v) — finish with a grouped count
-    und = (
-        edges.map_batches(_und_batch, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["u", "v"])
-    )
-    deg = (
-        und.map_batches(_degree_partial, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("_c", alias_name="deg"))
-    )
-    j1 = und.join(
-        deg,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("u",),
-        right_on=("vid",),
-    ).select_columns(["u", "v", "deg"])
-    j1 = j1.map_batches(lambda t: t.rename_columns(["u", "v", "du"]), batch_format="pyarrow")
-    j2 = j1.join(
-        deg,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("v",),
-        right_on=("vid",),
-    ).select_columns(["u", "v", "du", "deg"])
-    return j2.map_batches(
-        lambda t: t.rename_columns(["u", "v", "du", "dv"]), batch_format="pyarrow"
-    )
-
-
 def triangles(edges: Dataset, num_partitions: int = 16) -> Dataset:
     """All closed wedges: rows (x, y, center) — one row per triangle, where
-    (x, y) and (center→x), (center→y) are degree-oriented edges."""
+    (x, y) and (center→x), (center→y) are degree-oriented edges.
+
+    Every exchange is a sort-based bucketed groupby with a vectorized pandas
+    body — no JoinOperator (its per-invocation aggregator actor pools
+    dominate wall time at small/medium scale):
+
+      dedup (u,v) → both-direction center rows by hash(vid) → per-bucket
+      degree counts → re-key by pair hash → pair+orient → wedges by
+      hash(center) → closure by pair hash.
+    """
     num_buckets = max(16, num_partitions * 4)
-    withdeg = _undirected_with_degrees(edges, num_partitions)
-    oriented = withdeg.map_batches(
-        lambda b: _orient(b, num_buckets), batch_format="pyarrow"
+    both = edges.map_batches(
+        lambda b: _center_rows(b, num_buckets), batch_format="pyarrow"
+    )
+    withdeg = both.groupby("vbucket").map_groups(
+        lambda g: _attach_deg(g, num_buckets), batch_format="pandas"
+    )
+    ori_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("bd", pa.int64()), ("abucket", pa.int64())]
+    )
+    oriented = (
+        withdeg.groupby("pbucket")
+        .map_groups(lambda g: _pair_orient(g, num_buckets), batch_format="pandas")
+        .map_batches(_pin(ori_schema), batch_format="pyarrow")
     )
     wedges = (
         oriented.groupby("abucket")
