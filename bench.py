@@ -86,8 +86,10 @@ def run_bench() -> dict:
         return rd.read_parquet(edges_out, columns=["src", "dst"])
 
     cache_key = f"bench:{edges_out}"
+    # high-degree split: popular pages exceed 10k neighbors once symmetrized
+    HUB = 5000
     t0 = time.perf_counter()
-    pr = pagerank(edge_factory, cache_key, num_partitions=P)
+    pr = pagerank(edge_factory, cache_key, num_partitions=P, hub_threshold=HUB)
     timings["pagerank"] = time.perf_counter() - t0
     pr_info = {
         "steps": pr.steps,
@@ -98,7 +100,7 @@ def run_bench() -> dict:
     }
 
     t0 = time.perf_counter()
-    cc = connected_components(edge_factory, cache_key, num_partitions=P)
+    cc = connected_components(edge_factory, cache_key, num_partitions=P, hub_threshold=HUB)
     timings["wcc"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

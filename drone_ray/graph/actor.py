@@ -39,10 +39,30 @@ class GraphPartitionActor:
     def __init__(self, manifest: dict, p: int, program_cls, program_kwargs: dict | None):
         self.p = p
         self.P = int(manifest["num_partitions"])
-        ed = read_partition(manifest["edges_dir"], p, ["src", "dst"])
         vd = read_partition(manifest["vertices_dir"], p, ["vid"])
         owned = np.unique(vd["vid"])
-        self.g = PartitionGraph(p, self.P, owned, ed["src"], ed["dst"])
+        hubs_path = manifest.get("hubs_path")
+        if hubs_path:
+            ed = read_partition(manifest["edges_dir"], p, ["src", "dst", "delegate"])
+            dmask = ed["delegate"].astype(bool)
+            ht = pq.read_table(hubs_path)
+            hv = ht["vid"].to_numpy(zero_copy_only=False)
+            hd = ht["out_degree"].to_numpy(zero_copy_only=False)
+            horder = np.argsort(hv)
+            self.g = PartitionGraph(
+                p,
+                self.P,
+                owned,
+                ed["src"][~dmask],
+                ed["dst"][~dmask],
+                delegate_src=ed["src"][dmask],
+                delegate_dst=ed["dst"][dmask],
+                hub_vids=hv[horder],
+                hub_degrees=hd[horder],
+            )
+        else:
+            ed = read_partition(manifest["edges_dir"], p, ["src", "dst"])
+            self.g = PartitionGraph(p, self.P, owned, ed["src"], ed["dst"])
         self.program = program_cls(**(program_kwargs or {}))
         self.state = self.program.init_state(self.g)
         self._pending: list | None = None  # inbound restored from checkpoint
@@ -52,28 +72,43 @@ class GraphPartitionActor:
 
     # ------------------------------------------------------------------
     def superstep(self, step: int, *inbound):
+        """``inbound``: P regular message payloads followed by P hub
+        broadcast payloads (or nothing for PEval / a resumed step). Returns
+        (metrics, msgs_for_0..P-1, hub_broadcast) via num_returns=P+2."""
         t0 = time.perf_counter()
         if self._pending is not None:
             payloads = self._pending
             self._pending = None
         else:
-            payloads = list(inbound)
+            payloads = list(inbound[: self.P])
+            # expand hub broadcasts along this partition's delegate slices:
+            # identical rows (and timing) to what an unsplit hub would have
+            # pushed, but materialized at the receiver
+            for hub in inbound[self.P :]:
+                if hub is None or hub["vid"].size == 0:
+                    continue
+                dsts, vals = self.g.delegate_expand(hub["vid"], hub["val"])
+                if dsts.size:
+                    payloads.append(self.program.expand_hub(dsts, vals))
         if step == 0:
             msgs, info = self.program.peval(self.g, self.state)
         else:
             inb = combine_inbound(payloads, self.program.combine_op, self.program.extra_key)
             msgs, info = self.program.inceval(self.g, self.state, inb)
         routed = route(msgs, self.P, self.program.combine_op, self.program.extra_key)
+        hub_out = self.g.drain_pending_hub()
         n_out = sum(r["vid"].size for r in routed if r is not None)
+        n_hub = hub_out["vid"].size if hub_out else 0
         metrics = {
             "step": step,
             "part": self.p,
             "seconds": time.perf_counter() - t0,
             "msgs_out": int(n_out),
-            "has_msgs": n_out > 0,
+            "hub_out": int(n_hub),
+            "has_msgs": n_out > 0 or n_hub > 0,
             **info,
         }
-        return (metrics, *routed)
+        return (metrics, *routed, hub_out)
 
     # ------------------------------------------------------------------
     def emit(self) -> pa.Table:
@@ -90,7 +125,10 @@ class GraphPartitionActor:
         return t.num_rows
 
     # ------------------------------------------------------------------
-    def checkpoint(self, ckpt_dir: str, step: int, *inbound_for_next) -> bool:
+    def checkpoint(self, ckpt_dir: str, step: int, n_msg: int, *inbound_for_next) -> bool:
+        """First ``n_msg`` payloads are regular messages; the rest are hub
+        broadcasts, which are expanded along the delegate slices NOW so the
+        stored pending-inbound file is self-contained for resume."""
         step_dir = os.path.join(ckpt_dir, f"step={step}")
         os.makedirs(step_dir, exist_ok=True)
         cols = {"vid": pa.array(self.g.owned, pa.int64())}
@@ -104,7 +142,14 @@ class GraphPartitionActor:
         pq.write_table(t, tmp)
         os.replace(tmp, os.path.join(step_dir, f"state-{self.p}.parquet"))
 
-        live = [m for m in inbound_for_next if m is not None and m["vid"].size > 0]
+        payloads = list(inbound_for_next[:n_msg])
+        for hub in inbound_for_next[n_msg:]:
+            if hub is None or hub["vid"].size == 0:
+                continue
+            dsts, vals = self.g.delegate_expand(hub["vid"], hub["val"])
+            if dsts.size:
+                payloads.append(self.program.expand_hub(dsts, vals))
+        live = [m for m in payloads if m is not None and m["vid"].size > 0]
         if live:
             mcols = {k: pa.array(np.concatenate([m[k] for m in live])) for k in live[0]}
             mt = pa.table(mcols)

@@ -31,6 +31,10 @@ class PartitionGraph:
         owned_vids: np.ndarray,
         src: np.ndarray,
         dst: np.ndarray,
+        delegate_src: np.ndarray | None = None,
+        delegate_dst: np.ndarray | None = None,
+        hub_vids: np.ndarray | None = None,
+        hub_degrees: np.ndarray | None = None,
     ) -> None:
         self.p = p
         self.P = num_partitions
@@ -59,6 +63,44 @@ class PartitionGraph:
         self.adj = d                      # global dst vids, grouped by src
         self.adj_src_local = src_local    # local row of each edge's src
         self.out_degree = np.diff(self.indptr)  # == global out-degree (see above)
+
+        # --- high-degree split hubs (SURVEY.md §4 skew row) -------------
+        # hub_vids/hub_degrees: ALL split hubs in the graph (small table).
+        # delegate_src/dst: this partition's slice of hub adjacency (every
+        # dst here is owned by p — edges were routed by owner(dst)). Owned
+        # hubs have no rows in the local CSR, so their global out-degree is
+        # patched in from the hub table.
+        self.hub_vids = (
+            np.asarray(hub_vids, dtype=np.int64) if hub_vids is not None else np.empty(0, np.int64)
+        )
+        self.owned_is_hub = np.zeros(self.n, dtype=bool)
+        if self.hub_vids.size:
+            idx = np.searchsorted(self.owned, self.hub_vids)
+            ok = (idx < self.n) & (self.owned[np.minimum(idx, self.n - 1)] == self.hub_vids)
+            self.owned_is_hub[idx[ok]] = True
+            hd = np.asarray(hub_degrees, dtype=np.int64)
+            self.out_degree = self.out_degree.copy()
+            self.out_degree[idx[ok]] = hd[ok]
+        if delegate_src is not None and len(delegate_src):
+            ds_ = np.asarray(delegate_src, dtype=np.int64)
+            dd_ = np.asarray(delegate_dst, dtype=np.int64)
+            order2 = np.lexsort((dd_, ds_))
+            ds_, dd_ = ds_[order2], dd_[order2]
+            keep2 = np.empty(ds_.size, dtype=bool)
+            keep2[0] = True
+            keep2[1:] = (ds_[1:] != ds_[:-1]) | (dd_[1:] != dd_[:-1])
+            ds_, dd_ = ds_[keep2], dd_[keep2]
+            self.del_vids, del_counts = np.unique(ds_, return_counts=True)
+            self.del_indptr = np.zeros(self.del_vids.size + 1, dtype=np.int64)
+            np.cumsum(del_counts, out=self.del_indptr[1:])
+            self.del_adj = dd_
+        else:
+            self.del_vids = np.empty(0, dtype=np.int64)
+            self.del_indptr = np.zeros(1, dtype=np.int64)
+            self.del_adj = np.empty(0, dtype=np.int64)
+        # (hub_vid, pushed_value) pairs buffered by push(); the actor drains
+        # them into the per-superstep hub broadcast channel
+        self.pending_hub: list[tuple[np.ndarray, np.ndarray]] = []
 
         # local/remote edge split
         adj_owner = owner_partition(d, num_partitions)
@@ -121,9 +163,42 @@ class PartitionGraph:
         pre-combine. ``remote_only`` pushes only along edges whose dst is
         owned elsewhere (used after an in-partition fixpoint already applied
         the local edges).
+
+        Pushed rows that are SPLIT HUBS have no adjacency here (it lives in
+        delegate slices across partitions); their (vid, value) pairs are
+        buffered in ``pending_hub`` for the actor's broadcast channel, so
+        the hub owner emits O(P) bytes instead of O(degree).
         """
+        rows = np.asarray(rows)
+        values = np.asarray(values)
+        if self.hub_vids.size:
+            hub_mask = self.owned_is_hub[rows]
+            if hub_mask.any():
+                self.pending_hub.append((self.owned[rows[hub_mask]], values[hub_mask]))
         indptr = self.r_indptr if remote_only else self.indptr
         adj = self.r_adj if remote_only else self.adj
         dsts, lens = self._gather_slices(indptr, adj, rows)
         vals = np.repeat(values, lens)
         return dsts, vals
+
+    def delegate_expand(self, hub_vids: np.ndarray, values: np.ndarray):
+        """Replicate broadcast (hub, value) pairs along this partition's
+        delegate slices → (dst_vids, vals); dsts are all owned locally."""
+        idx = np.searchsorted(self.del_vids, hub_vids)
+        if self.del_vids.size == 0:
+            return np.empty(0, np.int64), np.empty(0, values.dtype if values.size else np.float64)
+        ok = (idx < self.del_vids.size) & (
+            self.del_vids[np.minimum(idx, self.del_vids.size - 1)] == hub_vids
+        )
+        rows = idx[ok]
+        dsts, lens = self._gather_slices(self.del_indptr, self.del_adj, rows)
+        vals = np.repeat(values[ok], lens)
+        return dsts, vals
+
+    def drain_pending_hub(self):
+        if not self.pending_hub:
+            return None
+        vids = np.concatenate([v for v, _ in self.pending_hub])
+        vals = np.concatenate([x for _, x in self.pending_hub])
+        self.pending_hub = []
+        return {"vid": vids, "val": vals}

@@ -106,6 +106,7 @@ def run_vertex_program(
         "num_partitions": P,
         "edges_dir": manifest.edges_dir,
         "vertices_dir": manifest.vertices_dir,
+        "hubs_path": getattr(manifest, "hubs_path", None),
     }
     actors = [
         GraphPartitionActor.options(num_cpus=actor_cpus).remote(
@@ -126,6 +127,7 @@ def run_vertex_program(
 
     metrics_log: list[dict] = []
     msg_matrix: list[list] | None = None
+    hub_refs: list | None = None
     converged = False
     edges_total = 0
     t0 = time.perf_counter()
@@ -136,10 +138,13 @@ def run_vertex_program(
             if step == start_step and (resumed or step == 0):
                 args: tuple = ()
             else:
-                args = tuple(msg_matrix[q][p] for q in range(P))
-            futures.append(a.superstep.options(num_returns=P + 1).remote(step, *args))
+                # P regular payloads + P hub broadcasts (each hub payload is
+                # the same small ref fanned out to every partition)
+                args = tuple(msg_matrix[q][p] for q in range(P)) + tuple(hub_refs)
+            futures.append(a.superstep.options(num_returns=P + 2).remote(step, *args))
         mets = ray.get([f[0] for f in futures])  # SuperStepFinish barrier
         msg_matrix = [[futures[q][1 + p] for p in range(P)] for q in range(P)]
+        hub_refs = [futures[q][P + 1] for q in range(P)]
         metrics_log.extend(mets)
         edges_total += sum(m.get("edges", 0) for m in mets)
 
@@ -151,7 +156,11 @@ def run_vertex_program(
             ray.get(
                 [
                     actors[p].checkpoint.remote(
-                        checkpoint_dir, step, *[msg_matrix[q][p] for q in range(P)]
+                        checkpoint_dir,
+                        step,
+                        P,
+                        *[msg_matrix[q][p] for q in range(P)],
+                        *hub_refs,
                     )
                     for p in range(P)
                 ]

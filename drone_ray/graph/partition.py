@@ -42,6 +42,8 @@ class GraphManifest:
     vertices_dir: str
     source: str = ""
     content_token: str = ""
+    hub_threshold: int | None = None
+    hubs_path: str | None = None  # parquet (vid, out_degree) of split hubs
 
     def save(self) -> None:
         tmp = os.path.join(self.work_dir, MANIFEST_NAME + ".tmp")
@@ -64,26 +66,50 @@ def _content_token(edges_dir: str) -> str:
     return h.hexdigest()
 
 
-def _tag_edges(batch: pa.Table, P: int) -> pa.Table:
+def _tag_edges_spill_vids(
+    batch: pa.Table, P: int, vertices_dir: str, hub_ref=None
+) -> pa.Table:
+    """Tag each edge with its owner partition AND side-write this batch's
+    distinct vid candidates into per-partition files. The side output makes
+    the vertices table in the same pass as the edges write (no second job);
+    duplicate candidates — across batches or from task retries — are
+    harmless because the partition actor np.unique()s them at load."""
     src = batch["src"].to_numpy(zero_copy_only=False)
+    dst = batch["dst"].to_numpy(zero_copy_only=False)
     part = owner_partition(src, P)
+    delegate = np.zeros(len(src), dtype=bool)
+    if hub_ref is not None:
+        import ray
+
+        hub_vids = ray.get(hub_ref)
+        # high-degree split: a hub's out-edges are routed by owner(dst) and
+        # marked delegate — its adjacency spreads across all partitions
+        delegate = np.isin(src, hub_vids)
+        part = np.where(delegate, owner_partition(dst, P), part).astype(np.int32)
+
+    vids = np.unique(np.concatenate([src, dst]))
+    vpart = owner_partition(vids, P)
+    order = np.argsort(vpart, kind="stable")
+    sv, sp = vids[order], vpart[order]
+    bounds = np.searchsorted(sp, np.arange(P + 1))
+    token = os.urandom(8).hex()
+    for p in range(P):
+        lo, hi = bounds[p], bounds[p + 1]
+        if lo == hi:
+            continue
+        pdir = os.path.join(vertices_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            pa.table({"vid": pa.array(sv[lo:hi], pa.int64())}),
+            os.path.join(pdir, f"cand-{token}.parquet"),
+        )
+
     return pa.table(
         {
             "src": batch["src"],
             "dst": batch["dst"],
+            "delegate": pa.array(delegate),
             "part": pa.array(part, pa.int32()),
-        }
-    )
-
-
-def _tag_vids(batch: pa.Table, P: int) -> pa.Table:
-    s = batch["src"].to_numpy(zero_copy_only=False)
-    d = batch["dst"].to_numpy(zero_copy_only=False)
-    vids = np.unique(np.concatenate([s, d]))
-    return pa.table(
-        {
-            "vid": pa.array(vids, pa.int64()),
-            "part": pa.array(owner_partition(vids, P), pa.int32()),
         }
     )
 
@@ -94,14 +120,25 @@ def build_graph(
     num_partitions: int,
     symmetrize: bool = False,
     source: str = "",
+    hub_threshold: int | None = None,
 ) -> GraphManifest:
     """Partition an edge Dataset (src:int64, dst:int64) for the superstep engine.
 
-    The pipeline upstream of ``edges`` is executed exactly once (the edges
-    write); the vertices table is derived from the *written* edges so
-    expensive stages (HTML extraction) are not recomputed.
+    The pipeline upstream of ``edges`` executes exactly once when
+    ``hub_threshold`` is None: the single pass writes the partitioned edges
+    AND side-writes per-partition vertex-id candidates, so expensive stages
+    (HTML extraction) are never recomputed.
+
+    With ``hub_threshold`` set (the north rule's explicit skew handling),
+    out-degrees are computed first (a second pass over ``edges`` — pass a
+    persisted edge table when upstream is expensive) and vertices whose
+    out-degree exceeds the threshold are SPLIT: their adjacency is
+    partitioned by owner(dst) instead of owner(src), so no single partition
+    holds a power-law hub's whole edge list, and at runtime the hub owner
+    ships one (vid, value) pair per superstep to each partition instead of
+    one message per out-edge (salted repartition + final combine).
     """
-    import ray.data as rd
+    import ray
 
     os.makedirs(work_dir, exist_ok=True)
     edges_dir = os.path.join(work_dir, "edges")
@@ -112,16 +149,39 @@ def build_graph(
         from drone_ray.stages.edges import symmetrize as _sym
 
         e = _sym(e)
-    e.map_batches(
-        lambda b: _tag_edges(b, num_partitions), batch_format="pyarrow"
-    ).write_parquet(edges_dir, partition_cols=["part"])
+
+    hub_ref = None
+    hubs_path = None
+    if hub_threshold is not None:
+        from drone_ray.stages.edges import out_degrees
+
+        deg = out_degrees(e)
+        import pyarrow.compute as pc_
+
+        hubs_tbl = pa.concat_tables(
+            [
+                b.filter(pc_.greater(b["out_degree"], hub_threshold))
+                for b in deg.iter_batches(batch_format="pyarrow")
+            ]
+        )
+        hubs_path = os.path.join(work_dir, "hubs.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vid": hubs_tbl["src"].cast(pa.int64()),
+                    "out_degree": hubs_tbl["out_degree"].cast(pa.int64()),
+                }
+            ),
+            hubs_path,
+        )
+        hub_ref = ray.put(np.sort(hubs_tbl["src"].to_numpy(zero_copy_only=False)))
 
     os.makedirs(edges_dir, exist_ok=True)  # zero-edge input writes no files
     os.makedirs(vertices_dir, exist_ok=True)
-    if glob.glob(os.path.join(edges_dir, "**", "*.parquet"), recursive=True):
-        rd.read_parquet(edges_dir, columns=["src", "dst"]).map_batches(
-            lambda b: _tag_vids(b, num_partitions), batch_format="pyarrow"
-        ).write_parquet(vertices_dir, partition_cols=["part"])
+    e.map_batches(
+        lambda b: _tag_edges_spill_vids(b, num_partitions, vertices_dir, hub_ref),
+        batch_format="pyarrow",
+    ).write_parquet(edges_dir, partition_cols=["part"])
 
     manifest = GraphManifest(
         work_dir=work_dir,
@@ -131,6 +191,8 @@ def build_graph(
         vertices_dir=vertices_dir,
         source=source,
         content_token=_content_token(edges_dir),
+        hub_threshold=hub_threshold,
+        hubs_path=hubs_path,
     )
     manifest.save()
     return manifest

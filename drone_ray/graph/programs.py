@@ -49,6 +49,12 @@ class VertexProgram:
         OR-reduce over MessageToSend (/root/reference/src/master.go:267-271)."""
         return not any(m.get("has_msgs") for m in step_metrics)
 
+    def expand_hub(self, dsts: np.ndarray, values: np.ndarray) -> Messages:
+        """Rebuild message rows from a split hub's broadcast value replicated
+        along a delegate adjacency slice. Default matches the plain
+        (vid, val) message shape; programs with extra key columns override."""
+        return {"vid": dsts, "val": values}
+
 
 def _msgs(vid: np.ndarray, val: np.ndarray, **extra) -> Messages | None:
     if vid.size == 0:
@@ -158,7 +164,9 @@ class ConnectedComponents(VertexProgram):
         return {"label": g.owned.copy(), "aux": {}}
 
     def _boundary(self, g, st, rows):
-        rows = rows[(g.r_indptr[rows + 1] - g.r_indptr[rows]) > 0]
+        rdeg = g.r_indptr[rows + 1] - g.r_indptr[rows]
+        # split hubs have no local remote edges but must still broadcast
+        rows = rows[(rdeg > 0) | g.owned_is_hub[rows]]
         dst, val = g.push(rows, st["label"][rows], remote_only=True)
         return _msgs(dst, val), int(val.size)
 
@@ -204,6 +212,10 @@ class LabelPropagation(VertexProgram):
 
     def init_state(self, g):
         return {"label": g.owned.copy(), "aux": {"round": 0}}
+
+    def expand_hub(self, dsts, values):
+        # hub broadcast value is the hub's label; each replicated row counts 1
+        return {"vid": dsts, "val": np.ones(dsts.size, dtype=np.int64), "label": values.astype(np.int64)}
 
     def _broadcast(self, g, st):
         rows = np.flatnonzero(g.out_degree > 0)
@@ -266,7 +278,8 @@ class SSSP(VertexProgram):
         return {"dist": np.full(g.n, INF), "aux": {}}
 
     def _boundary(self, g, st, rows):
-        rows = rows[(g.r_indptr[rows + 1] - g.r_indptr[rows]) > 0]
+        rdeg = g.r_indptr[rows + 1] - g.r_indptr[rows]
+        rows = rows[(rdeg > 0) | g.owned_is_hub[rows]]
         dst, val = g.push(rows, st["dist"][rows] + 1.0, remote_only=True)
         return _msgs(dst, val), int(val.size)
 

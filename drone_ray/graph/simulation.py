@@ -49,6 +49,12 @@ class GraphSimulation(VertexProgram):
 
     # ------------------------------------------------------------------
     def init_state(self, g: PartitionGraph) -> dict:
+        if g.hub_vids.size:
+            raise NotImplementedError(
+                "GraphSimulation pushes per-pattern-node deltas; the scalar "
+                "hub broadcast channel cannot carry them — build this graph "
+                "without hub_threshold"
+            )
         k = len(self.pnodes)
         attr = g.owned % self.attr_mod
         sim = attr[:, None] == self.pattr[None, :]  # (n, k) bool

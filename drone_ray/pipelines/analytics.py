@@ -26,10 +26,12 @@ def graph_for(
     cache_key: str,
     num_partitions: int,
     symmetrize: bool = False,
+    hub_threshold: int | None = None,
 ) -> GraphManifest:
-    """Build the partitioned layout once per (cache_key, P, symmetrize)."""
+    """Build the partitioned layout once per (cache_key, P, symmetrize, hub)."""
     token = hashlib.blake2b(
-        f"{cache_key}|P={num_partitions}|sym={symmetrize}".encode(), digest_size=8
+        f"{cache_key}|P={num_partitions}|sym={symmetrize}|hub={hub_threshold}".encode(),
+        digest_size=8,
     ).hexdigest()
     work_dir = os.path.join(_CACHE_ROOT, token)
     if os.path.exists(os.path.join(work_dir, MANIFEST_NAME)):
@@ -40,6 +42,7 @@ def graph_for(
         num_partitions,
         symmetrize=symmetrize,
         source=cache_key,
+        hub_threshold=hub_threshold,
     )
 
 
@@ -53,16 +56,23 @@ def pagerank(
     num_partitions: int = 8,
     eps: float = 1e-10,
     damping: float = 0.85,
+    hub_threshold: int | None = None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=False)
+    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=False,
+                  hub_threshold=hub_threshold)
     return _run(m, PageRank, {"eps": eps, "damping": damping}, **harness_kwargs)
 
 
 def connected_components(
-    edges_factory, cache_key: str, num_partitions: int = 8, **harness_kwargs
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    hub_threshold: int | None = None,
+    **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=True)
+    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=True,
+                  hub_threshold=hub_threshold)
     return _run(m, ConnectedComponents, {}, **harness_kwargs)
 
 
@@ -71,9 +81,11 @@ def label_propagation(
     cache_key: str,
     num_partitions: int = 8,
     max_rounds: int = 10,
+    hub_threshold: int | None = None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=True)
+    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=True,
+                  hub_threshold=hub_threshold)
     return _run(m, LabelPropagation, {"max_rounds": max_rounds}, **harness_kwargs)
 
 
@@ -82,9 +94,11 @@ def sssp(
     cache_key: str,
     source: int,
     num_partitions: int = 8,
+    hub_threshold: int | None = None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=False)
+    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=False,
+                  hub_threshold=hub_threshold)
     return _run(m, SSSP, {"source": source}, **harness_kwargs)
 
 
