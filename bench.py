@@ -133,11 +133,87 @@ def run_bench() -> dict:
     return out
 
 
+def run_scaling_child() -> dict:
+    """One scaling measurement at $RAY_GRAFT_CPUS: the two throughput-bound
+    headline stages, sized so compute dominates fixed per-stage overheads
+    (the regime a 100 TB run lives in):
+
+      * pages → extract → canonicalize → dedup edges (stateless streaming)
+      * PageRank supersteps over a ~12M-edge synthetic power-law graph
+        (fixed 12 supersteps for timing comparability; results themselves
+        are parallelism-invariant, see tests)
+    """
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from drone_ray.graph.harness import run_vertex_program
+    from drone_ray.graph.partition import build_graph
+    from drone_ray.graph.programs import PageRank
+    from drone_ray.sources.pages import write_pages
+    from drone_ray.sources.synthetic_edges import power_law_edges
+    from drone_ray.stages.canonicalize import links_to_edges_batch
+    from drone_ray.stages.edges import dedup_edges
+    from drone_ray.stages.extract import extract_batch
+
+    n_pages = int(os.environ.get("SCALING_PAGES", "60000"))
+    n_edges = int(os.environ.get("SCALING_EDGES", "12000000"))
+    pages_dir = write_pages(f"/tmp/drone_ray/bench_pages_{n_pages}", n_pages, seed=42, use_ray=True)
+    rd.read_parquet(pages_dir, columns=["url"]).count()  # warm page cache
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+    links = pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
+        links_to_edges_batch, batch_format="pyarrow"
+    ).select_columns(["src", "dst"])
+    n_link_edges = dedup_edges(links).count()
+    timings["extract_edges"] = time.perf_counter() - t0
+
+    P = max(4, min(16, NUM_CPUS // 2))
+    gdir = f"/tmp/drone_ray/scaling_graph_{n_edges}_{NUM_CPUS}"
+    shutil.rmtree(gdir, ignore_errors=True)
+    t0 = time.perf_counter()
+    man = build_graph(power_law_edges(n_edges, n_edges // 8), gdir, P, hub_threshold=100_000)
+    timings["graph_build"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = run_vertex_program(man, PageRank, {"eps": 1e-10}, max_steps=12)
+    timings["pagerank_12steps"] = time.perf_counter() - t0
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "scaling_child_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "n_link_edges": int(n_link_edges),
+        "n_synth_edges": n_edges,
+        "pagerank_teps": int(res.teps),
+        "sf": _sf(SF_DIR),
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
             env=env,
             capture_output=True,
             text=True,
@@ -157,13 +233,17 @@ def run_scaling() -> dict:
         "sec_32": r_hi["value"],
         "queries_8": r_lo["queries"],
         "queries_32": r_hi["queries"],
+        "teps_8": r_lo["pagerank_teps"],
+        "teps_32": r_hi["pagerank_teps"],
         "sf": r_lo["sf"],
         "num_cpus": [lo, hi],
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-child" in sys.argv:
+        print(json.dumps(run_scaling_child()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -161,7 +161,7 @@ def build_graph(
         hubs_tbl = pa.concat_tables(
             [
                 b.filter(pc_.greater(b["out_degree"], hub_threshold))
-                for b in deg.iter_batches(batch_format="pyarrow")
+                for b in deg.iter_batches(batch_format="pyarrow", batch_size=None)
             ]
         )
         hubs_path = os.path.join(work_dir, "hubs.parquet")

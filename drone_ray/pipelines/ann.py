@@ -26,7 +26,7 @@ from drone_ray.functions.vectors import (
 def _query_matrix(emb: Dataset, query_ids, id_col: str, vec_col: str):
     qset = set(int(q) for q in query_ids)
     ids, vecs = [], []
-    for b in emb.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+    for b in emb.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=None):
         for i, v in zip(b[id_col].to_pylist(), b[vec_col].to_pylist()):
             if i in qset:
                 ids.append(i)
@@ -80,7 +80,7 @@ def ann_topk_exact(
         )
 
     # final merge: tiny (n_batches × m × k rows)
-    df = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    df = emb.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
     out = (
         df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
         .groupby("query_id", sort=True)
@@ -135,7 +135,7 @@ def ann_topk_lsh(
             }
         )
 
-    df = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    df = emb.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
     out = (
         df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
         .groupby("query_id", sort=True)

@@ -46,7 +46,7 @@ def exact_dedup(docs: Dataset, id_col: str = "doc_id", text_col: str = "text") -
         return pa.table({"fp": pa.array(fps, pa.string()), id_col: b[id_col]})
 
     return (
-        docs.map_batches(fp_batch, batch_format="pyarrow")
+        docs.map_batches(fp_batch, batch_format="pyarrow", batch_size=None)
         .groupby("fp")
         .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_dups"))
     )
@@ -120,7 +120,7 @@ def minhash_candidates(
     pairs = (
         bands.groupby(["band_id", "band_hash"])
         .map_groups(lambda g: _bucket_pairs(g, id_col), batch_format="pandas")
-        .map_batches(_pin(_PAIR_SCHEMA), batch_format="pyarrow")
+        .map_batches(_pin(_PAIR_SCHEMA), batch_format="pyarrow", batch_size=None)
     )
     return (
         pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
@@ -140,7 +140,7 @@ def verify_jaccard(
     threshold. Texts are broadcast once via ray.put (small side); at web
     scale replace with a bucketed join of pairs against the docs table."""
     lookup: dict = {}
-    for b in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
+    for b in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow", batch_size=None):
         lookup.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
     ref = ray.put(lookup)
 
@@ -155,7 +155,7 @@ def verify_jaccard(
         t = pa.table({"a": b["a"], "b": b["b"], "jaccard": pa.array(js, pa.float64())})
         return t.filter(pc.greater_equal(t["jaccard"], threshold))
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return pairs.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_near_dups(docs: Dataset, threshold: float = 0.7, **kw) -> Dataset:
@@ -170,7 +170,7 @@ def simhash_table(docs: Dataset, id_col: str = "doc_id", text_col: str = "text")
             {id_col: b[id_col], "simhash": pa.array(np.array(hs, np.uint64).astype(np.int64))}
         )
 
-    return docs.map_batches(sh, batch_format="pyarrow")
+    return docs.map_batches(sh, batch_format="pyarrow", batch_size=None)
 
 
 def simhash_near_dups(
@@ -217,10 +217,10 @@ def simhash_near_dups(
 
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())])
     pairs = (
-        sh.map_batches(explode, batch_format="pyarrow")
+        sh.map_batches(explode, batch_format="pyarrow", batch_size=None)
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(_pin(schema), batch_format="pyarrow")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )
     return (
         pairs.groupby(["a", "b"])
@@ -238,7 +238,7 @@ def embedding_near_dups_exact(
     is the web-scale path."""
     ids_all: list[int] = []
     mats = []
-    for b in emb.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+    for b in emb.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=None):
         ids_all.extend(b[id_col].to_pylist())
         mats.append(batch_matrix(b, vec_col))
     full = np.vstack(mats) if mats else np.zeros((0, 0))
@@ -261,7 +261,7 @@ def embedding_near_dups_exact(
             }
         )
 
-    return emb.map_batches(pairs, batch_format="pyarrow")
+    return emb.map_batches(pairs, batch_format="pyarrow", batch_size=None)
 
 
 def embedding_near_dups_lsh(
@@ -311,9 +311,9 @@ def embedding_near_dups_lsh(
 
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())])
     pairs = (
-        emb.map_batches(explode, batch_format="pyarrow")
+        emb.map_batches(explode, batch_format="pyarrow", batch_size=None)
         .groupby(["table_id", "bucket"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(_pin(schema), batch_format="pyarrow")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )
     return pairs.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))

@@ -54,7 +54,7 @@ def lg_edges(sf_dir: str) -> Dataset:
             {"src": pa.array(s[keep], pa.int64()), "dst": pa.array(d[keep], pa.int64())}
         )
 
-    return dedup_edges(li.map_batches(derive, batch_format="pyarrow"))
+    return dedup_edges(li.map_batches(derive, batch_format="pyarrow", batch_size=None))
 
 
 # --------------------------------------------------------------------------
@@ -150,8 +150,8 @@ def q_pagerank_pages(sf_dir: str):
     def edge_factory():
         pages = rd.read_parquet(pages_dir, columns=["url", "html"])
         return (
-            pages.map_batches(extract_batch, batch_format="pyarrow")
-            .map_batches(links_to_edges_batch, batch_format="pyarrow")
+            pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=None)
+            .map_batches(links_to_edges_batch, batch_format="pyarrow", batch_size=None)
             .select_columns(["src", "dst"])
         )
 
@@ -177,7 +177,7 @@ def q_extract_pages(sf_dir: str):
     n_pages = max(200, int(float(sf) * 20_000))
     pages_dir = write_pages(f"/tmp/drone_ray/pages_x_sf{sf}", n_pages, seed=43)
     pages = rd.read_parquet(pages_dir, columns=["url", "html"])
-    return pages.map_batches(extract_batch, batch_format="pyarrow").select_columns(
+    return pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=None).select_columns(
         ["url", "text"]
     )
 
@@ -305,7 +305,7 @@ def q_events_hourly(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        ev.map_batches(partial, batch_format="pyarrow")
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["event_type", "hour"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
@@ -340,7 +340,7 @@ def q_lineitem_agg(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        li.map_batches(partial, batch_format="pyarrow")
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
@@ -371,7 +371,7 @@ def q_customer_orders(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow")
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("o_custkey")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),

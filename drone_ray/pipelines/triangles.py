@@ -190,12 +190,12 @@ def triangles(edges: Dataset, num_partitions: int = 16) -> Dataset:
     oriented = (
         withdeg.groupby("pbucket")
         .map_groups(lambda g: _pair_orient(g, num_buckets), batch_format="pandas")
-        .map_batches(_pin(ori_schema), batch_format="pyarrow")
+        .map_batches(_pin(ori_schema), batch_format="pyarrow", batch_size=None)
     )
     wedges = (
         oriented.groupby("abucket")
         .map_groups(_wedges_bucket, batch_format="pandas")
-        .map_batches(_pin(_WEDGE_SCHEMA), batch_format="pyarrow")
+        .map_batches(_pin(_WEDGE_SCHEMA), batch_format="pyarrow", batch_size=None)
     )
 
     def tag_pairs(b: pa.Table, center_col: str | None) -> pa.Table:
@@ -215,7 +215,7 @@ def triangles(edges: Dataset, num_partitions: int = 16) -> Dataset:
             }
         )
 
-    wtagged = wedges.map_batches(lambda b: tag_pairs(b, "center"), batch_format="pyarrow")
+    wtagged = wedges.map_batches(lambda b: tag_pairs(b, "center"), batch_format="pyarrow", batch_size=None)
     etagged = oriented.select_columns(["a", "b"]).map_batches(
         lambda b: tag_pairs(b, None), batch_format="pyarrow"
     )
@@ -223,7 +223,7 @@ def triangles(edges: Dataset, num_partitions: int = 16) -> Dataset:
         wtagged.union(etagged)
         .groupby("pbucket")
         .map_groups(_close_bucket, batch_format="pandas")
-        .map_batches(_pin(_WEDGE_SCHEMA), batch_format="pyarrow")
+        .map_batches(_pin(_WEDGE_SCHEMA), batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -248,8 +248,8 @@ def triangles_per_vertex(edges: Dataset, num_partitions: int = 16) -> Dataset:
 
     out_schema = pa.schema([("vid", pa.int64()), ("triangles", pa.int64())])
     return (
-        tri.map_batches(melt, batch_format="pyarrow")
+        tri.map_batches(melt, batch_format="pyarrow", batch_size=None)
         .groupby("vid")
         .aggregate(Sum("_c", alias_name="triangles"))
-        .map_batches(_pin(out_schema), batch_format="pyarrow")
+        .map_batches(_pin(out_schema), batch_format="pyarrow", batch_size=None)
     )

@@ -40,7 +40,7 @@ def parse_edge_lines(batch: pa.Table) -> pa.Table:
 def read_edge_text(paths) -> "ray.data.Dataset":  # noqa: F821
     import ray.data as rd
 
-    return rd.read_text(paths).map_batches(parse_edge_lines, batch_format="pyarrow")
+    return rd.read_text(paths).map_batches(parse_edge_lines, batch_format="pyarrow", batch_size=None)
 
 
 class PatternGraph:

@@ -8,17 +8,24 @@ Reference behaviors being matched (SURVEY.md §2.8 D3, §2.6 G7):
     Degree.<i> files (/root/reference/src/graph/graph.go:462-485); here it is
     a pre-combined grouped count.
 
-Every groupby here is preceded by a per-batch partial combine inside
-map_batches so the shuffle moves (key, partial) rows, not raw rows.
+Implementation note: every aggregation here is per-batch partial combine →
+ONE shuffle on a ``hash(key) % B`` bucket column → a vectorized numpy body
+per bucket. Ray's built-in ``groupby(key).aggregate(...)`` iterates groups
+in Python during the reduce, which collapses at millions of distinct keys;
+the bucket pattern keeps the reduce vectorized regardless of key count.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pandas as pd
 
 from ray.data import Dataset
-from ray.data.aggregate import Sum
+
+from drone_ray.hashing import mix64
+
+_NUM_BUCKETS = 64
 
 
 def _unique_pairs(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -32,69 +39,116 @@ def _unique_pairs(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndar
     return s[keep], d[keep]
 
 
-def _batch_dedup(batch: pa.Table) -> pa.Table:
-    s, d = _unique_pairs(
-        batch["src"].to_numpy(zero_copy_only=False),
-        batch["dst"].to_numpy(zero_copy_only=False),
-    )
-    return pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+def _pin(schema: pa.Schema):
+    def fix(b: pa.Table) -> pa.Table:
+        return b.cast(schema) if b.num_columns else schema.empty_table()
+
+    return fix
 
 
-def dedup_edges(edges: Dataset) -> Dataset:
-    """Exact global dedup of (src, dst): per-batch unique → grouped count → keys.
+def dedup_edges(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
+    """Exact global dedup of (src, dst): per-batch unique → bucket shuffle →
+    per-bucket vectorized unique. Shuffle key: hash(src, dst) % B."""
 
-    The grouped count is the dedup (one output row per distinct key); the
-    count column is dropped. Shuffle key: (src, dst) — naturally unskewed.
-    """
-    partial = edges.select_columns(["src", "dst"]).map_batches(
-        _batch_dedup, batch_format="pyarrow"
-    )
-    from ray.data.aggregate import Count
+    def partial(b: pa.Table) -> pa.Table:
+        s, d = _unique_pairs(
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False),
+        )
+        with np.errstate(over="ignore"):
+            bucket = (mix64(s) * np.uint64(0x9E3779B97F4A7C15) + mix64(d)) % np.uint64(
+                num_buckets
+            )
+        return pa.table(
+            {
+                "src": pa.array(s, pa.int64()),
+                "dst": pa.array(d, pa.int64()),
+                "_b": pa.array(bucket.astype(np.int64)),
+            }
+        )
 
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s, d = _unique_pairs(g["src"].to_numpy(), g["dst"].to_numpy())
+        return pd.DataFrame({"src": s, "dst": d})
+
+    schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     return (
-        partial.groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
+        edges.select_columns(["src", "dst"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )
 
 
-def _partial_degree(batch: pa.Table, col: str) -> pa.Table:
-    v = batch[col].to_numpy(zero_copy_only=False)
-    uniq, cnt = np.unique(v, return_counts=True)
-    return pa.table(
-        {col: pa.array(uniq, pa.int64()), "_cnt": pa.array(cnt, pa.int64())}
+def _degrees(edges: Dataset, col: str, out_name: str, num_buckets: int) -> Dataset:
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                col: pa.array(uniq, pa.int64()),
+                "_c": pa.array(cnt, pa.int64()),
+                "_b": pa.array((mix64(uniq) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[col].to_numpy()
+        c = g["_c"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        ng = np.empty(v.size, dtype=bool)
+        if v.size:
+            ng[0] = True
+            ng[1:] = v[1:] != v[:-1]
+            starts = np.flatnonzero(ng)
+            sums = np.add.reduceat(c, starts)
+            return pd.DataFrame({col: v[starts], out_name: sums})
+        return pd.DataFrame({col: v, out_name: c})
+
+    schema = pa.schema([(col, pa.int64()), (out_name, pa.int64())])
+    return (
+        edges.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )
 
 
 def out_degrees(edges: Dataset) -> Dataset:
-    """(src, out_degree) — per-batch bincount partial, then grouped sum."""
-    partial = edges.map_batches(
-        lambda b: _partial_degree(b, "src"), batch_format="pyarrow"
-    )
-    return partial.groupby("src").aggregate(Sum("_cnt", alias_name="out_degree"))
+    """(src, out_degree) — per-batch bincount partial, bucketed final sum."""
+    return _degrees(edges.select_columns(["src"]), "src", "out_degree", _NUM_BUCKETS)
 
 
 def in_degrees(edges: Dataset) -> Dataset:
-    partial = edges.map_batches(
-        lambda b: _partial_degree(b, "dst"), batch_format="pyarrow"
-    )
-    return partial.groupby("dst").aggregate(Sum("_cnt", alias_name="in_degree"))
+    return _degrees(edges.select_columns(["dst"]), "dst", "in_degree", _NUM_BUCKETS)
 
 
-def _batch_vids(batch: pa.Table) -> pa.Table:
-    s = batch["src"].to_numpy(zero_copy_only=False)
-    d = batch["dst"].to_numpy(zero_copy_only=False)
-    return pa.table({"vid": pa.array(np.unique(np.concatenate([s, d])), pa.int64())})
-
-
-def vertex_ids(edges: Dataset) -> Dataset:
+def vertex_ids(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
     """Distinct vids appearing as src or dst (the reference's implicit vertex
     set incl. the dead Isolateds path, /root/reference/src/graph/graph.go:443-457)."""
-    from ray.data.aggregate import Count
 
-    partial = edges.map_batches(_batch_vids, batch_format="pyarrow")
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        vids = np.unique(np.concatenate([s, d]))
+        return pa.table(
+            {
+                "vid": pa.array(vids, pa.int64()),
+                "_b": pa.array((mix64(vids) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vid": np.unique(g["vid"].to_numpy())})
+
+    schema = pa.schema([("vid", pa.int64())])
     return (
-        partial.groupby("vid").aggregate(Count(alias_name="_n")).select_columns(["vid"])
+        edges.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -105,5 +159,6 @@ def symmetrize(edges: Dataset) -> Dataset:
     rev = edges.map_batches(
         lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
         batch_format="pyarrow",
+        batch_size=None,
     )
     return edges.union(rev)
