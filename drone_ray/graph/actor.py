@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 import ray
 
 from drone_ray.graph.csr import PartitionGraph
-from drone_ray.graph.messages import combine_inbound, route
+from drone_ray.graph.messages import combine_inbound, combine_inbound_local, route
 from drone_ray.graph.partition import read_partition
 
 
@@ -93,9 +93,18 @@ class GraphPartitionActor:
         if step == 0:
             msgs, info = self.program.peval(self.g, self.state)
         else:
-            inb = combine_inbound(payloads, self.program.combine_op, self.program.extra_key)
+            if self.program.extra_key is None:
+                inb = combine_inbound_local(self.g, payloads, self.program.combine_op)
+            else:
+                inb = combine_inbound(payloads, self.program.combine_op, self.program.extra_key)
             msgs, info = self.program.inceval(self.g, self.state, inb)
-        routed = route(msgs, self.P, self.program.combine_op, self.program.extra_key)
+        routed = route(
+            msgs,
+            self.P,
+            self.program.combine_op,
+            self.program.extra_key,
+            precombine=self.program.sender_precombine,
+        )
         hub_out = self.g.drain_pending_hub()
         n_out = sum(r["vid"].size for r in routed if r is not None)
         n_hub = hub_out["vid"].size if hub_out else 0

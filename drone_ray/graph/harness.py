@@ -193,6 +193,18 @@ def run_vertex_program(
         tables = ray.get([a.emit.remote() for a in actors])
     for a in actors:
         ray.kill(a)
+
+    if checkpoint_dir and metrics_log:
+        # structured per-superstep metrics table — replaces the reference's
+        # master-log scraping (/root/reference/sbin/createCSV.py:8-54)
+        import pyarrow.parquet as _pq
+
+        keys = sorted({k for m in metrics_log for k in m})
+        mt = pa.table({k: [m.get(k) for m in metrics_log] for k in keys})
+        tmp = os.path.join(checkpoint_dir, ".metrics.tmp")
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        _pq.write_table(mt, tmp)
+        os.replace(tmp, os.path.join(checkpoint_dir, "metrics.parquet"))
     return ProgramResult(
         metrics=metrics_log,
         steps=step - start_step + 1,

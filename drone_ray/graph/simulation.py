@@ -35,6 +35,7 @@ ATTR_MOD = 100  # reference GraphSimulationTypeModel
 class GraphSimulation(VertexProgram):
     combine_op = "sum"
     extra_key = "pnode"
+    sender_precombine = True
 
     def __init__(self, pattern_attrs: dict[int, int], pattern_targets: dict[int, list[int]], attr_mod: int = ATTR_MOD):
         self.pnodes = sorted(pattern_attrs)  # pattern node ids, column order
