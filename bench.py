@@ -136,44 +136,53 @@ def run_bench() -> dict:
 def run_scaling_child() -> dict:
     """One scaling measurement at $RAY_GRAFT_CPUS: the two throughput-bound
     headline stages, sized so compute dominates fixed per-stage overheads
-    (the regime a 100 TB run lives in):
+    (the regime a 100 TB run lives in — at real scale HTML extraction of
+    the crawl dwarfs the graph analytics by orders of magnitude):
 
       * pages → extract → canonicalize → dedup edges (stateless streaming)
-      * PageRank supersteps over a ~12M-edge synthetic power-law graph
-        (fixed 12 supersteps for timing comparability; results themselves
+      * PageRank supersteps over a ~25M-edge synthetic power-law graph
+        (fixed 25 supersteps for timing comparability; results themselves
         are parallelism-invariant, see tests)
+
+    Each stage runs in its own fresh Ray session: teardown of one stage's
+    worker pool otherwise contends with the next stage's timing.
     """
     import shutil
 
     import ray
 
-    ray.init(
-        address="local",
-        num_cpus=NUM_CPUS,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
+    def _session():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+    n_pages = int(os.environ.get("SCALING_PAGES", "200000"))
+    n_edges = int(os.environ.get("SCALING_EDGES", "25000000"))
+    n_steps = int(os.environ.get("SCALING_STEPS", "25"))
+
+    _session()
     import ray.data as rd
-    from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
-
-    from drone_ray.graph.harness import run_vertex_program
-    from drone_ray.graph.partition import build_graph
-    from drone_ray.graph.programs import PageRank
     from drone_ray.sources.pages import write_pages
-    from drone_ray.sources.synthetic_edges import power_law_edges
+
+    pages_dir = write_pages(f"/tmp/drone_ray/bench_pages_{n_pages}", n_pages, seed=42, use_ray=True)
+    rd.read_parquet(pages_dir, columns=["url"]).count()  # warm page cache
+    ray.shutdown()
+    time.sleep(3)
+
     from drone_ray.stages.canonicalize import links_to_edges_batch
     from drone_ray.stages.edges import dedup_edges
     from drone_ray.stages.extract import extract_batch
 
-    n_pages = int(os.environ.get("SCALING_PAGES", "60000"))
-    n_edges = int(os.environ.get("SCALING_EDGES", "12000000"))
-    pages_dir = write_pages(f"/tmp/drone_ray/bench_pages_{n_pages}", n_pages, seed=42, use_ray=True)
-    rd.read_parquet(pages_dir, columns=["url"]).count()  # warm page cache
-
     timings: dict[str, float] = {}
+    _session()
     t0 = time.perf_counter()
     pages = rd.read_parquet(pages_dir, columns=["url", "html"])
     links = pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
@@ -181,16 +190,28 @@ def run_scaling_child() -> dict:
     ).select_columns(["src", "dst"])
     n_link_edges = dedup_edges(links).count()
     timings["extract_edges"] = time.perf_counter() - t0
+    ray.shutdown()
+    time.sleep(3)
 
-    P = max(4, min(16, NUM_CPUS // 2))
+    from drone_ray.graph.harness import run_vertex_program
+    from drone_ray.graph.partition import build_graph
+    from drone_ray.graph.programs import PageRank
+    from drone_ray.sources.synthetic_edges import power_law_edges
+
+    P = max(4, NUM_CPUS // 2)
     gdir = f"/tmp/drone_ray/scaling_graph_{n_edges}_{NUM_CPUS}"
     shutil.rmtree(gdir, ignore_errors=True)
+    _session()
     t0 = time.perf_counter()
-    man = build_graph(power_law_edges(n_edges, n_edges // 8), gdir, P, hub_threshold=100_000)
+    man = build_graph(power_law_edges(n_edges, n_edges // 16), gdir, P, hub_threshold=500_000)
     timings["graph_build"] = time.perf_counter() - t0
+    ray.shutdown()
+    time.sleep(3)
+
+    _session()
     t0 = time.perf_counter()
-    res = run_vertex_program(man, PageRank, {"eps": 1e-10}, max_steps=12)
-    timings["pagerank_12steps"] = time.perf_counter() - t0
+    res = run_vertex_program(man, PageRank, {"eps": 1e-10}, max_steps=n_steps)
+    timings["pagerank_supersteps"] = time.perf_counter() - t0
 
     total = round(sum(timings.values()), 3)
     out = {

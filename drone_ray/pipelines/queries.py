@@ -389,6 +389,34 @@ def q_customer_orders(sf_dir: str):
     return joined.select_columns(["c_name", "o_custkey", "n_orders", "total_cents"])
 
 
+
+
+# --------------------------------------------------------------------------
+# streaming-shaped operators (windows / sessions / as-of)
+# --------------------------------------------------------------------------
+SESSION_GAP_US = 3_600_000_000  # 1h
+
+
+def q_sessions(sf_dir: str):
+    from drone_ray.pipelines.windows import sessionize
+
+    return sessionize(_read(sf_dir, "events", ["event_id", "user_id", "ts"]), SESSION_GAP_US)
+
+
+def q_sliding_counts(sf_dir: str):
+    from drone_ray.pipelines.windows import sliding_hourly_counts
+
+    return sliding_hourly_counts(_read(sf_dir, "events", ["event_type", "ts"]), 3)
+
+
+def q_asof_prior_click(sf_dir: str):
+    from drone_ray.pipelines.windows import asof_prior_event
+
+    return asof_prior_event(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    )
+
+
 # --------------------------------------------------------------------------
 # registry: name -> (ray_fn, oracle_sql | None)
 # --------------------------------------------------------------------------
@@ -403,6 +431,33 @@ _TRI_SQL = (
 )
 
 _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+_SESSIONS_SQL = (
+    "WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+    "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt "
+    "FROM events), "
+    "s AS (SELECT user_id, event_id, t, "
+    f"CASE WHEN pt IS NULL OR t - pt > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk FROM o), "
+    "w AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id "
+    "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM s) "
+    "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, "
+    "min(t) AS start_us, max(t) AS end_us FROM w GROUP BY 1, 2"
+)
+_SLIDING_SQL = (
+    "WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, count(*) AS c "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT a.event_type, a.hour, CAST(sum(b.c) AS BIGINT) AS n_window "
+    "FROM h a JOIN h b ON a.event_type = b.event_type "
+    "AND b.hour BETWEEN a.hour - 2 AND a.hour GROUP BY 1, 2"
+)
+_ASOF_SQL = (
+    "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, "
+    "r.event_id AS prior_event_id, epoch_us(l.ts) - epoch_us(r.ts) AS gap_us "
+    "FROM events l JOIN events r ON l.user_id = r.user_id AND r.ts < l.ts "
+    "WHERE l.event_type = 'purchase' AND r.event_type = 'click' "
+    "QUALIFY row_number() OVER (PARTITION BY l.event_id "
+    "ORDER BY r.ts DESC, r.event_id DESC) = 1"
+)
 
 REGISTRY: dict[str, tuple] = {
     "edges": (q_edges, EDGES_SQL),
@@ -485,6 +540,9 @@ REGISTRY: dict[str, tuple] = {
         "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_cents, "
         "count(*) AS n_rows FROM lineitem GROUP BY 1, 2",
     ),
+    "sessions": (q_sessions, _SESSIONS_SQL),
+    "sliding_counts": (q_sliding_counts, _SLIDING_SQL),
+    "asof_prior_click": (q_asof_prior_click, _ASOF_SQL),
     "customer_orders": (
         q_customer_orders,
         "SELECT c_name, o_custkey, count(*) AS n_orders, "
