@@ -68,7 +68,9 @@ def run_bench() -> dict:
     rd.read_parquet(pages_dir, columns=["url"]).count()
 
     timings: dict[str, float] = {}
-    P = max(4, min(16, NUM_CPUS // 2))
+    # the pages graph is small (~260k edges): fewer partitions keep the
+    # per-superstep object/barrier overhead low; big graphs use cpus//2
+    P = max(4, min(8, NUM_CPUS // 4))
     edges_out = f"/tmp/drone_ray/bench_edges_{n_pages}_{NUM_CPUS}"
     import shutil
 

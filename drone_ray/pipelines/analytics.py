@@ -19,6 +19,9 @@ from drone_ray.graph.partition import MANIFEST_NAME, GraphManifest, build_graph
 from drone_ray.graph.programs import SSSP, ConnectedComponents, LabelPropagation, PageRank
 
 _CACHE_ROOT = os.environ.get("DRONE_RAY_CACHE", "/tmp/drone_ray/graphs")
+# bump when the on-disk partition layout or ownership hashing changes —
+# invalidates caches left by older code versions across driver rounds
+_LAYOUT_VERSION = 2
 
 
 def graph_for(
@@ -30,7 +33,7 @@ def graph_for(
 ) -> GraphManifest:
     """Build the partitioned layout once per (cache_key, P, symmetrize, hub)."""
     token = hashlib.blake2b(
-        f"{cache_key}|P={num_partitions}|sym={symmetrize}|hub={hub_threshold}".encode(),
+        f"v{_LAYOUT_VERSION}|{cache_key}|P={num_partitions}|sym={symmetrize}|hub={hub_threshold}".encode(),
         digest_size=8,
     ).hexdigest()
     work_dir = os.path.join(_CACHE_ROOT, token)

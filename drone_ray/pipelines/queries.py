@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
 from drone_ray.stages.edges import dedup_edges, out_degrees
 
