@@ -132,6 +132,24 @@ def q_sssp(sf_dir: str):
     ).to_table()
 
 
+def q_graph_simulation(sf_dir: str):
+    """Graph pattern simulation (reference Sim parity) on the lineitem link
+    graph; chain-with-branch pattern over attrs = vid % 100. Output:
+    (pattern_node, vid) match pairs."""
+    from drone_ray.pipelines.analytics import graph_simulation
+
+    pattern_attrs = {0: 5, 1: 17, 2: 28, 3: 42}
+    pattern_targets = {0: [1], 1: [2, 3], 2: [], 3: []}
+    res = graph_simulation(
+        lambda: lg_edges(sf_dir),
+        _graph_key(sf_dir),
+        pattern_attrs,
+        pattern_targets,
+        GRAPH_PARTITIONS,
+    )
+    return res.to_table()
+
+
 def q_pagerank_pages(sf_dir: str):
     """Flagship chain on synthetic Common-Crawl-style pages: generate →
     extract (M8) → canonicalize/hash (M9) → edges → PageRank. Page count
@@ -484,6 +502,7 @@ REGISTRY: dict[str, tuple] = {
     "wcc": (q_wcc, None),
     "lpa": (q_lpa, None),
     "sssp": (q_sssp, None),
+    "graph_simulation": (q_graph_simulation, None),  # iterative fixpoint
     "pagerank_pages": (q_pagerank_pages, None),
     "extract_pages": (q_extract_pages, None),
     "doc_dedup": (
