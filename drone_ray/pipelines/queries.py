@@ -260,6 +260,20 @@ def q_simhash_near_dup(sf_dir: str):
     )
 
 
+
+
+def q_vocabulary(sf_dir: str):
+    from drone_ray.pipelines.textstats import vocabulary_size
+
+    return vocabulary_size(_read(sf_dir, "documents", ["text"]))
+
+
+def q_top_tokens(sf_dir: str):
+    from drone_ray.pipelines.textstats import top_tokens
+
+    return top_tokens(_read(sf_dir, "documents", ["text"]), k=50)
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search + near-dup
 # --------------------------------------------------------------------------
@@ -525,6 +539,17 @@ REGISTRY: dict[str, tuple] = {
     "quality": (q_quality, None),
     "minhash_near_dup": (q_minhash_near_dup, None),  # custom hashing
     "simhash_near_dup": (q_simhash_near_dup, None),
+    "vocabulary": (
+        q_vocabulary,
+        "SELECT count(DISTINCT t.w) AS n_distinct_tokens FROM documents, "
+        f"unnest({_TOKENS_SQL}) AS t(w) WHERE trim(text) <> ''",
+    ),
+    "top_tokens": (
+        q_top_tokens,
+        "SELECT t.w AS token, count(*) AS n_occurrences FROM documents, "
+        f"unnest({_TOKENS_SQL}) AS t(w) WHERE trim(text) <> '' "
+        "GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50",
+    ),
     "ann_topk": (
         q_ann_topk,
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
