@@ -126,25 +126,39 @@ def run_vertex_program(
             resumed = True
 
     metrics_log: list[dict] = []
-    msg_matrix: list[list] | None = None
-    hub_refs: list | None = None
     converged = False
     edges_total = 0
     t0 = time.perf_counter()
     step = start_step
-    while step < max_steps:
-        futures = []
+    # pipelining: the refs for step s+1 exist as soon as step s is SUBMITTED,
+    # so the next superstep can be queued on the actors before the driver
+    # reads step s's metrics — actors flow from step to step without waiting
+    # on the driver round-trip. Safe to run one step past convergence: a
+    # converged step's payload refs are all None and every program treats
+    # empty inbound as a no-op. Disabled while checkpointing (a checkpoint
+    # tagged step s must capture the state exactly after step s).
+    pipeline = not (checkpoint_dir and checkpoint_every)
+
+    def launch(s: int, prev: list | None):
+        futs = []
         for p, a in enumerate(actors):
-            if step == start_step and (resumed or step == 0):
+            if prev is None:
                 args: tuple = ()
             else:
                 # P regular payloads + P hub broadcasts (each hub payload is
                 # the same small ref fanned out to every partition)
-                args = tuple(msg_matrix[q][p] for q in range(P)) + tuple(hub_refs)
-            futures.append(a.superstep.options(num_returns=P + 2).remote(step, *args))
+                args = tuple(prev[q][1 + p] for q in range(P)) + tuple(
+                    prev[q][P + 1] for q in range(P)
+                )
+            futs.append(a.superstep.options(num_returns=P + 2).remote(s, *args))
+        return futs
+
+    futures = launch(step, None)
+    while True:
+        next_futures = None
+        if pipeline and step + 1 < max_steps:
+            next_futures = launch(step + 1, futures)
         mets = ray.get([f[0] for f in futures])  # SuperStepFinish barrier
-        msg_matrix = [[futures[q][1 + p] for p in range(P)] for q in range(P)]
-        hub_refs = [futures[q][P + 1] for q in range(P)]
         metrics_log.extend(mets)
         edges_total += sum(m.get("edges", 0) for m in mets)
 
@@ -159,8 +173,8 @@ def run_vertex_program(
                         checkpoint_dir,
                         step,
                         P,
-                        *[msg_matrix[q][p] for q in range(P)],
-                        *hub_refs,
+                        *[futures[q][1 + p] for q in range(P)],
+                        *[futures[q][P + 1] for q in range(P)],
                     )
                     for p in range(P)
                 ]
@@ -182,8 +196,13 @@ def run_vertex_program(
 
         if program_cls.should_stop(mets, step):
             converged = True
+            if next_futures is not None:
+                ray.get([f[0] for f in next_futures])  # drain the no-op step
             break
         step += 1
+        if step >= max_steps:
+            break
+        futures = next_futures if next_futures is not None else launch(step, futures)
 
     wall = time.perf_counter() - t0
     tables: list = []
