@@ -1,4 +1,4 @@
-"""Triangle counting — non-iterative 2-round shuffle pipeline (SURVEY.md §2.12).
+"""Triangle counting — non-iterative bucketed-shuffle pipeline (SURVEY.md §2.12).
 
 Not present in the reference (north-rule addition). Classic degree-oriented
 wedge-join algorithm, expressed entirely in Ray Data:
