@@ -204,16 +204,25 @@ def pages_dataset(n_pages: int, seed: int = 42, override_num_blocks: int | None 
     )
 
 
+PAGES_FORMAT_VERSION = "v1"  # bump when generator output changes
+
+
 def write_pages(out_dir: str, n_pages: int, seed: int = 42, use_ray: bool = False) -> str:
-    """Materialize the fixture to parquet; returns out_dir (idempotent cache)."""
+    """Materialize the fixture to parquet; returns out_dir (idempotent cache,
+    regenerated when the generator version changes)."""
+    import shutil
+
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read().strip() == PAGES_FORMAT_VERSION:
+                return out_dir
+        shutil.rmtree(out_dir, ignore_errors=True)  # stale generator version
     os.makedirs(out_dir, exist_ok=True)
     if use_ray:
         pages_dataset(n_pages, seed).write_parquet(out_dir)
     else:
         pq.write_table(pages_table(n_pages, seed), os.path.join(out_dir, "pages.parquet"))
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(PAGES_FORMAT_VERSION)
     return out_dir
