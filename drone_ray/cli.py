@@ -1,0 +1,137 @@
+"""Job entry point for ``ray job submit`` (north-rule deployment surface):
+
+    ray job submit -- python -m drone_ray.cli pagerank \\
+        --edges /data/edges --out /data/pr --partitions 256 \\
+        --hub-threshold 100000 --checkpoint-dir /data/ckpt/pr --resume
+
+Subcommands: build-pages-graph (pages parquet → extract → edges parquet),
+pagerank, wcc, lpa, sssp, simulation, triangles. Results are written as
+per-partition parquet (resumable layout); superstep jobs write a
+metrics.parquet next to their checkpoints. Owns the Ray session only when
+one is not already initialised (so the driver/pytest can embed it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(args):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _edges_factory(path):
+    def factory():
+        import ray.data as rd
+
+        return rd.read_parquet(path, columns=["src", "dst"])
+
+    return factory
+
+
+def main(argv=None) -> dict:
+    ap = argparse.ArgumentParser(prog="drone_ray")
+    ap.add_argument("command", choices=[
+        "build-pages-graph", "pagerank", "wcc", "lpa", "sssp", "simulation", "triangles",
+    ])
+    ap.add_argument("--pages", help="pages parquet dir (build-pages-graph)")
+    ap.add_argument("--edges", help="edge-table parquet dir")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--num-cpus", type=int, default=32)
+    ap.add_argument("--eps", type=float, default=1e-10)
+    ap.add_argument("--source", type=int, default=None, help="sssp source vid")
+    ap.add_argument("--max-rounds", type=int, default=10, help="lpa round cap")
+    ap.add_argument("--pattern", help="pattern graph file (simulation, S6 format)")
+    ap.add_argument("--hub-threshold", type=int, default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=10)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+    _session(args)
+
+    if args.command == "build-pages-graph":
+        import ray.data as rd
+
+        from drone_ray.stages.canonicalize import links_to_edges_batch
+        from drone_ray.stages.edges import dedup_edges
+        from drone_ray.stages.extract import extract_batch
+
+        pages = rd.read_parquet(args.pages, columns=["url", "html"])
+        links = pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=None)
+        edges = links.map_batches(
+            links_to_edges_batch, batch_format="pyarrow", batch_size=None
+        ).select_columns(["src", "dst"])
+        dedup_edges(edges).write_parquet(args.out)
+        import ray.data as rd2
+
+        n = rd2.read_parquet(args.out).count()
+        return {"command": args.command, "out": args.out, "n_edges": n}
+
+    if args.command == "triangles":
+        import ray.data as rd
+
+        from drone_ray.pipelines.triangles import triangles_per_vertex
+
+        tri = triangles_per_vertex(
+            rd.read_parquet(args.edges, columns=["src", "dst"]), args.partitions
+        )
+        tri.write_parquet(args.out)
+        return {"command": args.command, "out": args.out}
+
+    from drone_ray.pipelines import analytics as A
+
+    key = f"cli:{args.edges}"
+    hk = dict(
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every if args.checkpoint_dir else 0,
+        resume=args.resume,
+        output_dir=args.out,
+    )
+    ef = _edges_factory(args.edges)
+    if args.command == "pagerank":
+        res = A.pagerank(ef, key, args.partitions, eps=args.eps,
+                         hub_threshold=args.hub_threshold, **hk)
+    elif args.command == "wcc":
+        res = A.connected_components(ef, key, args.partitions,
+                                     hub_threshold=args.hub_threshold, **hk)
+    elif args.command == "lpa":
+        res = A.label_propagation(ef, key, args.partitions, max_rounds=args.max_rounds,
+                                  hub_threshold=args.hub_threshold, **hk)
+    elif args.command == "sssp":
+        source = args.source
+        if source is None:
+            source = int(ef().min("src"))
+        res = A.sssp(ef, key, source, args.partitions,
+                     hub_threshold=args.hub_threshold, **hk)
+    elif args.command == "simulation":
+        from drone_ray.sources.text import PatternGraph
+
+        pg = PatternGraph.read(args.pattern)
+        res = A.graph_simulation(ef, key, pg.attrs, pg.targets, args.partitions, **hk)
+    return {
+        "command": args.command,
+        "out": args.out,
+        "steps": res.steps,
+        "converged": res.converged,
+        "teps": int(res.teps),
+        "wall_seconds": round(res.wall_seconds, 3),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(main(sys.argv[1:])))
