@@ -88,6 +88,8 @@ def run_vertex_program(
 ) -> ProgramResult:
     """Run a VertexProgram over a built graph; returns emitted results +
     per-superstep metrics. Does NOT call ray.init (caller owns the session).
+    Refuses a directed graph for programs that declare
+    ``needs_symmetrized`` (WCC/LPA semantics silently break otherwise).
 
     ``actor_cpus`` defaults to 0 (no CPU reservation): partition actors are
     barrier-synchronized — all busy or all idle — so reserving P full CPUs
@@ -101,6 +103,11 @@ def run_vertex_program(
     Arrow tables are fetched to the driver (small/test results only). In
     both cases the actor pool is torn down before returning so repeated runs
     never starve the cluster of CPUs."""
+    if getattr(program_cls, "needs_symmetrized", False) and not manifest.symmetrized:
+        raise ValueError(
+            f"{program_cls.__name__} needs a symmetrized graph; rebuild with "
+            "build_graph(..., symmetrize=True)"
+        )
     P = manifest.num_partitions
     mdict = {
         "num_partitions": P,
