@@ -95,7 +95,9 @@ def main(argv=None) -> dict:
 
     from drone_ray.pipelines import analytics as A
 
-    key = f"cli:{args.edges}"
+    # fingerprint the input files so re-running after the edge table changed
+    # rebuilds the partitioned layout instead of silently reusing stale data
+    key = f"cli:{args.edges}:{A.path_fingerprint(args.edges)}"
     hk = dict(
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every if args.checkpoint_dir else 0,

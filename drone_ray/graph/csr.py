@@ -74,7 +74,9 @@ class PartitionGraph:
             np.asarray(hub_vids, dtype=np.int64) if hub_vids is not None else np.empty(0, np.int64)
         )
         self.owned_is_hub = np.zeros(self.n, dtype=bool)
-        if self.hub_vids.size:
+        # n == 0 guard: a partition can own zero vertices while hubs exist
+        # globally — owned[idx-1] style indexing would raise on the empty array
+        if self.hub_vids.size and self.n:
             idx = np.searchsorted(self.owned, self.hub_vids)
             ok = (idx < self.n) & (self.owned[np.minimum(idx, self.n - 1)] == self.hub_vids)
             self.owned_is_hub[idx[ok]] = True

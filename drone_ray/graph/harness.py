@@ -128,9 +128,24 @@ def run_vertex_program(
     if checkpoint_dir and resume:
         latest = _latest_checkpoint(checkpoint_dir)
         if latest is not None:
-            ray.get([a.load_checkpoint.remote(checkpoint_dir, latest) for a in actors])
-            start_step = latest + 1
-            resumed = True
+            # refuse checkpoints written by a different program or graph —
+            # mismatched state arrays would silently produce wrong results
+            with open(os.path.join(checkpoint_dir, f"step={latest}", "manifest.json")) as f:
+                ck = json.load(f)
+            if (
+                ck.get("program") == program_cls.__name__
+                and ck.get("graph_token") == manifest.content_token
+            ):
+                ray.get([a.load_checkpoint.remote(checkpoint_dir, latest) for a in actors])
+                start_step = latest + 1
+                resumed = True
+            else:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} step={latest} was written by "
+                    f"program={ck.get('program')} graph={ck.get('graph_token')}, but this run is "
+                    f"program={program_cls.__name__} graph={manifest.content_token}; "
+                    "pass resume=False or a fresh checkpoint_dir"
+                )
 
     metrics_log: list[dict] = []
     converged = False
@@ -208,6 +223,7 @@ def run_vertex_program(
             break
         step += 1
         if step >= max_steps:
+            step -= 1  # step `max_steps` never ran — keep the count honest
             break
         futures = next_futures if next_futures is not None else launch(step, futures)
 

@@ -153,9 +153,13 @@ def build_graph(
     hub_ref = None
     hubs_path = None
     if hub_threshold is not None:
-        from drone_ray.stages.edges import out_degrees
+        from drone_ray.stages.edges import dedup_edges, out_degrees
 
-        deg = out_degrees(e)
+        # degrees must come from DEDUPED edges: the CSR/delegate adjacency
+        # exact-dedups (src,dst), so raw-stream counts (duplicate input rows,
+        # or symmetrize() doubling reciprocal pairs) would inflate the patched
+        # hub out_degree and silently skew PageRank's pr/outdeg pushes
+        deg = out_degrees(dedup_edges(e))
         import pyarrow.compute as pc_
 
         hubs_tbl = pa.concat_tables(

@@ -21,7 +21,24 @@ from drone_ray.graph.programs import SSSP, ConnectedComponents, LabelPropagation
 _CACHE_ROOT = os.environ.get("DRONE_RAY_CACHE", "/tmp/drone_ray/graphs")
 # bump when the on-disk partition layout or ownership hashing changes —
 # invalidates caches left by older code versions across driver rounds
-_LAYOUT_VERSION = 2
+_LAYOUT_VERSION = 3  # v3: hub degrees computed from deduped edges
+
+
+def path_fingerprint(path: str) -> str:
+    """Cheap input fingerprint for cache keys: hash of the sorted
+    (relpath, size, mtime) listing of parquet files under ``path``. Callers
+    that build a graph from an on-disk edge table should fold this into
+    ``cache_key`` so edited inputs invalidate the cached layout."""
+    import glob as _glob
+
+    h = hashlib.blake2b(digest_size=8)
+    paths = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    if os.path.isfile(path):
+        paths = [path]
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, path) if p != path else p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()
 
 
 def graph_for(

@@ -30,6 +30,20 @@ M = 1499  # vertex-id modulus for the lineitem-derived link graph
 # keeps the near-dup queries non-vacuous while staying selective
 NEAR_DUP_COS = 0.35
 GRAPH_PARTITIONS = 4
+# Fixed power-iteration count for the driver-gate PageRank comparison. With
+# eps=0 the engine's delta scheme is EXACTLY synchronous power iteration
+# (pr_k = 0.85·Σ_in pr_{k-1}/outdeg + 0.15), so running both sides for the
+# same K makes the 6-decimal rounded values float-safe to hash-compare
+# (residual FP divergence ~1e-13 ≪ the 1e-6 rounding grid). 0.85^120 ≈ 3e-9
+# so the result is also at the 1e-6-converged fixpoint the north rule asks
+# for (reference recurrence /root/reference/src/algorithm/PageRank.go:74).
+PR_ITERS = 120
+# pages fixture for the extract_pages driver check: fixed size/seed at every
+# sf so the static oracle SQL (a path embedded at registry build time) always
+# describes the same table the Ray query extracts from
+EXTRACT_PAGES_DIR = "/tmp/drone_ray/pages_extract_oracle"
+EXTRACT_PAGES_N = 500
+EXTRACT_PAGES_SEED = 43
 
 EDGES_SQL = (
     f"SELECT DISTINCT l_orderkey % {M} AS src, l_partkey % {M} AS dst "
@@ -43,18 +57,22 @@ def _read(sf_dir: str, table: str, columns=None) -> Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def lg_edges(sf_dir: str) -> Dataset:
+def _derive_edges_batch(b: pa.Table) -> pa.Table:
+    s = b["l_orderkey"].to_numpy(zero_copy_only=False) % M
+    d = b["l_partkey"].to_numpy(zero_copy_only=False) % M
+    keep = s != d
+    return pa.table(
+        {"src": pa.array(s[keep], pa.int64()), "dst": pa.array(d[keep], pa.int64())}
+    )
+
+
+def _raw_edges(sf_dir: str) -> Dataset:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return li.map_batches(_derive_edges_batch, batch_format="pyarrow", batch_size=None)
 
-    def derive(b: pa.Table) -> pa.Table:
-        s = b["l_orderkey"].to_numpy(zero_copy_only=False) % M
-        d = b["l_partkey"].to_numpy(zero_copy_only=False) % M
-        keep = s != d
-        return pa.table(
-            {"src": pa.array(s[keep], pa.int64()), "dst": pa.array(d[keep], pa.int64())}
-        )
 
-    return dedup_edges(li.map_batches(derive, batch_format="pyarrow", batch_size=None))
+def lg_edges(sf_dir: str) -> Dataset:
+    return dedup_edges(_raw_edges(sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -94,9 +112,17 @@ def _graph_key(sf_dir: str) -> str:
 
 
 def q_pagerank(sf_dir: str):
+    # eps=0 + fixed step count: exact synchronous power iteration for
+    # PR_ITERS rounds, matching the recursive-CTE oracle step for step
     from drone_ray.pipelines.analytics import pagerank
 
-    res = pagerank(lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS)
+    res = pagerank(
+        lambda: lg_edges(sf_dir),
+        _graph_key(sf_dir),
+        GRAPH_PARTITIONS,
+        eps=0.0,
+        max_steps=PR_ITERS + 1,  # step 0 is PEval; K IncEvals = K iterations
+    )
     t = res.to_table()
     return pa.table(
         {
@@ -125,8 +151,9 @@ def q_lpa(sf_dir: str):
 def q_sssp(sf_dir: str):
     from drone_ray.pipelines.analytics import sssp
 
-    edges = lg_edges(sf_dir)
-    source = int(edges.min("src"))  # deterministic: smallest source vid
+    # deterministic source = smallest source vid; a derive-only min scan
+    # (no dedup shuffle — the full edge pipeline runs once, inside graph_for)
+    source = int(_raw_edges(sf_dir).min("src"))
     return sssp(
         lambda: lg_edges(sf_dir), _graph_key(sf_dir), source, GRAPH_PARTITIONS
     ).to_table()
@@ -184,16 +211,17 @@ def q_pagerank_pages(sf_dir: str):
 
 
 def q_extract_pages(sf_dir: str):
-    """(url, text) from the synthetic pages fixture — byte-identical to the
-    generator's oracle text column (asserted in pytest; rows-only here)."""
+    """(url, text) extracted from the synthetic pages fixture. The fixture
+    stores the generator's oracle ``text`` column, so the DuckDB oracle reads
+    it straight back — the byte-identical-extraction invariant becomes a
+    driver-attested hash match (it is also asserted in pytest across batch
+    sizes). Fixed size/seed at every sf so the static oracle path agrees."""
     import ray.data as rd
 
     from drone_ray.sources.pages import write_pages
     from drone_ray.stages.extract import extract_batch
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_pages = max(200, int(float(sf) * 20_000))
-    pages_dir = write_pages(f"/tmp/drone_ray/pages_x_sf{sf}", n_pages, seed=43)
+    pages_dir = write_pages(EXTRACT_PAGES_DIR, EXTRACT_PAGES_N, seed=EXTRACT_PAGES_SEED)
     pages = rd.read_parquet(pages_dir, columns=["url", "html"])
     return pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=None).select_columns(
         ["url", "text"]
@@ -464,6 +492,92 @@ _TRI_SQL = (
 
 _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
+# --- iterative-fixpoint oracles (recursive CTEs over EDGES_SQL) ------------
+# NOTE: DuckDB 1.0 evaluates UNION as UNION ALL in *non-recursive* CTEs that
+# live inside a WITH RECURSIVE block — dedup must be an explicit DISTINCT.
+# PageRank: K synchronous power iterations of the reference recurrence
+# pr = 0.85·Σ_in pr/outdeg + 0.15 (/root/reference/src/algorithm/PageRank.go:74).
+# The zero-weight self-row per vertex keeps every vertex (incl. no-in-edge
+# ones) in the recursion with a consistent iteration counter.
+_PR_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+c AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS w FROM e JOIN deg d ON d.src = e.src
+      UNION ALL SELECT vid, vid, 0.0 FROM vtx),
+pr AS (
+  SELECT 0 AS iter, vid, CAST(1.0 AS DOUBLE) AS score FROM vtx
+  UNION ALL
+  SELECT p.iter + 1, c.dst AS vid, 0.15 + 0.85 * sum(c.w * p.score) AS score
+  FROM pr p JOIN c ON c.src = p.vid
+  WHERE p.iter < {PR_ITERS}
+  GROUP BY p.iter, c.dst
+)
+SELECT vid, round(score, 6) AS score FROM pr WHERE iter = {PR_ITERS}
+"""
+
+# WCC: min-label over the symmetrized edges. Only labels smaller than the
+# destination propagate — the component minimum is smaller than every member,
+# so pruning cannot lose it (matches min-label fixpoint semantics of
+# /root/reference/src/algorithm/CC.go:28-45 on a doubled edge set).
+_WCC_SQL = f"""
+WITH RECURSIVE
+e0 AS ({EDGES_SQL}),
+ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+vtx AS (SELECT DISTINCT src AS vid FROM ue),
+walk(vid, label) AS (
+  SELECT vid, vid FROM vtx
+  UNION
+  SELECT ue.dst, w.label FROM walk w JOIN ue ON ue.src = w.vid WHERE w.label < ue.dst
+)
+SELECT vid, min(label) AS component FROM walk GROUP BY vid
+"""
+
+# SSSP: BFS with unit weights (the reference forces weight 1.0,
+# /root/reference/src/graph/graph.go:357-362); reachable vertices only
+# (Assemble filter, src/worker/SSSPworker.go:269-273). The dist cap M is a
+# hop count no shortest path can reach (> n-1 vertices), so min(dist) is
+# exact; it only bounds cycle walks in the recursion.
+_SSSP_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+bfs(vid, dist) AS (
+  SELECT (SELECT min(src) FROM e) AS vid, 0 AS dist
+  UNION
+  SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.vid WHERE b.dist < {M}
+)
+SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM bfs GROUP BY vid
+"""
+
+# LPA: 10 synchronous rounds over symmetrized edges; per round each vertex
+# takes its neighbors' most frequent label, ties to the lowest label —
+# exactly drone_ray.graph.programs.LabelPropagation (if the engine stops
+# early on a stable round, labels are already at the round-10 fixpoint).
+_LPA_SQL = f"""
+WITH RECURSIVE
+e0 AS ({EDGES_SQL}),
+ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+vtx AS (SELECT DISTINCT src AS vid FROM ue),
+lp AS (
+  SELECT 0 AS iter, vid, vid AS label FROM vtx
+  UNION ALL
+  SELECT iter + 1, vid, label FROM (
+    SELECT l.iter AS iter, ue.dst AS vid, l.label AS label,
+           row_number() OVER (PARTITION BY l.iter, ue.dst
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM lp l JOIN ue ON ue.src = l.vid
+    WHERE l.iter < 10
+    GROUP BY l.iter, ue.dst, l.label
+  ) WHERE rn = 1
+)
+SELECT vid, label FROM lp WHERE iter = 10
+"""
+
+_EXTRACT_PAGES_SQL = (
+    f"SELECT url, text FROM read_parquet('{EXTRACT_PAGES_DIR}/*.parquet')"
+)
+
 _SESSIONS_SQL = (
     "WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
     "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pt "
@@ -512,13 +626,15 @@ REGISTRY: dict[str, tuple] = {
         "(SELECT a AS vid FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) "
         "GROUP BY vid",
     ),
-    "pagerank": (q_pagerank, None),  # iterative fixpoint — pytest numpy oracle
-    "wcc": (q_wcc, None),
-    "lpa": (q_lpa, None),
-    "sssp": (q_sssp, None),
-    "graph_simulation": (q_graph_simulation, None),  # iterative fixpoint
-    "pagerank_pages": (q_pagerank_pages, None),
-    "extract_pages": (q_extract_pages, None),
+    "pagerank": (q_pagerank, _PR_SQL),
+    "wcc": (q_wcc, _WCC_SQL),
+    "lpa": (q_lpa, _LPA_SQL),
+    "sssp": (q_sssp, _SSSP_SQL),
+    # greatest-fixpoint removal cascade — not monotone, not CTE-expressible;
+    # pytest brute-force oracle instead (tests/test_simulation.py)
+    "graph_simulation": (q_graph_simulation, None),
+    "pagerank_pages": (q_pagerank_pages, None),  # vids are custom url hashes
+    "extract_pages": (q_extract_pages, _EXTRACT_PAGES_SQL),
     "doc_dedup": (
         q_doc_dedup,
         f"SELECT {_NORM_SQL} AS fp, min(doc_id) AS doc_id, count(*) AS n_dups "
@@ -574,14 +690,14 @@ REGISTRY: dict[str, tuple] = {
         q_events_hourly,
         "SELECT event_type, epoch_us(ts) // 3600000000 AS hour, "
         "count(*) AS n_events, "
-        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents "
+        "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
         "FROM events GROUP BY 1, 2",
     ),
     "lineitem_agg": (
         q_lineitem_agg,
         "SELECT l_returnflag, l_linestatus, "
-        "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
-        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_cents, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents, "
         "count(*) AS n_rows FROM lineitem GROUP BY 1, 2",
     ),
     "sessions": (q_sessions, _SESSIONS_SQL),
@@ -590,7 +706,7 @@ REGISTRY: dict[str, tuple] = {
     "customer_orders": (
         q_customer_orders,
         "SELECT c_name, o_custkey, count(*) AS n_orders, "
-        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2",
     ),
 }
@@ -601,4 +717,10 @@ def queries():
 
 
 def oracle_sql():
+    # the extract_pages oracle reads the fixture parquet directly — make sure
+    # it exists even when the SQL runs before the Ray query (local pyarrow
+    # write, idempotent, no Ray needed)
+    from drone_ray.sources.pages import write_pages
+
+    write_pages(EXTRACT_PAGES_DIR, EXTRACT_PAGES_N, seed=EXTRACT_PAGES_SEED)
     return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
