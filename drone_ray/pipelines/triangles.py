@@ -131,27 +131,37 @@ def _pair_bucket(x: np.ndarray, y: np.ndarray, num_buckets: int) -> np.ndarray:
 
 
 def _wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """All ordered out-neighbor pairs per center, vectorized per bucket."""
+    """All ordered out-neighbor pairs per center — one vectorized pass over
+    the whole bucket (repeat/cumsum pair expansion; no per-center Python).
+    Neighbors are sorted by (degree, vid) rank within each center, so a
+    wedge's (x, y) is emitted in orientation order and the closing edge is
+    exactly the oriented pair (x→y)."""
     g = g.sort_values(["a", "bd", "b"], kind="mergesort")
     a = g["a"].to_numpy()
     b = g["b"].to_numpy()
-    if a.size < 2:
+    n = a.size
+    if n < 2:
         return pd.DataFrame({"x": [], "y": [], "center": []}, dtype=np.int64)
-    bounds = np.flatnonzero(np.concatenate(([True], a[1:] != a[:-1], [True])))
-    xs, ys, cs = [], [], []
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        k = e - s
-        if k < 2:
-            continue
-        i, j = np.triu_indices(k, k=1)
-        nb = b[s:e]
-        xs.append(nb[i])
-        ys.append(nb[j])
-        cs.append(np.full(i.size, a[s], np.int64))
-    if not xs:
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = a[1:] != a[:-1]
+    grp_start = np.flatnonzero(new)
+    k = np.diff(np.append(grp_start, n))  # center group sizes
+    # row at in-group position p pairs (as x) with the k-1-p rows after it
+    pos = np.arange(n) - np.repeat(grp_start, k)
+    lens = np.repeat(k, k) - 1 - pos
+    total = int(lens.sum())
+    if total == 0:
         return pd.DataFrame({"x": [], "y": [], "center": []}, dtype=np.int64)
+    x_idx = np.repeat(np.arange(n), lens)
+    ctr = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    y_idx = x_idx + 1 + ctr
     return pd.DataFrame(
-        {"x": np.concatenate(xs), "y": np.concatenate(ys), "center": np.concatenate(cs)}
+        {
+            "x": b[x_idx].astype(np.int64, copy=False),
+            "y": b[y_idx].astype(np.int64, copy=False),
+            "center": a[x_idx].astype(np.int64, copy=False),
+        }
     )
 
 
@@ -187,11 +197,16 @@ def triangles(edges: Dataset, num_partitions: int = 16) -> Dataset:
     ori_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("bd", pa.int64()), ("abucket", pa.int64())]
     )
+    # `oriented` fans out into BOTH the wedge stage and the closure's edge
+    # side; Ray Data re-executes a lazy plan per consumer, which would run
+    # the dedup/degree/orientation shuffles twice. It is one row per
+    # undirected edge (≤ input size), so pinning it in the object store is
+    # the cheap side of that trade — and it may spill, which is fine.
     oriented = (
         withdeg.groupby("pbucket")
         .map_groups(lambda g: _pair_orient(g, num_buckets), batch_format="pandas")
         .map_batches(_pin(ori_schema), batch_format="pyarrow", batch_size=None)
-    )
+    ).materialize()
     wedges = (
         oriented.groupby("abucket")
         .map_groups(_wedges_bucket, batch_format="pandas")
