@@ -200,8 +200,17 @@ def run_scaling_child() -> dict:
     from drone_ray.graph.programs import PageRank
     from drone_ray.sources.synthetic_edges import power_law_edges
 
-    P = max(4, NUM_CPUS // 2)
-    gdir = f"/tmp/drone_ray/scaling_graph_{n_edges}_{NUM_CPUS}"
+    # FIXED partition count at both CPU levels — the cluster-size criterion
+    # compares the same partitioned job on N vs 4N nodes (DRONE likewise
+    # fixes partitionNum independent of node count). Scaling P with CPUs
+    # would change the job itself: cross-partition message volume grows with
+    # P (sender-side dedup spans fewer duplicates), so the 4N run would pay
+    # strictly more communication per superstep than the N run and the
+    # ratio would measure that extra work, not throughput scaling. At 8
+    # CPUs the 32 actors run in waves; at 32 CPUs one wave — same kernels,
+    # same bytes.
+    P = int(os.environ.get("SCALING_PARTITIONS", "32"))
+    gdir = f"/tmp/drone_ray/scaling_graph_{n_edges}_P{P}"
     shutil.rmtree(gdir, ignore_errors=True)
     _session()
     t0 = time.perf_counter()

@@ -42,12 +42,25 @@ class GraphPartitionActor:
         vd = read_partition(manifest["vertices_dir"], p, ["vid"])
         owned = np.unique(vd["vid"])
         hubs_path = manifest.get("hubs_path")
+        direction = manifest.get("direction")  # None | "fwd" | "rev" | "both"
+        dual = bool(manifest.get("dual"))
+        cols = ["src", "dst"] + (["dir"] if dual else []) + (["delegate"] if hubs_path else [])
+        ed = read_partition(manifest["edges_dir"], p, cols)
+        if dual and direction != "both":
+            keep = ed["dir"] == (0 if direction == "fwd" else 1)
+            ed = {c: ed[c][keep] for c in ("src", "dst", *(["delegate"] if hubs_path else []))}
         if hubs_path:
-            ed = read_partition(manifest["edges_dir"], p, ["src", "dst", "delegate"])
             dmask = ed["delegate"].astype(bool)
             ht = pq.read_table(hubs_path)
             hv = ht["vid"].to_numpy(zero_copy_only=False)
-            hd = ht["out_degree"].to_numpy(zero_copy_only=False)
+            # per-view hub out-degree: the dual hubs table carries one
+            # column per view; the legacy single-direction table one column
+            deg_col = {
+                "fwd": "deg_fwd",
+                "rev": "deg_rev",
+                "both": "deg_both",
+            }.get(direction, "out_degree") if dual else "out_degree"
+            hd = ht[deg_col].to_numpy(zero_copy_only=False)
             horder = np.argsort(hv)
             self.g = PartitionGraph(
                 p,
@@ -61,7 +74,6 @@ class GraphPartitionActor:
                 hub_degrees=hd[horder],
             )
         else:
-            ed = read_partition(manifest["edges_dir"], p, ["src", "dst"])
             self.g = PartitionGraph(p, self.P, owned, ed["src"], ed["dst"])
         self.program = program_cls(**(program_kwargs or {}))
         self.state = self.program.init_state(self.g)
@@ -98,13 +110,17 @@ class GraphPartitionActor:
             else:
                 inb = combine_inbound(payloads, self.program.combine_op, self.program.extra_key)
             msgs, info = self.program.inceval(self.g, self.state, inb)
-        routed = route(
-            msgs,
-            self.P,
-            self.program.combine_op,
-            self.program.extra_key,
-            precombine=self.program.sender_precombine,
-        )
+        if isinstance(msgs, list):
+            # program returned per-owner payloads (push_combined fast path)
+            routed = msgs
+        else:
+            routed = route(
+                msgs,
+                self.P,
+                self.program.combine_op,
+                self.program.extra_key,
+                precombine=self.program.sender_precombine,
+            )
         hub_out = self.g.drain_pending_hub()
         n_out = sum(r["vid"].size for r in routed if r is not None)
         n_hub = hub_out["vid"].size if hub_out else 0

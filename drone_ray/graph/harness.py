@@ -85,6 +85,7 @@ def run_vertex_program(
     resume: bool = True,
     actor_cpus: float = 0,
     output_dir: str | None = None,
+    direction: str | None = None,
 ) -> ProgramResult:
     """Run a VertexProgram over a built graph; returns emitted results +
     per-superstep metrics. Does NOT call ray.init (caller owns the session).
@@ -103,17 +104,29 @@ def run_vertex_program(
     Arrow tables are fetched to the driver (small/test results only). In
     both cases the actor pool is torn down before returning so repeated runs
     never starve the cluster of CPUs."""
-    if getattr(program_cls, "needs_symmetrized", False) and not manifest.symmetrized:
-        raise ValueError(
-            f"{program_cls.__name__} needs a symmetrized graph; rebuild with "
-            "build_graph(..., symmetrize=True)"
-        )
+    dual = bool(getattr(manifest, "dual", False))
+    if dual and direction is None:
+        # each program declares the graph view it computes on (PR/SSSP fwd,
+        # WCC/LPA both, Sim rev) — callers may still override explicitly
+        direction = getattr(program_cls, "default_direction", "both")
+    if not dual and direction is not None:
+        raise ValueError("direction is only meaningful on a dual-layout graph")
+    if getattr(program_cls, "needs_symmetrized", False):
+        symmetric_view = manifest.symmetrized and (not dual or direction == "both")
+        if not symmetric_view:
+            raise ValueError(
+                f"{program_cls.__name__} needs a symmetrized graph view; rebuild "
+                "with build_graph(..., symmetrize=True) or run a dual layout "
+                "with direction='both'"
+            )
     P = manifest.num_partitions
     mdict = {
         "num_partitions": P,
         "edges_dir": manifest.edges_dir,
         "vertices_dir": manifest.vertices_dir,
         "hubs_path": getattr(manifest, "hubs_path", None),
+        "dual": dual,
+        "direction": direction,
     }
     actors = [
         GraphPartitionActor.options(num_cpus=actor_cpus).remote(
@@ -135,6 +148,7 @@ def run_vertex_program(
             if (
                 ck.get("program") == program_cls.__name__
                 and ck.get("graph_token") == manifest.content_token
+                and ck.get("direction") == direction
             ):
                 ray.get([a.load_checkpoint.remote(checkpoint_dir, latest) for a in actors])
                 start_step = latest + 1
@@ -211,6 +225,7 @@ def run_vertex_program(
                         "program": program_cls.__name__,
                         "graph_token": manifest.content_token,
                         "graph_dir": manifest.work_dir,
+                        "direction": direction,
                     },
                     f,
                 )

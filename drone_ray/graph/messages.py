@@ -129,13 +129,38 @@ def route(
     empty: list[Messages | None] = [None] * num_partitions
     if msgs is None or msgs["vid"].size == 0:
         return empty
-    if precombine:
-        msgs = combine(msgs, op, extra_key)
     owners = owner_partition(msgs["vid"], num_partitions)
+    if precombine:
+        # one lexsort with owner as the primary key: the combine's groups
+        # (same vid ⇒ same owner) come out owner-contiguous, so the
+        # per-destination split is a searchsorted slice — no P mask passes
+        vid = msgs["vid"]
+        keys = [owners, vid] + ([msgs[extra_key]] if extra_key is not None else [])
+        order = np.lexsort(keys[::-1])
+        sk = [k[order] for k in keys[1:]]  # vid[, extra] sorted
+        sv = msgs["val"][order]
+        new_group = np.empty(vid.size, dtype=bool)
+        new_group[0] = True
+        diff = sk[0][1:] != sk[0][:-1]
+        for k in sk[1:]:
+            diff = diff | (k[1:] != k[:-1])
+        new_group[1:] = diff
+        starts = np.flatnonzero(new_group)
+        red = _OPS[op].reduceat(sv, starts)
+        g_vid = sk[0][starts]
+        g_owner = owners[order][starts]
+        cols: Messages = {"vid": g_vid, "val": red}
+        if extra_key is not None:
+            cols[extra_key] = sk[1][starts]
+        bounds = np.searchsorted(g_owner, np.arange(num_partitions + 1))
+    else:
+        order = np.argsort(owners, kind="stable")
+        cols = {k: v[order] for k, v in msgs.items()}
+        bounds = np.searchsorted(owners[order], np.arange(num_partitions + 1))
     out = list(empty)
     for q in range(num_partitions):
-        sel = owners == q
-        if not sel.any():
+        lo, hi = int(bounds[q]), int(bounds[q + 1])
+        if lo == hi:
             continue
-        out[q] = {k: v[sel] for k, v in msgs.items()}
+        out[q] = {k: v[lo:hi] for k, v in cols.items()}
     return out

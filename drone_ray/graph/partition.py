@@ -43,7 +43,15 @@ class GraphManifest:
     source: str = ""
     content_token: str = ""
     hub_threshold: int | None = None
-    hubs_path: str | None = None  # parquet (vid, out_degree) of split hubs
+    hubs_path: str | None = None  # parquet (vid, out_degree | deg_*) of split hubs
+    # dual layout: every edge is stored twice — (src,dst,dir=0) under
+    # owner(src) and (dst,src,dir=1) under owner(dst) — so ONE build serves
+    # the directed (dir=0), reversed (dir=1) and symmetrized (all rows,
+    # CSR dedups reciprocal pairs) graph views. PR/SSSP read fwd, graph
+    # simulation reads rev, WCC/LPA read both; the reference builds a
+    # separate adjacency per direction flag instead
+    # (/root/reference/src/graph/graph.go:103-122 useTargets).
+    dual: bool = False
 
     def save(self) -> None:
         tmp = os.path.join(self.work_dir, MANIFEST_NAME + ".tmp")
@@ -64,6 +72,59 @@ def _content_token(edges_dir: str) -> str:
         h.update(os.path.relpath(path, edges_dir).encode())
         h.update(str(os.path.getsize(path)).encode())
     return h.hexdigest()
+
+
+def _spill_vid_candidates(
+    src: np.ndarray, dst: np.ndarray, P: int, vertices_dir: str
+) -> None:
+    """Side-write this batch's distinct vid candidates per partition (the
+    vertices table forms in the same pass as the edge write; duplicates are
+    np.unique()d by the actor at load)."""
+    vids = np.unique(np.concatenate([src, dst]))
+    vpart = owner_partition(vids, P)
+    order = np.argsort(vpart, kind="stable")
+    sv, sp = vids[order], vpart[order]
+    bounds = np.searchsorted(sp, np.arange(P + 1))
+    token = os.urandom(8).hex()
+    for p in range(P):
+        lo, hi = bounds[p], bounds[p + 1]
+        if lo == hi:
+            continue
+        pdir = os.path.join(vertices_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            pa.table({"vid": pa.array(sv[lo:hi], pa.int64())}),
+            os.path.join(pdir, f"cand-{token}.parquet"),
+        )
+
+
+def _tag_edges_dual(batch: pa.Table, P: int, vertices_dir: str, hub_ref=None) -> pa.Table:
+    """Dual layout: each input edge (s, d) emits (s, d, dir=0)@owner(s) and
+    (d, s, dir=1)@owner(d). Hub rows (u in hubs) route by owner(v) and are
+    marked delegate, exactly like the single-direction path."""
+    s = batch["src"].to_numpy(zero_copy_only=False)
+    d = batch["dst"].to_numpy(zero_copy_only=False)
+    u = np.concatenate([s, d])
+    v = np.concatenate([d, s])
+    dirc = np.concatenate([np.zeros(s.size, np.int8), np.ones(s.size, np.int8)])
+    part = owner_partition(u, P)
+    delegate = np.zeros(u.size, dtype=bool)
+    if hub_ref is not None:
+        import ray
+
+        hub_vids = ray.get(hub_ref)
+        delegate = np.isin(u, hub_vids)
+        part = np.where(delegate, owner_partition(v, P), part).astype(np.int32)
+    _spill_vid_candidates(s, d, P, vertices_dir)
+    return pa.table(
+        {
+            "src": pa.array(u, pa.int64()),
+            "dst": pa.array(v, pa.int64()),
+            "dir": pa.array(dirc, pa.int8()),
+            "delegate": pa.array(delegate),
+            "part": pa.array(part, pa.int32()),
+        }
+    )
 
 
 def _tag_edges_spill_vids(
@@ -87,23 +148,7 @@ def _tag_edges_spill_vids(
         delegate = np.isin(src, hub_vids)
         part = np.where(delegate, owner_partition(dst, P), part).astype(np.int32)
 
-    vids = np.unique(np.concatenate([src, dst]))
-    vpart = owner_partition(vids, P)
-    order = np.argsort(vpart, kind="stable")
-    sv, sp = vids[order], vpart[order]
-    bounds = np.searchsorted(sp, np.arange(P + 1))
-    token = os.urandom(8).hex()
-    for p in range(P):
-        lo, hi = bounds[p], bounds[p + 1]
-        if lo == hi:
-            continue
-        pdir = os.path.join(vertices_dir, f"part={p}")
-        os.makedirs(pdir, exist_ok=True)
-        pq.write_table(
-            pa.table({"vid": pa.array(sv[lo:hi], pa.int64())}),
-            os.path.join(pdir, f"cand-{token}.parquet"),
-        )
-
+    _spill_vid_candidates(src, dst, P, vertices_dir)
     return pa.table(
         {
             "src": batch["src"],
@@ -121,6 +166,7 @@ def build_graph(
     symmetrize: bool = False,
     source: str = "",
     hub_threshold: int | None = None,
+    dual: bool = False,
 ) -> GraphManifest:
     """Partition an edge Dataset (src:int64, dst:int64) for the superstep engine.
 
@@ -138,6 +184,7 @@ def build_graph(
     ships one (vid, value) pair per superstep to each partition instead of
     one message per out-edge (salted repartition + final combine).
     """
+    import pyarrow.compute as pc_
     import ray
 
     os.makedirs(work_dir, exist_ok=True)
@@ -145,6 +192,8 @@ def build_graph(
     vertices_dir = os.path.join(work_dir, "vertices")
 
     e = edges
+    if dual and symmetrize:
+        raise ValueError("dual layout already serves the symmetrized view")
     if symmetrize:
         from drone_ray.stages.edges import symmetrize as _sym
 
@@ -153,50 +202,67 @@ def build_graph(
     hub_ref = None
     hubs_path = None
     if hub_threshold is not None:
-        from drone_ray.stages.edges import dedup_edges, out_degrees
-
         # degrees must come from DEDUPED edges: the CSR/delegate adjacency
         # exact-dedups (src,dst), so raw-stream counts (duplicate input rows,
         # or symmetrize() doubling reciprocal pairs) would inflate the patched
         # hub out_degree and silently skew PageRank's pr/outdeg pushes
-        deg = out_degrees(dedup_edges(e))
-        import pyarrow.compute as pc_
-
-        hubs_tbl = pa.concat_tables(
-            [
-                b.filter(pc_.greater(b["out_degree"], hub_threshold))
-                for b in deg.iter_batches(batch_format="pyarrow", batch_size=None)
-            ]
-        )
         hubs_path = os.path.join(work_dir, "hubs.parquet")
-        pq.write_table(
-            pa.table(
-                {
-                    "vid": hubs_tbl["src"].cast(pa.int64()),
-                    "out_degree": hubs_tbl["out_degree"].cast(pa.int64()),
-                }
-            ),
-            hubs_path,
-        )
-        hub_ref = ray.put(np.sort(hubs_tbl["src"].to_numpy(zero_copy_only=False)))
+        if dual:
+            from drone_ray.stages.edges import dual_degrees
+
+            # a vertex is split when its largest view degree (deg_both)
+            # exceeds the threshold; per-view degrees ride along so each
+            # view patches its own hub out-degree at load
+            deg = dual_degrees(e)
+            hubs_tbl = pa.concat_tables(
+                [
+                    b.filter(pc_.greater(b["deg_both"], hub_threshold))
+                    for b in deg.iter_batches(batch_format="pyarrow", batch_size=None)
+                ]
+            )
+            pq.write_table(hubs_tbl, hubs_path)
+            hub_vids = hubs_tbl["vid"].to_numpy(zero_copy_only=False)
+        else:
+            from drone_ray.stages.edges import dedup_edges, out_degrees
+
+            deg = out_degrees(dedup_edges(e))
+            hubs_tbl = pa.concat_tables(
+                [
+                    b.filter(pc_.greater(b["out_degree"], hub_threshold))
+                    for b in deg.iter_batches(batch_format="pyarrow", batch_size=None)
+                ]
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "vid": hubs_tbl["src"].cast(pa.int64()),
+                        "out_degree": hubs_tbl["out_degree"].cast(pa.int64()),
+                    }
+                ),
+                hubs_path,
+            )
+            hub_vids = hubs_tbl["src"].to_numpy(zero_copy_only=False)
+        hub_ref = ray.put(np.sort(hub_vids))
 
     os.makedirs(edges_dir, exist_ok=True)  # zero-edge input writes no files
     os.makedirs(vertices_dir, exist_ok=True)
+    tag = _tag_edges_dual if dual else _tag_edges_spill_vids
     e.map_batches(
-        lambda b: _tag_edges_spill_vids(b, num_partitions, vertices_dir, hub_ref),
+        lambda b: tag(b, num_partitions, vertices_dir, hub_ref),
         batch_format="pyarrow",
     ).write_parquet(edges_dir, partition_cols=["part"])
 
     manifest = GraphManifest(
         work_dir=work_dir,
         num_partitions=num_partitions,
-        symmetrized=symmetrize,
+        symmetrized=symmetrize or dual,
         edges_dir=edges_dir,
         vertices_dir=vertices_dir,
         source=source,
         content_token=_content_token(edges_dir),
         hub_threshold=hub_threshold,
         hubs_path=hubs_path,
+        dual=dual,
     )
     manifest.save()
     return manifest

@@ -30,6 +30,9 @@ class VertexProgram:
     combine_op: str = "sum"
     extra_key: str | None = None
     needs_symmetrized: bool = False
+    # graph view on a dual layout when the caller passes no direction:
+    # "fwd" (directed), "rev" (reversed), "both" (symmetrized)
+    default_direction: str = "both"
     # sender-side per-(dest, key) combine before the exchange: on skewed
     # graphs duplicate destination keys dominate, so the lexsort pays for
     # itself many times over in shipped volume (measured 3-4× per-step wall
@@ -83,6 +86,8 @@ class PageRank(VertexProgram):
     to 1e-10 so converged scores are allclose(1e-6) to the dense fixpoint.
     """
 
+    default_direction = "fwd"
+
     def __init__(self, eps: float = 1e-10, damping: float = 0.85):
         self.eps = eps
         self.damping = damping
@@ -98,8 +103,8 @@ class PageRank(VertexProgram):
     def peval(self, g, st):
         rows = np.flatnonzero(g.out_degree > 0)
         share = st["pr"][rows] / g.out_degree[rows]  # = 1/outdeg at init
-        dst, val = g.push(rows, share)
-        return _msgs(dst, val), {"edges": int(val.size), "max_delta": 1.0}
+        routed, edges = g.push_combined(rows, share)
+        return routed, {"edges": edges, "max_delta": 1.0}
 
     def inceval(self, g, st, inbound):
         if inbound is not None:
@@ -123,9 +128,9 @@ class PageRank(VertexProgram):
         send = (np.abs(delta) > self.eps) & (g.out_degree[targets] > 0)
         rows = targets[send]
         st["last_sent"][rows] = new_pr[send]
-        dst, val = g.push(rows, delta[send] / g.out_degree[rows])
-        return _msgs(dst, val), {
-            "edges": int(val.size),
+        routed, edges = g.push_combined(rows, delta[send] / g.out_degree[rows])
+        return routed, {
+            "edges": edges,
             "max_delta": max_delta,
             "active": int(rows.size),
         }
@@ -165,6 +170,7 @@ class ConnectedComponents(VertexProgram):
 
     combine_op = "min"
     needs_symmetrized = True
+    default_direction = "both"
 
     def init_state(self, g):
         return {"label": g.owned.copy(), "aux": {}}
@@ -173,8 +179,7 @@ class ConnectedComponents(VertexProgram):
         rdeg = g.r_indptr[rows + 1] - g.r_indptr[rows]
         # split hubs have no local remote edges but must still broadcast
         rows = rows[(rdeg > 0) | g.owned_is_hub[rows]]
-        dst, val = g.push(rows, st["label"][rows], remote_only=True)
-        return _msgs(dst, val), int(val.size)
+        return g.push_combined(rows, st["label"][rows], op="min", remote_only=True)
 
     def peval(self, g, st):
         scanned = _local_min_fixpoint(g, st["label"])
@@ -277,6 +282,7 @@ class SSSP(VertexProgram):
     src/worker/SSSPworker.go:160)."""
 
     combine_op = "min"
+    default_direction = "fwd"
 
     def __init__(self, source: int):
         self.source = int(source)
@@ -287,8 +293,7 @@ class SSSP(VertexProgram):
     def _boundary(self, g, st, rows):
         rdeg = g.r_indptr[rows + 1] - g.r_indptr[rows]
         rows = rows[(rdeg > 0) | g.owned_is_hub[rows]]
-        dst, val = g.push(rows, st["dist"][rows] + 1.0, remote_only=True)
-        return _msgs(dst, val), int(val.size)
+        return g.push_combined(rows, st["dist"][rows] + 1.0, op="min", remote_only=True)
 
     def peval(self, g, st):
         idx = np.searchsorted(g.owned, self.source)

@@ -35,6 +35,7 @@ ATTR_MOD = 100  # reference GraphSimulationTypeModel
 class GraphSimulation(VertexProgram):
     combine_op = "sum"
     extra_key = "pnode"
+    default_direction = "rev"
     sender_precombine = True
 
     def __init__(self, pattern_attrs: dict[int, int], pattern_targets: dict[int, list[int]], attr_mod: int = ATTR_MOD):
@@ -50,12 +51,6 @@ class GraphSimulation(VertexProgram):
 
     # ------------------------------------------------------------------
     def init_state(self, g: PartitionGraph) -> dict:
-        if g.hub_vids.size:
-            raise NotImplementedError(
-                "GraphSimulation pushes per-pattern-node deltas; the scalar "
-                "hub broadcast channel cannot carry them — build this graph "
-                "without hub_threshold"
-            )
         k = len(self.pnodes)
         attr = g.owned % self.attr_mod
         sim = attr[:, None] == self.pattr[None, :]  # (n, k) bool
@@ -72,17 +67,26 @@ class GraphSimulation(VertexProgram):
         }
 
     # ------------------------------------------------------------------
+    def expand_hub(self, dsts, values):
+        """The scalar hub broadcast carries (pnode, delta) packed as
+        ±(pnode+1); unpack into the (vid, pnode, val) message shape."""
+        v = values.astype(np.int64)
+        return {"vid": dsts, "val": np.sign(v), "pnode": np.abs(v) - 1}
+
     def _push_counts(self, g, rows_per_p: list[np.ndarray]):
         """Remote messages (pred, pnode, delta) for the given per-pattern-node
-        row sets; delta=+1 for peval seeding, -1 for removals."""
+        row sets; delta=+1 for peval seeding, -1 for removals. Split-hub rows
+        travel through the broadcast channel with (pnode, delta) packed into
+        the scalar value (see expand_hub)."""
         vids_all, pn_all, val_all = [], [], []
         for col, (rows, delta) in enumerate(rows_per_p):
             if rows.size == 0:
                 continue
-            dsts, vals = g.push(rows, np.full(rows.size, delta, np.int64), remote_only=True)
+            packed = np.full(rows.size, (col + 1) * delta, np.int64)
+            dsts, _ = g.push(rows, packed, remote_only=True)
             vids_all.append(dsts)
             pn_all.append(np.full(dsts.size, col, np.int64))
-            val_all.append(vals)
+            val_all.append(np.full(dsts.size, delta, np.int64))
         if not vids_all:
             return None, 0
         vid = np.concatenate(vids_all)

@@ -21,7 +21,7 @@ from drone_ray.graph.programs import SSSP, ConnectedComponents, LabelPropagation
 _CACHE_ROOT = os.environ.get("DRONE_RAY_CACHE", "/tmp/drone_ray/graphs")
 # bump when the on-disk partition layout or ownership hashing changes —
 # invalidates caches left by older code versions across driver rounds
-_LAYOUT_VERSION = 3  # v3: hub degrees computed from deduped edges
+_LAYOUT_VERSION = 4  # v4: shared dual-direction layout
 
 
 def path_fingerprint(path: str) -> str:
@@ -47,10 +47,17 @@ def graph_for(
     num_partitions: int,
     symmetrize: bool = False,
     hub_threshold: int | None = None,
+    dual: bool = True,
 ) -> GraphManifest:
-    """Build the partitioned layout once per (cache_key, P, symmetrize, hub)."""
+    """Build the partitioned layout once per (cache_key, P, layout, hub).
+
+    Default layout is DUAL: one build serves the directed (PR/SSSP),
+    reversed (simulation) and symmetrized (WCC/LPA) views, so the expensive
+    upstream (HTML extraction at web scale) and the partitioning shuffle run
+    once for the whole analytics suite instead of once per direction."""
+    layout = "dual" if dual else f"sym={symmetrize}"
     token = hashlib.blake2b(
-        f"v{_LAYOUT_VERSION}|{cache_key}|P={num_partitions}|sym={symmetrize}|hub={hub_threshold}".encode(),
+        f"v{_LAYOUT_VERSION}|{cache_key}|P={num_partitions}|{layout}|hub={hub_threshold}".encode(),
         digest_size=8,
     ).hexdigest()
     work_dir = os.path.join(_CACHE_ROOT, token)
@@ -60,9 +67,10 @@ def graph_for(
         edges_factory(),
         work_dir,
         num_partitions,
-        symmetrize=symmetrize,
+        symmetrize=symmetrize and not dual,
         source=cache_key,
         hub_threshold=hub_threshold,
+        dual=dual,
     )
 
 
@@ -79,9 +87,9 @@ def pagerank(
     hub_threshold: int | None = None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=False,
-                  hub_threshold=hub_threshold)
-    return _run(m, PageRank, {"eps": eps, "damping": damping}, **harness_kwargs)
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold)
+    return _run(m, PageRank, {"eps": eps, "damping": damping},
+                direction="fwd", **harness_kwargs)
 
 
 def connected_components(
@@ -91,9 +99,8 @@ def connected_components(
     hub_threshold: int | None = None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=True,
-                  hub_threshold=hub_threshold)
-    return _run(m, ConnectedComponents, {}, **harness_kwargs)
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold)
+    return _run(m, ConnectedComponents, {}, direction="both", **harness_kwargs)
 
 
 def label_propagation(
@@ -104,9 +111,9 @@ def label_propagation(
     hub_threshold: int | None = None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=True,
-                  hub_threshold=hub_threshold)
-    return _run(m, LabelPropagation, {"max_rounds": max_rounds}, **harness_kwargs)
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold)
+    return _run(m, LabelPropagation, {"max_rounds": max_rounds},
+                direction="both", **harness_kwargs)
 
 
 def sssp(
@@ -117,9 +124,8 @@ def sssp(
     hub_threshold: int | None = None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, symmetrize=False,
-                  hub_threshold=hub_threshold)
-    return _run(m, SSSP, {"source": source}, **harness_kwargs)
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold)
+    return _run(m, SSSP, {"source": source}, direction="fwd", **harness_kwargs)
 
 
 def graph_simulation(
@@ -128,24 +134,19 @@ def graph_simulation(
     pattern_attrs: dict,
     pattern_targets: dict,
     num_partitions: int = 8,
+    hub_threshold: int | None = None,
     **harness_kwargs,
 ) -> ProgramResult:
-    """Graph pattern simulation (reference Sim). The engine graph is built
-    over REVERSED edges — see drone_ray.graph.simulation for why."""
-    import pyarrow as pa
-
+    """Graph pattern simulation (reference Sim). The engine runs on the
+    REVERSED view of the shared dual layout — see drone_ray.graph.simulation
+    for why reversal is needed; no separate reversed build exists."""
     from drone_ray.graph.simulation import GraphSimulation
 
-    def reversed_factory():
-        return edges_factory().map_batches(
-            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
-            batch_format="pyarrow",
-        )
-
-    m = graph_for(reversed_factory, cache_key + ":rev", num_partitions, symmetrize=False)
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold)
     return _run(
         m,
         GraphSimulation,
         {"pattern_attrs": pattern_attrs, "pattern_targets": pattern_targets},
+        direction="rev",
         **harness_kwargs,
     )

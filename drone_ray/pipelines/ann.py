@@ -24,16 +24,26 @@ from drone_ray.functions.vectors import (
 
 
 def _query_matrix(emb: Dataset, query_ids, id_col: str, vec_col: str):
-    qset = set(int(q) for q in query_ids)
-    ids, vecs = [], []
-    for b in emb.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=None):
-        for i, v in zip(b[id_col].to_pylist(), b[vec_col].to_pylist()):
-            if i in qset:
-                ids.append(i)
-                vecs.append(v)
+    """Collect the query vectors with a pushed-down distributed filter —
+    only the ≤|query_ids| matching rows ever reach the driver."""
+    qarr = np.unique(np.asarray(list(query_ids), dtype=np.int64))
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(np.isin(ids, qarr)))
+
+    parts = list(
+        emb.select_columns([id_col, vec_col])
+        .map_batches(pick, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.concat_tables(parts) if parts else None
+    if t is None or t.num_rows == 0:
+        return np.empty(0, np.int64), np.zeros((0, 0))
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q = batch_matrix(t, vec_col)
     order = np.argsort(ids)
-    q = np.array(vecs, dtype=np.float64)[order]
-    return np.array(ids, dtype=np.int64)[order], q
+    return ids[order], q[order]
 
 
 def ann_topk_exact(

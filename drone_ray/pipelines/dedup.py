@@ -8,9 +8,10 @@
   * embedding cosine — exact blocked matmul baseline + LSH-bucketed variant
 
 Scale notes: every candidate-generation step is a map_batches + groupby on a
-bucket key (no driver-side pairwise loops). Verification fetches only the
-candidate pairs' texts; at web scale that lookup becomes a bucketed join on
-doc_id — here the pair set is small enough to broadcast the needed texts.
+bucket key (no driver-side pairwise loops), and Jaccard verification is a
+bucketed pair⋈docs join (two hops, see verify_jaccard) — no whole-corpus
+materialization anywhere. The one exception is embedding_near_dups_exact,
+the declared small-side oracle baseline; its scale path is the LSH variant.
 """
 
 from __future__ import annotations
@@ -18,7 +19,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -135,27 +135,109 @@ def verify_jaccard(
     threshold: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_buckets: int = 32,
 ) -> Dataset:
     """Exact k-shingle Jaccard for each candidate pair; keeps jaccard ≥
-    threshold. Texts are broadcast once via ray.put (small side); at web
-    scale replace with a bucketed join of pairs against the docs table."""
-    lookup: dict = {}
-    for b in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow", batch_size=None):
-        lookup.update(zip(b[id_col].to_pylist(), b[text_col].to_pylist()))
-    ref = ray.put(lookup)
+    threshold. Two bucketed hops, nothing on the driver:
 
-    def verify(b: pa.Table) -> pa.Table:
-        texts = ray.get(ref)
-        a = b["a"].to_pylist()
-        bb = b["b"].to_pylist()
+      1. each pair explodes into two (doc_id, a, b, side) rows; pair rows
+         and doc rows meet in hash(doc_id) buckets where the text attaches
+         (vectorized searchsorted — the explicit partitioned hash join);
+      2. the two text-carrying rows of each pair meet in hash(a, b) buckets
+         where the Jaccard is computed.
+
+    Texts ship through the shuffle once per hop; memory per task is one
+    bucket, so the operator scales with cluster width, not corpus size.
+    """
+    from drone_ray.hashing import mix64
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        did = np.concatenate([a, bb])
+        return pa.table(
+            {
+                "did": pa.array(did, pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate([np.zeros(a.size, np.int8), np.ones(a.size, np.int8)])
+                ),
+                "text": pa.nulls(did.size, pa.string()),
+                "_b": pa.array((mix64(did) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        did = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "did": pa.array(did, pa.int64()),
+                "a": pa.array(np.full(did.size, -1), pa.int64()),
+                "b": pa.array(np.full(did.size, -1), pa.int64()),
+                "side": pa.array(np.full(did.size, -1, np.int8)),
+                "text": b[text_col],
+                "_b": pa.array((mix64(did) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        is_doc = side == -1
+        prs = g[~is_doc]
+        if not len(prs):
+            return pd.DataFrame(
+                {
+                    "a": np.empty(0, np.int64),
+                    "b": np.empty(0, np.int64),
+                    "side": np.empty(0, np.int8),
+                    "text": np.empty(0, object),
+                    "_pb": np.empty(0, np.int64),
+                }
+            )
+        dd = g["did"].to_numpy()[is_doc]
+        tt = g["text"].to_numpy()[is_doc]
+        order = np.argsort(dd)
+        dd, tt = dd[order], tt[order]
+        pos = np.searchsorted(dd, prs["did"].to_numpy())  # dids came from docs
+        a = prs["a"].to_numpy()
+        bb = prs["b"].to_numpy()
+        with np.errstate(over="ignore"):
+            pb = (mix64(a) * np.uint64(0x9E3779B97F4A7C15) + mix64(bb)) % np.uint64(num_buckets)
+        return pd.DataFrame(
+            {
+                "a": a,
+                "b": bb,
+                "side": prs["side"].to_numpy(),
+                "text": tt[pos],
+                "_pb": pb.astype(np.int64),
+            }
+        )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["a", "b", "side"], kind="mergesort")
+        a = g["a"].to_numpy()
+        bb = g["b"].to_numpy()
+        texts = g["text"].to_numpy()
+        # rows come in (side 0, side 1) pairs after the sort
         js = [
-            round(jaccard(word_shingles(texts[x], k), word_shingles(texts[y], k)), 6)
-            for x, y in zip(a, bb)
+            round(jaccard(word_shingles(x, k), word_shingles(y, k)), 6)
+            for x, y in zip(texts[::2], texts[1::2])
         ]
-        t = pa.table({"a": b["a"], "b": b["b"], "jaccard": pa.array(js, pa.float64())})
-        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+        out = pd.DataFrame({"a": a[::2], "b": bb[::2], "jaccard": np.array(js, np.float64)})
+        return out[out["jaccard"] >= threshold]
 
-    return pairs.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    prs = pairs.map_batches(pair_rows, batch_format="pyarrow", batch_size=None)
+    dcs = docs.select_columns([id_col, text_col]).map_batches(
+        doc_rows, batch_format="pyarrow", batch_size=None
+    )
+    joined = prs.union(dcs).groupby("_b").map_groups(attach_text, batch_format="pandas")
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
+    return (
+        joined.groupby("_pb")
+        .map_groups(score, batch_format="pandas")
+        .map_batches(_pin(out_schema), batch_format="pyarrow", batch_size=None)
+    )
 
 
 def minhash_near_dups(docs: Dataset, threshold: float = 0.7, **kw) -> Dataset:

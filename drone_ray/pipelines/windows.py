@@ -1,13 +1,19 @@
 """Stream-shaped operators over the events log (SURVEY.md §2.10 note).
 
-Ray Data has no event-time windowing; these express the standard shapes as
-groupby(key).map_groups over ts-sorted groups (per the engine's ordering
-assumption: events are processed per-key in timestamp order; keys are
-independent). All outputs are deterministic and SQL-expressible, so each op
-carries a DuckDB oracle in the query registry.
+Ray Data has no event-time windowing; these express the standard shapes —
+session windows, sliding counts, as-of join — with the engine's bucketing
+rule (stages/edges.py): ONE shuffle on a ``hash(key) % B`` bucket column,
+then a single vectorized numpy pass over ALL keys in the bucket. A
+``groupby(key).map_groups(per_key)`` would pay one pandas DataFrame + Python
+call per distinct key, which collapses at millions of users; the bucketed
+body is O(rows log rows) regardless of key cardinality. All outputs are
+deterministic and SQL-expressible, so each op carries a DuckDB oracle in the
+query registry.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -15,7 +21,40 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from drone_ray.hashing import mix64
+
 US_PER_HOUR = 3_600_000_000
+_NUM_BUCKETS = 32
+
+
+def _pin(schema: pa.Schema):
+    def fix(b: pa.Table) -> pa.Table:
+        return b.cast(schema) if b.num_columns else schema.empty_table()
+
+    return fix
+
+
+def _str_bucket(values: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket for string keys (hashed per DISTINCT value)."""
+    uniq, inv = np.unique(values, return_inverse=True)
+    codes = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "big") >> 1
+            for u in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return (codes % num_buckets)[inv]
+
+
+def _run_starts(keys: np.ndarray) -> np.ndarray:
+    """Boolean mask marking the first row of each contiguous key run."""
+    new = np.empty(keys.size, dtype=bool)
+    if keys.size:
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+    return new
 
 
 def sessionize(
@@ -23,29 +62,52 @@ def sessionize(
     gap_us: int = US_PER_HOUR,
     key: str = "user_id",
     ts: str = "ts",
+    num_buckets: int = _NUM_BUCKETS,
 ) -> Dataset:
     """Session windows: consecutive events of a key belong to one session
     while gaps stay ≤ gap_us. Output: (user_id, session_id [1-based per
     user], n_events, start_us, end_us)."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, "event_id"])
-        t = g[ts].astype("int64").to_numpy()  # µs epoch
-        new = np.ones(t.size, dtype=np.int64)
-        new[1:] = (t[1:] - t[:-1] > gap_us).astype(np.int64)
-        sid = np.cumsum(new)
-        df = pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, "_t": t})
-        out = (
-            df.groupby("session_id", sort=True)
-            .agg(
-                n_events=("_t", "size"),
-                start_us=("_t", "min"),
-                end_us=("_t", "max"),
-            )
-            .reset_index()
+    def partial(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        t = b[ts].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                "_t": pa.array(t, pa.int64()),
+                "event_id": b["event_id"],
+                "_b": pa.array((mix64(k) % np.uint64(num_buckets)).astype(np.int64)),
+            }
         )
-        out[key] = g[key].iloc[0]
-        return out[[key, "session_id", "n_events", "start_us", "end_us"]]
+
+    def bucket_body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "_t", "event_id"], kind="mergesort")
+        k = g[key].to_numpy()
+        t = g["_t"].to_numpy()
+        n = k.size
+        if n == 0:
+            return pd.DataFrame(
+                {key: [], "session_id": [], "n_events": [], "start_us": [], "end_us": []}
+            )
+        newu = _run_starts(k)
+        brk = newu.copy()
+        brk[1:] |= (t[1:] - t[:-1]) > gap_us
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        sk = k[starts]
+        # 1-based session rank within each user (users are contiguous runs)
+        ustart = np.flatnonzero(_run_starts(sk))
+        runlen = np.diff(np.append(ustart, starts.size))
+        sid = np.arange(starts.size) - np.repeat(ustart, runlen) + 1
+        return pd.DataFrame(
+            {
+                key: sk,
+                "session_id": sid,
+                "n_events": ends - starts,
+                "start_us": t[starts],
+                "end_us": t[ends - 1],
+            }
+        )
 
     schema = pa.schema(
         [
@@ -58,44 +120,68 @@ def sessionize(
     )
     return (
         events.select_columns([key, ts, "event_id"])
-        .groupby(key)
-        .map_groups(per_user, batch_format="pandas")
-        .map_batches(
-            lambda b: b.cast(schema) if b.num_columns else schema.empty_table(),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(bucket_body, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )
 
 
 def sliding_hourly_counts(
-    events: Dataset, window_hours: int = 3, key: str = "event_type", ts: str = "ts"
+    events: Dataset,
+    window_hours: int = 3,
+    key: str = "event_type",
+    ts: str = "ts",
+    num_buckets: int = _NUM_BUCKETS,
 ) -> Dataset:
     """Sliding window (size = window_hours, stride = 1h): for every hour
     bucket that has events, the event count over [hour-window+1, hour].
-    Output: (event_type, hour, n_window)."""
+    Output: (event_type, hour, n_window). Per-batch (key, hour) counts are
+    pre-combined before the shuffle."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        t = g[ts].astype("int64").to_numpy()
-        hours = t // US_PER_HOUR
-        uniq, cnt = np.unique(hours, return_counts=True)
-        # prefix sums over the sparse hour counts
-        n_win = np.zeros(uniq.size, dtype=np.int64)
-        csum = np.cumsum(cnt)
-        lo = np.searchsorted(uniq, uniq - window_hours + 1, side="left")
+    def partial(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key].to_numpy(zero_copy_only=False), dtype=object)
+        hours = b[ts].cast(pa.int64()).to_numpy() // US_PER_HOUR
+        df = pd.DataFrame({key: k, "hour": hours})
+        g = df.groupby([key, "hour"], sort=False).size().reset_index(name="_c")
+        kk = g[key].to_numpy()
+        return pa.table(
+            {
+                key: pa.array(kk.astype(str)),
+                "hour": pa.array(g["hour"].to_numpy(), pa.int64()),
+                "_c": pa.array(g["_c"].to_numpy(), pa.int64()),
+                "_b": pa.array(_str_bucket(kk, num_buckets), pa.int64()),
+            }
+        )
+
+    def bucket_body(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy()
+        h = g["hour"].to_numpy()
+        c = g["_c"].to_numpy()
+        order = np.lexsort((h, k))
+        k, h, c = k[order], h[order], c[order]
+        newg = _run_starts(k) | np.concatenate(([True], h[1:] != h[:-1]))
+        starts = np.flatnonzero(newg)
+        k, h = k[starts], h[starts]
+        c = np.add.reduceat(c, starts)
+        # sliding sum over each key's sparse hour list, all keys at once:
+        # give every key run its own hour offset so a window can never
+        # reach into the previous key's rows
+        kcode = np.cumsum(_run_starts(k)) - 1
+        span = np.int64(1) << np.int64(40)  # hours ≪ 2^40
+        comp = kcode * span + h
+        lo = np.searchsorted(comp, comp - (window_hours - 1), side="left")
+        csum = np.cumsum(c)
         n_win = csum - np.where(lo > 0, csum[lo - 1], 0)
-        return pd.DataFrame({key: g[key].iloc[0], "hour": uniq, "n_window": n_win})
+        return pd.DataFrame({key: k, "hour": h, "n_window": n_win})
 
     schema = pa.schema([(key, pa.string()), ("hour", pa.int64()), ("n_window", pa.int64())])
     return (
         events.select_columns([key, ts])
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
-        .map_batches(
-            lambda b: b.cast(schema) if b.num_columns else schema.empty_table(),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(bucket_body, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -105,34 +191,63 @@ def asof_prior_event(
     right_type: str = "click",
     key: str = "user_id",
     ts: str = "ts",
+    num_buckets: int = _NUM_BUCKETS,
 ) -> Dataset:
     """As-of join within one log: for every ``left_type`` event, the key's
     most recent strictly-earlier ``right_type`` event. Output:
     (event_id, user_id, ts_us, prior_event_id, gap_us); lefts with no prior
-    right are omitted. Bucketed by key → vectorized searchsorted per group
-    (the pd.merge_asof pattern from the Ray guide, done in numpy)."""
+    right are omitted.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, "event_id"])
-        t = g[ts].astype("int64").to_numpy()
-        kinds = g["event_type"].to_numpy()
+    Bucket body is a single merge pass: rows sorted by (key, t, is_right,
+    event_id) — lefts before rights at equal t, so "strictly earlier" falls
+    out of the order — then a running maximum.accumulate of right-row
+    indices; a match is valid iff it lands inside the left row's own key
+    run (carryover from the previous key is always a smaller index)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        kinds = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (kinds == left_type) | (kinds == right_type)
+        k = b[key].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                key: pa.array(k, pa.int64()),
+                "_t": pa.array(b[ts].cast(pa.int64()).to_numpy()[keep], pa.int64()),
+                "event_id": pa.array(
+                    b["event_id"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                "_r": pa.array(kinds[keep] == right_type),
+                "_b": pa.array((mix64(k) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def bucket_body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "_t", "_r", "event_id"], kind="mergesort")
+        k = g[key].to_numpy()
+        t = g["_t"].to_numpy()
         ids = g["event_id"].to_numpy()
-        li = np.flatnonzero(kinds == left_type)
-        ri = np.flatnonzero(kinds == right_type)
-        if li.size == 0 or ri.size == 0:
-            return pd.DataFrame(
-                {"event_id": [], key: [], "ts_us": [], "prior_event_id": [], "gap_us": []}
-            )
-        pos = np.searchsorted(t[ri], t[li], side="left") - 1  # strictly earlier
-        ok = pos >= 0
-        li, pos = li[ok], pos[ok]
+        is_r = g["_r"].to_numpy()
+        n = k.size
+        empty = pd.DataFrame(
+            {"event_id": [], key: [], "ts_us": [], "prior_event_id": [], "gap_us": []}
+        )
+        if n == 0:
+            return empty
+        last_r = np.maximum.accumulate(np.where(is_r, np.arange(n), -1))
+        newu = _run_starts(k)
+        seg_start = np.maximum.accumulate(np.where(newu, np.arange(n), -1))
+        li = np.flatnonzero(~is_r)
+        cand = last_r[li]
+        ok = cand >= seg_start[li]
+        li, cand = li[ok], cand[ok]
+        if li.size == 0:
+            return empty
         return pd.DataFrame(
             {
                 "event_id": ids[li],
-                key: g[key].iloc[0],
+                key: k[li],
                 "ts_us": t[li],
-                "prior_event_id": ids[ri][pos],
-                "gap_us": t[li] - t[ri][pos],
+                "prior_event_id": ids[cand],
+                "gap_us": t[li] - t[cand],
             }
         )
 
@@ -147,11 +262,8 @@ def asof_prior_event(
     )
     return (
         events.select_columns(["event_id", key, ts, "event_type"])
-        .groupby(key)
-        .map_groups(per_user, batch_format="pandas")
-        .map_batches(
-            lambda b: b.cast(schema) if b.num_columns else schema.empty_table(),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(bucket_body, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )

@@ -125,6 +125,100 @@ def in_degrees(edges: Dataset) -> Dataset:
     return _degrees(edges.select_columns(["dst"]), "dst", "in_degree", _NUM_BUCKETS)
 
 
+def dual_degrees(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
+    """(vid, deg_fwd, deg_rev, deg_both) of the deduped edge table in one
+    pipeline: deg_fwd = distinct out-neighbors, deg_rev = distinct
+    in-neighbors, deg_both = distinct symmetrized neighbors (≠ fwd+rev when
+    reciprocal pairs exist). Used by the dual graph layout's hub detection.
+
+    Two bucketed exchanges: rows doubled with a dir tag and deduped per
+    (u, v, dir) inside hash(u, v) buckets — every copy of a pair lands in
+    one bucket, so per-u partial counts are exact there — then partials sum
+    in hash(u) buckets."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        u = np.concatenate([s, d])
+        v = np.concatenate([d, s])
+        dirc = np.concatenate([np.zeros(s.size, np.int8), np.ones(s.size, np.int8)])
+        order = np.lexsort((dirc, v, u))
+        u, v, dirc = u[order], v[order], dirc[order]
+        if u.size:
+            k = np.empty(u.size, dtype=bool)
+            k[0] = True
+            k[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1]) | (dirc[1:] != dirc[:-1])
+            u, v, dirc = u[k], v[k], dirc[k]
+        with np.errstate(over="ignore"):
+            bucket = (mix64(u) * np.uint64(0x9E3779B97F4A7C15) + mix64(v)) % np.uint64(
+                num_buckets
+            )
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "dir": pa.array(dirc, pa.int8()),
+                "_b": pa.array(bucket.astype(np.int64)),
+            }
+        )
+
+    def pair_finish(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        dirc = g["dir"].to_numpy()
+        order = np.lexsort((dirc, v, u))
+        u, v, dirc = u[order], v[order], dirc[order]
+        k = np.empty(u.size, dtype=bool)
+        k[0] = True
+        k[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1]) | (dirc[1:] != dirc[:-1])
+        u, v, dirc = u[k], v[k], dirc[k]
+        uniq, inv = np.unique(u, return_inverse=True)
+        nf = np.bincount(inv, weights=(dirc == 0), minlength=uniq.size).astype(np.int64)
+        nr = np.bincount(inv, weights=(dirc == 1), minlength=uniq.size).astype(np.int64)
+        # distinct (u, v) ignoring dir
+        kp = np.empty(u.size, dtype=bool)
+        kp[0] = True
+        kp[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        nb = np.bincount(inv[kp], minlength=uniq.size).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vid": uniq,
+                "deg_fwd": nf,
+                "deg_rev": nr,
+                "deg_both": nb,
+                "_b2": (mix64(uniq) % np.uint64(num_buckets)).astype(np.int64),
+            }
+        )
+
+    def vid_finish(g: pd.DataFrame) -> pd.DataFrame:
+        vid = g["vid"].to_numpy()
+        uniq, inv = np.unique(vid, return_inverse=True)
+        out = {"vid": uniq}
+        for c in ("deg_fwd", "deg_rev", "deg_both"):
+            out[c] = np.bincount(inv, weights=g[c].to_numpy(), minlength=uniq.size).astype(
+                np.int64
+            )
+        return pd.DataFrame(out)
+
+    schema = pa.schema(
+        [
+            ("vid", pa.int64()),
+            ("deg_fwd", pa.int64()),
+            ("deg_rev", pa.int64()),
+            ("deg_both", pa.int64()),
+        ]
+    )
+    return (
+        edges.select_columns(["src", "dst"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(pair_finish, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(vid_finish, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
 def vertex_ids(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
     """Distinct vids appearing as src or dst (the reference's implicit vertex
     set incl. the dead Isolateds path, /root/reference/src/graph/graph.go:443-457)."""

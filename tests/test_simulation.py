@@ -60,3 +60,23 @@ def test_pattern_reader():
     assert pg.attrs == P_ATTRS
     assert pg.targets == P_TARGETS
     assert pg.sources[1] == [0]
+
+
+def test_simulation_hub_split_identical():
+    # hub-split graphs now work: (pnode, delta) packs into the scalar hub
+    # broadcast channel (GraphSimulation.expand_hub)
+    from drone_ray.oracles import simulation_oracle
+
+    src, dst = ba_powerlaw(300, 3, 5)
+    res = graph_simulation(
+        lambda: _ds(src, dst),
+        "sim_hub",
+        P_ATTRS,
+        P_TARGETS,
+        num_partitions=4,
+        hub_threshold=15,
+    )
+    t = res.to_table()
+    got = sorted(zip(t["pattern_node"].to_pylist(), t["vid"].to_pylist()))
+    exp = simulation_oracle(src, dst, P_ATTRS, P_TARGETS)
+    assert got == exp
