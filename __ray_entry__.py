@@ -7,9 +7,9 @@ here (or in drone_ray) calls ray.init/ray.shutdown.
                 link graph → PageRank via the partition-actor superstep engine.
 - queries():    one callable per implemented operator/pipeline (SURVEY.md §2
                 + training-data ops); each takes sf_dir.
-- oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query
-                (iterative fixpoint algorithms are covered by the pytest
-                numpy oracles instead).
+- oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query,
+                including recursive-CTE oracles for the iterative fixpoints
+                (PageRank at a fixed iteration count, WCC, SSSP, LPA).
 """
 
 from __future__ import annotations

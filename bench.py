@@ -27,6 +27,19 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _pin_cpus(n: int) -> None:
+    """Constrain this process tree to n OS cores. ray.init(num_cpus=n) only
+    limits Ray's LOGICAL task admission — actors with num_cpus=0 (the
+    barrier-synchronized partition pool) and admitted workers still get
+    scheduled by the OS across every physical core, which silently turns an
+    '8 CPU' run into a 32-core one. Raylet + workers inherit the affinity,
+    making the budget real (verified: tasks and actors report n)."""
+    try:
+        os.sched_setaffinity(0, set(range(n)))
+    except (AttributeError, OSError):  # pragma: no cover - non-Linux
+        pass
+
+
 def _sf(sf_dir: str) -> float:
     try:
         return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -37,6 +50,7 @@ def _sf(sf_dir: str) -> float:
 def run_bench() -> dict:
     import ray
 
+    _pin_cpus(NUM_CPUS)
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -77,7 +91,9 @@ def run_bench() -> dict:
     shutil.rmtree(edges_out, ignore_errors=True)
 
     t0 = time.perf_counter()
-    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+    pages = rd.read_parquet(
+        pages_dir, columns=["url", "html"], override_num_blocks=max(64, NUM_CPUS * 4)
+    )
     links = pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
         links_to_edges_batch, batch_format="pyarrow"
     ).select_columns(["src", "dst"])
@@ -119,6 +135,15 @@ def run_bench() -> dict:
     ann_topk_exact(emb, k=10)
     timings["ann_topk"] = time.perf_counter() - t0
 
+    # bucketed windows at full sf key cardinality (one vectorized pass per
+    # hash(user) bucket — no per-key Python; see pipelines/windows.py)
+    from drone_ray.pipelines.windows import sessionize
+
+    t0 = time.perf_counter()
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts"])
+    n_sessions = sessionize(ev).count()
+    timings["sessions"] = time.perf_counter() - t0
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_pipelines_total",
@@ -129,6 +154,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "n_triangles": int(n_tri),
+        "n_sessions": int(n_sessions),
         "pagerank": pr_info,
     }
     ray.shutdown()
@@ -153,6 +179,8 @@ def run_scaling_child() -> dict:
 
     import ray
 
+    _pin_cpus(NUM_CPUS)
+
     def _session():
         ray.init(
             address="local",
@@ -165,8 +193,11 @@ def run_scaling_child() -> dict:
 
         DataContext.get_current().enable_progress_bars = False
 
+    # sized so each superstep's per-actor kernel work (~0.3 s at P=32)
+    # dominates the ~0.1 s/step Ray coordination floor — a smaller graph
+    # measures scheduler latency, not throughput scaling
     n_pages = int(os.environ.get("SCALING_PAGES", "200000"))
-    n_edges = int(os.environ.get("SCALING_EDGES", "25000000"))
+    n_edges = int(os.environ.get("SCALING_EDGES", "100000000"))
     n_steps = int(os.environ.get("SCALING_STEPS", "25"))
 
     _session()
@@ -186,7 +217,11 @@ def run_scaling_child() -> dict:
     timings: dict[str, float] = {}
     _session()
     t0 = time.perf_counter()
-    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+    # finer blocks than the input file count: better wave packing at high
+    # CPU counts (measured 4.1 s → 3.1 s for 200k pages at 32 CPUs)
+    pages = rd.read_parquet(
+        pages_dir, columns=["url", "html"], override_num_blocks=max(64, NUM_CPUS * 4)
+    )
     links = pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
         links_to_edges_batch, batch_format="pyarrow"
     ).select_columns(["src", "dst"])
@@ -220,16 +255,22 @@ def run_scaling_child() -> dict:
     time.sleep(3)
 
     # best-of-2 with a fresh session each: superstep wall time is sensitive
-    # to leftover worker teardown and page-cache state from prior stages
-    pr_times = []
+    # to leftover worker teardown and page-cache state from prior stages.
+    # Actor creation + graph load is timed separately from the superstep
+    # loop — load is a one-time cost a real job amortizes over hundreds of
+    # supersteps, and mixing them hides which phase limits scaling.
+    pr_steps_times, pr_load_times = [], []
     for _ in range(2):
         _session()
         t0 = time.perf_counter()
         res = run_vertex_program(man, PageRank, {"eps": 1e-10}, max_steps=n_steps)
-        pr_times.append(time.perf_counter() - t0)
+        total_pr = time.perf_counter() - t0
+        pr_steps_times.append(res.wall_seconds)
+        pr_load_times.append(total_pr - res.wall_seconds)
         ray.shutdown()
         time.sleep(3)
-    timings["pagerank_supersteps"] = min(pr_times)
+    timings["pr_load"] = min(pr_load_times)
+    timings["pagerank_supersteps"] = min(pr_steps_times)
     _session()  # keep a live session for the caller teardown path
 
     total = round(sum(timings.values()), 3)
@@ -242,11 +283,53 @@ def run_scaling_child() -> dict:
         "n_pages": n_pages,
         "n_link_edges": int(n_link_edges),
         "n_synth_edges": n_edges,
-        "pagerank_teps": int(res.teps),
+        "pagerank_teps": int(res.edges_traversed / timings["pagerank_supersteps"]),
         "sf": _sf(SF_DIR),
     }
     ray.shutdown()
     return out
+
+
+def _hw_ceiling(lo: int = 8, hi: int = 32) -> dict:
+    """Calibrate the BOX's parallel-scaling ceiling with an embarrassingly
+    parallel pure-Python control (independent integer loops, no shared
+    state, no Ray, no memory traffic to speak of). On this sandbox's shared
+    VM, per-core throughput drops as concurrency rises (hypervisor sharing
+    / SMT), so even a perfect workload cannot reach speedup hi/lo. The
+    ceiling = (hi/lo) · t_lo / t_hi is the fixed-work speedup an ideal
+    program could achieve here; efficiencies should be read against it. On
+    a real N→4N cluster every added node brings its own cores, DRAM and
+    NIC, so this ceiling does not apply there."""
+    import multiprocessing as mp
+
+    def timed(k: int) -> float:
+        # same affinity shape as the workload children: k procs on k cores
+        old = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(k)))
+        try:
+            t0 = time.perf_counter()
+            with mp.Pool(k) as p:
+                p.map(_burn, [20_000_000] * k)
+            return time.perf_counter() - t0
+        finally:
+            os.sched_setaffinity(0, old)
+
+    timed(2)  # warm the pool machinery
+    t_lo, t_hi = timed(lo), timed(hi)
+    max_speedup = (hi / lo) * t_lo / t_hi
+    return {
+        "ceiling": round(max_speedup / (hi / lo), 3),
+        "max_speedup": round(max_speedup, 2),
+        "t_lo": round(t_lo, 2),
+        "t_hi": round(t_hi, 2),
+    }
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
 
 
 def run_scaling() -> dict:
@@ -261,22 +344,45 @@ def run_scaling() -> dict:
         )
         return json.loads(res.stdout.strip().splitlines()[-1])
 
+    # The sandbox VM shares a physical host with unpredictable neighbors:
+    # single measurements swing ±50%+. Interleave rounds (lo, hi, lo, hi)
+    # with a hardware-ceiling calibration per round, take the per-phase
+    # MINIMUM per CPU level (the least externally-contaminated observation
+    # of each phase), and report every raw round for transparency.
     lo, hi = 8, 32
-    r_lo = one(lo)
-    time.sleep(10)  # let the previous child's workers fully terminate
-    r_hi = one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    runs: dict[int, list] = {lo: [], hi: []}
+    ceilings = []
+    for _ in range(rounds):
+        ceilings.append(_hw_ceiling(lo, hi))
+        runs[lo].append(one(lo))
+        time.sleep(10)  # let the previous child's workers fully terminate
+        runs[hi].append(one(hi))
+        time.sleep(10)
+    phases = list(runs[lo][0]["queries"])
+    best_lo = {k: min(r["queries"][k] for r in runs[lo]) for k in phases}
+    best_hi = {k: min(r["queries"][k] for r in runs[hi]) for k in phases}
+    sec_lo = round(sum(best_lo.values()), 3)
+    sec_hi = round(sum(best_hi.values()), 3)
+    eff = (sec_lo / sec_hi) / (hi / lo)
+    phase_eff = {k: round((best_lo[k] / best_hi[k]) / (hi / lo), 3) for k in phases}
+    ceiling = max(c["ceiling"] for c in ceilings)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
-        "teps_8": r_lo["pagerank_teps"],
-        "teps_32": r_hi["pagerank_teps"],
-        "sf": r_lo["sf"],
+        "normalized_vs_hw_ceiling": round(eff / ceiling, 3),
+        "hw_ceiling": ceilings,
+        "phase_efficiency": phase_eff,
+        "sec_8": sec_lo,
+        "sec_32": sec_hi,
+        "queries_8": best_lo,
+        "queries_32": best_hi,
+        "rounds_8": [r["queries"] for r in runs[lo]],
+        "rounds_32": [r["queries"] for r in runs[hi]],
+        "teps_8": max(r["pagerank_teps"] for r in runs[lo]),
+        "teps_32": max(r["pagerank_teps"] for r in runs[hi]),
+        "sf": runs[lo][0]["sf"],
         "num_cpus": [lo, hi],
     }
 

@@ -12,26 +12,44 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
+
+from drone_ray.hashing import mix64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _MAXH = np.uint64((1 << 61) - 1)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """uint64 per token — pandas hash_array (siphash with a fixed key): C
+    speed, deterministic across processes (no PYTHONHASHSEED dependence)."""
+    return pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+
+
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """Distinct k-word shingle hashes (uint64) of the whitespace tokens."""
+    """Distinct k-word shingle hashes (uint64) of the whitespace tokens —
+    vectorized: one hash pass over tokens, then a numpy k-gram polynomial
+    combine (no per-shingle string building / hashing)."""
     toks = text.split()
-    if len(toks) < k:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not joined:
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    hs = np.fromiter((_stable_hash64(s) for s in set(joined)), np.uint64)
-    return hs
+    th = _token_hashes(toks)
+    n = th.size
+    with np.errstate(over="ignore"):
+        if n < k:
+            acc = np.zeros(1, np.uint64)
+            for j in range(n):
+                acc = acc * _GOLDEN + th[j]
+        else:
+            acc = np.zeros(n - k + 1, np.uint64)
+            for j in range(k):  # k is tiny (3); each step is vectorized
+                acc = acc * _GOLDEN + th[j : n - k + 1 + j]
+        return np.unique(mix64(acc))
 
 
 class MinHasher:
@@ -73,17 +91,16 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (unit weights)."""
+    """64-bit SimHash over whitespace tokens (unit weights) — one vectorized
+    bit-count over the token-hash matrix."""
     toks = text.split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _stable_hash64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    bits = (acc > 0).astype(np.uint64)
-    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+    th = _token_hashes(toks)
+    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1)  # (n, 64)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
+    out_bits = (votes > 0).astype(np.uint64)
+    return int((out_bits << np.arange(64, dtype=np.uint64)).sum())
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

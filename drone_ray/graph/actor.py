@@ -39,13 +39,30 @@ class GraphPartitionActor:
     def __init__(self, manifest: dict, p: int, program_cls, program_kwargs: dict | None):
         self.p = p
         self.P = int(manifest["num_partitions"])
-        vd = read_partition(manifest["vertices_dir"], p, ["vid"])
-        owned = np.unique(vd["vid"])
         hubs_path = manifest.get("hubs_path")
         direction = manifest.get("direction")  # None | "fwd" | "rev" | "both"
         dual = bool(manifest.get("dual"))
         cols = ["src", "dst"] + (["dir"] if dual else []) + (["delegate"] if hubs_path else [])
         ed = read_partition(manifest["edges_dir"], p, cols)
+        if dual:
+            # owned set from the UNFILTERED rows (a vertex with only
+            # in-edges has only a rev row) + this partition's split hubs,
+            # whose rows all live in delegate slices elsewhere
+            if hubs_path:
+                nd = ~ed["delegate"].astype(bool)
+                owned = ed["src"][nd]
+            else:
+                owned = ed["src"]
+            owned = np.unique(owned)
+            if hubs_path:
+                hv_all = pq.read_table(hubs_path)["vid"].to_numpy(zero_copy_only=False)
+                from drone_ray.hashing import owner_partition as _op
+
+                mine = hv_all[_op(hv_all, self.P) == p]
+                owned = np.unique(np.concatenate([owned, mine]))
+        else:
+            vd = read_partition(manifest["vertices_dir"], p, ["vid"])
+            owned = np.unique(vd["vid"])
         if dual and direction != "both":
             keep = ed["dir"] == (0 if direction == "fwd" else 1)
             ed = {c: ed[c][keep] for c in ("src", "dst", *(["delegate"] if hubs_path else []))}
@@ -81,6 +98,79 @@ class GraphPartitionActor:
 
     def ready(self) -> dict:
         return {"part": self.p, "n_vertices": self.g.n, "n_edges": self.g.m}
+
+    # ------------------------------------------------------------------
+    # static-boundary handshake (once per run): every sender's possible
+    # destination set per owner is fixed by the graph, so receivers
+    # precompute the local row of each boundary slot and supersteps ship
+    # positions/values instead of (vid, val) rows — see csr.push_combined.
+    def outbound_boundaries(self):
+        """2P arrays: full boundaries for owners 0..P-1, then remote-only
+        boundaries — split via num_returns so each receiver pulls only its
+        own slices. Only the channels the program pushes on are built (the
+        dense index per side is lazy and costs a sort over the adjacency);
+        unused sides ship empty arrays."""
+        ch = getattr(self.program, "channels", ("full", "remote"))
+        empty = np.empty(0, np.int64)
+        out = [
+            self.g.outbound_boundary(q, remote_only=False) if "full" in ch else empty
+            for q in range(self.P)
+        ]
+        out += [
+            self.g.outbound_boundary(q, remote_only=True) if "remote" in ch else empty
+            for q in range(self.P)
+        ]
+        return tuple(out)
+
+    def register_inbound(self, *arrs) -> bool:
+        """args: P full-boundary vid arrays (sender order) + P remote ones;
+        stores receiver-local row maps on the graph for the combine."""
+        self.g._in_idx_full = [self.g.local_index(a) for a in arrs[: self.P]]
+        self.g._in_idx_rem = [self.g.local_index(a) for a in arrs[self.P :]]
+        return True
+
+    @staticmethod
+    def _payload_rows(m) -> int:
+        if m is None:
+            return 0
+        if "n" in m:
+            return int(m["n"])
+        return int(m["vid"].size)
+
+    def _to_global(self, payloads) -> list:
+        """Compact payloads → self-contained {"vid", "val"} dicts (used by
+        checkpoints, which must be readable without the boundary maps)."""
+        out = []
+        for s, m in enumerate(payloads):
+            if m is None:
+                continue
+            if "d" in m or "p" in m:
+                imap = (self.g._in_idx_rem if m["r"] else self.g._in_idx_full)[s]
+                if "d" in m:
+                    vals = m["d"]
+                    if vals.dtype.kind == "f":
+                        keep = (
+                            np.isfinite(vals)
+                            if self.program.combine_op == "min"
+                            else vals != 0.0
+                        )
+                    else:
+                        sentinel = (
+                            np.iinfo(vals.dtype).max
+                            if self.program.combine_op == "min"
+                            else 0
+                        )
+                        keep = vals != sentinel
+                    li = imap[keep]
+                    vv = vals[keep]
+                else:
+                    li = imap[m["p"]]
+                    vv = m["v"]
+                if li.size:
+                    out.append({"vid": self.g.owned[li], "val": vv})
+            elif m["vid"].size:
+                out.append(m)
+        return out
 
     # ------------------------------------------------------------------
     def superstep(self, step: int, *inbound):
@@ -122,7 +212,7 @@ class GraphPartitionActor:
                 precombine=self.program.sender_precombine,
             )
         hub_out = self.g.drain_pending_hub()
-        n_out = sum(r["vid"].size for r in routed if r is not None)
+        n_out = sum(self._payload_rows(r) for r in routed)
         n_hub = hub_out["vid"].size if hub_out else 0
         metrics = {
             "step": step,
@@ -167,7 +257,7 @@ class GraphPartitionActor:
         pq.write_table(t, tmp)
         os.replace(tmp, os.path.join(step_dir, f"state-{self.p}.parquet"))
 
-        payloads = list(inbound_for_next[:n_msg])
+        payloads = self._to_global(list(inbound_for_next[:n_msg]))
         for hub in inbound_for_next[n_msg:]:
             if hub is None or hub["vid"].size == 0:
                 continue

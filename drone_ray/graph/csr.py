@@ -104,16 +104,46 @@ class PartitionGraph:
         # them into the per-superstep hub broadcast channel
         self.pending_hub: list[tuple[np.ndarray, np.ndarray]] = []
 
-        # local/remote edge split
-        adj_owner = owner_partition(d, num_partitions)
-        local_mask = adj_owner == p
-        # local edges grouped by *destination* for reduceat-based in-partition
-        # propagation (the subgraph-centric local-fixpoint speedup,
-        # /root/reference/src/algorithm/CC.go:28-45)
+    # ------------------------------------------------------------------
+    # Lazy derived structures. Each program touches only a subset — PageRank
+    # needs the full-adjacency dense index, CC/SSSP the local/remote split +
+    # remote index, simulation neither — so they build on first access and
+    # actor startup pays only for what the program will use (graph load was
+    # the dominant cost of short jobs).
+    _LAZY_BUILDERS = {
+        "lin_src": "_build_local_remote",
+        "lin_starts": "_build_local_remote",
+        "lin_dsts": "_build_local_remote",
+        "m_local": "_build_local_remote",
+        "r_indptr": "_build_local_remote",
+        "r_adj": "_build_local_remote",
+        "adj_uniq": "_build_full_index",
+        "adj_uniq_bounds": "_build_full_index",
+        "adj_idx": "_build_full_index",
+        "r_uniq": "_build_rem_index",
+        "r_uniq_bounds": "_build_rem_index",
+        "r_idx": "_build_rem_index",
+    }
+
+    def __getattr__(self, name):
+        builder = PartitionGraph._LAZY_BUILDERS.get(name)
+        if builder is None:
+            raise AttributeError(name)
+        getattr(self, builder)()
+        return self.__dict__[name]
+
+    def _build_local_remote(self) -> None:
+        """Local/remote edge split: local edges grouped by *destination* for
+        reduceat-based in-partition propagation (the subgraph-centric
+        local-fixpoint speedup, /root/reference/src/algorithm/CC.go:28-45),
+        plus the remote-only CSR for boundary sends."""
+        d = self.adj
+        adj_owner = owner_partition(d, self.P)
+        local_mask = adj_owner == self.p
         l_dst = np.searchsorted(self.owned, d[local_mask])
-        l_src = src_local[local_mask]
+        l_src = self.adj_src_local[local_mask]
         o2 = np.argsort(l_dst, kind="stable")
-        self.lin_src = l_src[o2]          # local src row, grouped by dst
+        self.lin_src = l_src[o2]  # local src row, grouped by dst
         ld_sorted = l_dst[o2]
         if ld_sorted.size:
             ng = np.empty(ld_sorted.size, dtype=bool)
@@ -125,11 +155,9 @@ class PartitionGraph:
             self.lin_starts = np.empty(0, dtype=np.int64)
             self.lin_dsts = np.empty(0, dtype=np.int64)
         self.m_local = int(ld_sorted.size)
-
-        # remote-only CSR (for boundary sends after a local fixpoint)
         r_mask = ~local_mask
         r_counts = (
-            np.bincount(src_local[r_mask], minlength=self.n)
+            np.bincount(self.adj_src_local[r_mask], minlength=self.n)
             if r_mask.any()
             else np.zeros(self.n, np.int64)
         )
@@ -138,16 +166,19 @@ class PartitionGraph:
         # stable: within src, remote edges keep (src,dst) order
         self.r_adj = d[r_mask]
 
-        # --- dense outbound-boundary index (built once; SURVEY.md §4) ----
-        # The per-superstep sender combine used to be a lexsort over every
-        # outbound message row (O(E log E), DRAM-bound — the measured
-        # scaling ceiling). Instead, precompute the partition's distinct
-        # destination set grouped by owner plus an int index per edge into
-        # it; the combine becomes an O(E + |boundary|) bincount/minimum.at
-        # into that dense domain, and the per-owner split is a precomputed
-        # slice — no sort, no hash, no masks in the superstep. Costs one
-        # extra index array per adjacency (8 B/edge) at build.
+    # --- dense outbound-boundary index (built once per used side) --------
+    # The per-superstep sender combine used to be a lexsort over every
+    # outbound message row (O(E log E), DRAM-bound — the measured scaling
+    # ceiling). Instead, precompute the partition's distinct destination
+    # set grouped by owner plus an int index per edge into it; the combine
+    # becomes an O(E + |boundary|) bincount/minimum.at into that dense
+    # domain, and the per-owner split is a precomputed slice — no sort, no
+    # hash, no masks in the superstep. Costs one index array per used
+    # adjacency side (8 B/edge).
+    def _build_full_index(self) -> None:
         self.adj_uniq, self.adj_uniq_bounds, self.adj_idx = self._dense_dst_index(self.adj)
+
+    def _build_rem_index(self) -> None:
         self.r_uniq, self.r_uniq_bounds, self.r_idx = self._dense_dst_index(self.r_adj)
 
     def _dense_dst_index(self, adj: np.ndarray):
@@ -240,13 +271,12 @@ class PartitionGraph:
                 self.pending_hub.append((self.owned[rows[hub_mask]], values[hub_mask]))
         indptr = self.r_indptr if remote_only else self.indptr
         idx_arr = self.r_idx if remote_only else self.adj_idx
-        uniq = self.r_uniq if remote_only else self.adj_uniq
         bounds = self.r_uniq_bounds if remote_only else self.adj_uniq_bounds
         idx, lens = self._gather_slices(indptr, idx_arr, rows)
         if idx.size == 0:
             return out, 0
         vals = np.repeat(values, lens)
-        m = uniq.size
+        m = int(bounds[-1])
         cnt = np.bincount(idx, minlength=m)
         if op == "sum":
             acc = np.bincount(idx, weights=vals, minlength=m)
@@ -261,16 +291,38 @@ class PartitionGraph:
         else:  # pragma: no cover - max unused by built-ins
             acc = np.full(m, -np.inf)
             np.maximum.at(acc, idx, vals)
+        # Compact payloads against the STATIC boundary the receiver
+        # registered at startup (actor.register_inbound): dense form ships
+        # just the value lane (identity slots are no-ops for sum/min),
+        # sparse form ships int32 positions + values. Either is a fraction
+        # of the (vid int64, val) rows the generic channel ships.
+        remote_flag = bool(remote_only)
         for q in range(self.P):
             lo, hi = int(bounds[q]), int(bounds[q + 1])
             if lo == hi:
                 continue
-            sel = np.flatnonzero(cnt[lo:hi])
-            if sel.size == 0:
+            csl = cnt[lo:hi]
+            n_touched = int(np.count_nonzero(csl))
+            if n_touched == 0:
                 continue
-            sel += lo
-            out[q] = {"vid": uniq[sel], "val": acc[sel]}
+            if n_touched * 3 >= (hi - lo):  # sparse rows cost ~12B vs 8B dense
+                out[q] = {"d": acc[lo:hi].copy(), "r": remote_flag, "n": n_touched}
+            else:
+                sel = np.flatnonzero(csl)
+                out[q] = {
+                    "p": sel.astype(np.int32),
+                    "v": acc[lo + sel],
+                    "r": remote_flag,
+                    "n": n_touched,
+                }
         return out, int(vals.size)
+
+    def outbound_boundary(self, q: int, remote_only: bool) -> np.ndarray:
+        """The static sorted destination-vid set this partition can ever
+        send to owner q (global vids)."""
+        uniq = self.r_uniq if remote_only else self.adj_uniq
+        bounds = self.r_uniq_bounds if remote_only else self.adj_uniq_bounds
+        return uniq[int(bounds[q]) : int(bounds[q + 1])]
 
     def delegate_expand(self, hub_vids: np.ndarray, values: np.ndarray):
         """Replicate broadcast (hub, value) pairs along this partition's

@@ -135,6 +135,19 @@ def run_vertex_program(
         for p in range(P)
     ]
     ray.get([a.ready.remote() for a in actors])  # graph load barrier (Register)
+    # static-boundary handshake: each receiver registers every sender's
+    # possible destination set once, so superstep payloads can be compact
+    # positions/values instead of (vid, val) rows (csr.push_combined)
+    brefs = [a.outbound_boundaries.options(num_returns=2 * P).remote() for a in actors]
+    ray.get(
+        [
+            actors[q].register_inbound.remote(
+                *[brefs[p][q] for p in range(P)],
+                *[brefs[p][P + q] for p in range(P)],
+            )
+            for q in range(P)
+        ]
+    )
 
     start_step = 0
     resumed = False

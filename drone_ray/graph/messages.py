@@ -73,35 +73,69 @@ def combine_inbound(
 
 def combine_inbound_local(g, payloads: list[Messages | None], op: str) -> Messages | None:
     """Owner-side combine in the LOCAL index domain — O(rows + n) instead of
-    O(rows·log rows): the receiver owns every inbound vid, so sum collapses
-    to a weighted bincount and min to an unbuffered minimum.at, with the
-    touched set recovered by a count bincount (no sort anywhere). This is
-    the per-superstep hot path; the generic lexsort combine remains for
-    multi-key messages (LPA/Sim)."""
-    cat = concat(payloads)
-    if cat is None:
+    O(rows·log rows). Accepts three payload shapes, mixed freely:
+
+      * compact dense  {"d": values, "r": remote?}  — one value per slot of
+        the sender's registered static boundary (identity slots are no-ops)
+      * compact sparse {"p": int32 positions, "v": values, "r": remote?}
+      * global rows    {"vid": int64[], "val": values}  — hub expansions and
+        checkpoint-restored payloads
+
+    Compact payloads are positional: payload index s < P must be the payload
+    from sender s, resolved against ``g`` registered maps ``idx_full[s]`` /
+    ``idx_rem[s]`` (receiver-local row of each boundary slot, precomputed
+    once at startup — see actor.register_inbound). Returns
+    {"vid": global ids, "li": local rows, "val": combined} or None.
+
+    A combined sum of exactly 0.0 (or a min that stayed at the identity) is
+    reported as untouched — indistinguishable from receiving nothing, which
+    every program treats as a no-op.
+    """
+    idx_full = getattr(g, "_in_idx_full", None)
+    idx_rem = getattr(g, "_in_idx_rem", None)
+    idx_parts: list[np.ndarray] = []
+    val_parts: list[np.ndarray] = []
+    for s, m in enumerate(payloads):
+        if m is None:
+            continue
+        if "d" in m:
+            imap = idx_rem[s] if m["r"] else idx_full[s]
+            idx_parts.append(imap)
+            val_parts.append(m["d"])
+        elif "p" in m:
+            imap = idx_rem[s] if m["r"] else idx_full[s]
+            idx_parts.append(imap[m["p"]])
+            val_parts.append(m["v"])
+        elif m["vid"].size:
+            idx_parts.append(g.local_index(m["vid"]))
+            val_parts.append(m["val"])
+    if not idx_parts:
         return None
-    idx = g.local_index(cat["vid"])
-    val = cat["val"]
-    counts = np.bincount(idx, minlength=g.n)
-    touched = np.flatnonzero(counts)
+    idx = np.concatenate(idx_parts) if len(idx_parts) > 1 else idx_parts[0]
+    val = np.concatenate(val_parts) if len(val_parts) > 1 else val_parts[0]
     if op == "sum":
-        tot = np.bincount(idx, weights=val, minlength=g.n)
-        out_val = tot[touched]
+        acc = np.bincount(idx, weights=val, minlength=g.n)
+        touched = np.flatnonzero(acc)
+        out_val = acc[touched]
         if val.dtype.kind in "iu":
             out_val = out_val.astype(val.dtype)
     elif op == "min":
         if val.dtype.kind == "f":
             acc = np.full(g.n, np.inf)
+            np.minimum.at(acc, idx, val)
+            touched = np.flatnonzero(np.isfinite(acc))
         else:
-            acc = np.full(g.n, np.iinfo(val.dtype).max, dtype=val.dtype)
-        np.minimum.at(acc, idx, val)
+            sentinel = np.iinfo(val.dtype).max
+            acc = np.full(g.n, sentinel, dtype=val.dtype)
+            np.minimum.at(acc, idx, val)
+            touched = np.flatnonzero(acc != sentinel)
         out_val = acc[touched]
     else:  # pragma: no cover - max unused by built-ins
         acc = np.full(g.n, -np.inf)
         np.maximum.at(acc, idx, val)
+        touched = np.flatnonzero(np.isfinite(acc))
         out_val = acc[touched]
-    return {"vid": g.owned[touched], "val": out_val}
+    return {"vid": g.owned[touched], "li": touched, "val": out_val}
 
 
 def route(

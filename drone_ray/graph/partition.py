@@ -101,7 +101,13 @@ def _spill_vid_candidates(
 def _tag_edges_dual(batch: pa.Table, P: int, vertices_dir: str, hub_ref=None) -> pa.Table:
     """Dual layout: each input edge (s, d) emits (s, d, dir=0)@owner(s) and
     (d, s, dir=1)@owner(d). Hub rows (u in hubs) route by owner(v) and are
-    marked delegate, exactly like the single-direction path."""
+    marked delegate, exactly like the single-direction path.
+
+    No vertex-candidate side files (the single-direction path's small-file
+    hot spot): in a dual layout every endpoint appears as the u of some row
+    in its owner's partition — fwd row if it has out-edges, rev row if
+    in-edges — except split hubs, which the actor recovers from the global
+    hubs table instead."""
     s = batch["src"].to_numpy(zero_copy_only=False)
     d = batch["dst"].to_numpy(zero_copy_only=False)
     u = np.concatenate([s, d])
@@ -115,7 +121,6 @@ def _tag_edges_dual(batch: pa.Table, P: int, vertices_dir: str, hub_ref=None) ->
         hub_vids = ray.get(hub_ref)
         delegate = np.isin(u, hub_vids)
         part = np.where(delegate, owner_partition(v, P), part).astype(np.int32)
-    _spill_vid_candidates(s, d, P, vertices_dir)
     return pa.table(
         {
             "src": pa.array(u, pa.int64()),
@@ -202,21 +207,66 @@ def build_graph(
     hub_ref = None
     hubs_path = None
     if hub_threshold is not None:
-        # degrees must come from DEDUPED edges: the CSR/delegate adjacency
-        # exact-dedups (src,dst), so raw-stream counts (duplicate input rows,
-        # or symmetrize() doubling reciprocal pairs) would inflate the patched
-        # hub out_degree and silently skew PageRank's pr/outdeg pushes
+        # Two-phase hub detection. Patched hub degrees must come from
+        # DEDUPED edges (the CSR/delegate adjacency exact-dedups (src,dst);
+        # raw counts would inflate the degree and skew PageRank's
+        # pr/outdeg pushes) — but full-table pair dedup only to find a
+        # handful of hubs is the dominant build cost. So: one cheap RAW
+        # count pass gives an upper bound (raw ≥ deduped always) that
+        # selects candidates, and the exact deduped degrees run on the
+        # candidate-touching edge rows only.
+        from drone_ray.stages.edges import raw_endpoint_counts
+
         hubs_path = os.path.join(work_dir, "hubs.parquet")
-        if dual:
+        raw = raw_endpoint_counts(e)
+        bound = (
+            pc_.add(pc_.field("n_src"), pc_.field("n_dst"))
+            if dual
+            else pc_.field("n_src")
+        )
+        cand_parts = [
+            b.filter(pc_.greater(bound, hub_threshold))
+            for b in raw.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        cand = (
+            np.sort(pa.concat_tables(cand_parts)["vid"].to_numpy(zero_copy_only=False))
+            if cand_parts
+            else np.empty(0, np.int64)
+        )
+        cand_ref = ray.put(cand)
+
+        def _cand_edges(b: pa.Table) -> pa.Table:
+            cv = ray.get(cand_ref)
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            keep = np.isin(s, cv) | (np.isin(d, cv) if dual else False)
+            return b.filter(pa.array(keep))
+
+        sub = e.map_batches(_cand_edges, batch_format="pyarrow", batch_size=None)
+        if cand.size == 0:
+            empty_cols = (
+                {"vid": [], "deg_fwd": [], "deg_rev": [], "deg_both": []}
+                if dual
+                else {"vid": [], "out_degree": []}
+            )
+            pq.write_table(
+                pa.table({k: pa.array(v, pa.int64()) for k, v in empty_cols.items()}),
+                hubs_path,
+            )
+            hub_vids = np.empty(0, np.int64)
+        elif dual:
             from drone_ray.stages.edges import dual_degrees
 
             # a vertex is split when its largest view degree (deg_both)
             # exceeds the threshold; per-view degrees ride along so each
             # view patches its own hub out-degree at load
-            deg = dual_degrees(e)
+            deg = dual_degrees(sub)
             hubs_tbl = pa.concat_tables(
                 [
-                    b.filter(pc_.greater(b["deg_both"], hub_threshold))
+                    b.filter(
+                        pc_.greater(pc_.field("deg_both"), hub_threshold)
+                        & pc_.is_in(pc_.field("vid"), value_set=pa.array(cand))
+                    )
                     for b in deg.iter_batches(batch_format="pyarrow", batch_size=None)
                 ]
             )
@@ -225,7 +275,7 @@ def build_graph(
         else:
             from drone_ray.stages.edges import dedup_edges, out_degrees
 
-            deg = out_degrees(dedup_edges(e))
+            deg = out_degrees(dedup_edges(sub))
             hubs_tbl = pa.concat_tables(
                 [
                     b.filter(pc_.greater(b["out_degree"], hub_threshold))

@@ -33,6 +33,11 @@ class VertexProgram:
     # graph view on a dual layout when the caller passes no direction:
     # "fwd" (directed), "rev" (reversed), "both" (symmetrized)
     default_direction: str = "both"
+    # compact message channels this program pushes on via push_combined
+    # ("full" and/or "remote"); drives which dense boundary indexes are
+    # built and exchanged at startup. Programs on the generic (vid, val)
+    # route() path declare none.
+    channels: tuple = ("full", "remote")
     # sender-side per-(dest, key) combine before the exchange: on skewed
     # graphs duplicate destination keys dominate, so the lexsort pays for
     # itself many times over in shipped volume (measured 3-4× per-step wall
@@ -87,6 +92,7 @@ class PageRank(VertexProgram):
     """
 
     default_direction = "fwd"
+    channels = ("full",)
 
     def __init__(self, eps: float = 1e-10, damping: float = 0.85):
         self.eps = eps
@@ -108,7 +114,7 @@ class PageRank(VertexProgram):
 
     def inceval(self, g, st, inbound):
         if inbound is not None:
-            recv = g.local_index(inbound["vid"])
+            recv = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
             st["acc"][recv] += inbound["val"]
         else:
             recv = np.empty(0, dtype=np.int64)
@@ -171,6 +177,7 @@ class ConnectedComponents(VertexProgram):
     combine_op = "min"
     needs_symmetrized = True
     default_direction = "both"
+    channels = ("remote",)
 
     def init_state(self, g):
         return {"label": g.owned.copy(), "aux": {}}
@@ -189,7 +196,7 @@ class ConnectedComponents(VertexProgram):
     def inceval(self, g, st, inbound):
         if inbound is None:
             return None, {"edges": 0, "n_changed": 0}
-        l = g.local_index(inbound["vid"])
+        l = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
         smaller = inbound["val"] < st["label"][l]
         if not smaller.any():
             return None, {"edges": 0, "n_changed": 0}
@@ -217,6 +224,7 @@ class LabelPropagation(VertexProgram):
     combine_op = "sum"
     extra_key = "label"
     needs_symmetrized = True
+    channels = ()
     sender_precombine = True  # (vid, label) count rows compress at the sender
 
     def __init__(self, max_rounds: int = 10):
@@ -283,6 +291,7 @@ class SSSP(VertexProgram):
 
     combine_op = "min"
     default_direction = "fwd"
+    channels = ("remote",)
 
     def __init__(self, source: int):
         self.source = int(source)
@@ -308,7 +317,7 @@ class SSSP(VertexProgram):
     def inceval(self, g, st, inbound):
         if inbound is None:
             return None, {"edges": 0}
-        l = g.local_index(inbound["vid"])
+        l = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
         smaller = inbound["val"] < st["dist"][l]
         if not smaller.any():
             return None, {"edges": 0}

@@ -36,6 +36,7 @@ class GraphSimulation(VertexProgram):
     combine_op = "sum"
     extra_key = "pnode"
     default_direction = "rev"
+    channels = ()  # generic (vid, pnode, val) route() path
     sender_precombine = True
 
     def __init__(self, pattern_attrs: dict[int, int], pattern_targets: dict[int, list[int]], attr_mod: int = ATTR_MOD):

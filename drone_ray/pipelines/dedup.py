@@ -82,15 +82,76 @@ class _MinhashStage:
         )
 
 
-def _bucket_pairs(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    ids = np.sort(group[id_col].to_numpy())
-    if ids.size < 2:
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-    i, j = np.triu_indices(ids.size, k=1)
-    return pd.DataFrame({"a": ids[i], "b": ids[j]})
+def _expand_group_pairs(keys: list[np.ndarray], ids: np.ndarray):
+    """All ordered (i < j) id pairs within contiguous runs of ``keys`` —
+    one repeat/cumsum pass over the whole bucket, no per-group Python.
+    ``keys``/``ids`` must already be sorted by (*keys, ids). Returns
+    (a_idx, b_idx) row indices into the input arrays."""
+    n = ids.size
+    if n < 2:
+        e = np.empty(0, np.int64)
+        return e, e
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    diff = keys[0][1:] != keys[0][:-1]
+    for k in keys[1:]:
+        diff = diff | (k[1:] != k[:-1])
+    new[1:] = diff
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    pos = np.arange(n) - np.repeat(starts, sizes)
+    lens = np.repeat(sizes, sizes) - 1 - pos
+    total = int(lens.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    a_idx = np.repeat(np.arange(n), lens)
+    ctr = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    return a_idx, a_idx + 1 + ctr
+
+
+def _bucket_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Candidate pairs for every (band_id, band_hash) group in one bucket."""
+    bid = g["band_id"].to_numpy()
+    bh = g["band_hash"].to_numpy()
+    ids = g[id_col].to_numpy()
+    order = np.lexsort((ids, bh, bid))
+    bid, bh, ids = bid[order], bh[order], ids[order]
+    ai, bi = _expand_group_pairs([bid, bh], ids)
+    if ai.size == 0:
+        return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+    df = pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    return df.drop_duplicates()
 
 
 _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _dedupe_pairs(pairs: Dataset, schema: pa.Schema, num_buckets: int = 32) -> Dataset:
+    """Global distinct on (a, b): bucket shuffle + per-bucket vectorized
+    drop_duplicates. Any extra columns are identical across copies of a pair
+    (band-independent functions of the two docs), so keeping the first is
+    exact. Avoids groupby(["a","b"]).aggregate(...) whose hash-aggregate
+    actor pools dominate wall time at small scale."""
+    from drone_ray.hashing import mix64
+
+    def tag(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (
+                mix64(b["a"].to_numpy(zero_copy_only=False)) * np.uint64(0x9E3779B97F4A7C15)
+                + mix64(b["b"].to_numpy(zero_copy_only=False))
+            ) % np.uint64(num_buckets)
+        return b.append_column("_pb", pa.array(h.astype(np.int64)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"]).drop(columns=["_pb"])
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("_pb")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
+    )
 
 
 def _pin(schema: pa.Schema):
@@ -109,22 +170,43 @@ def minhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     concurrency: int = 4,
+    dedupe: bool = True,
 ) -> Dataset:
-    """Distinct candidate pairs (a < b) sharing at least one LSH band."""
+    """Candidate pairs (a < b) sharing at least one LSH band; globally
+    distinct unless ``dedupe=False``."""
+    from drone_ray.hashing import mix64
+
+    num_buckets = 32
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (
+                b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + mix64(b["band_hash"].to_numpy(zero_copy_only=False))
+            ) % np.uint64(num_buckets)
+        return b.append_column("_b", pa.array(h.astype(np.int64)))
+
     bands = docs.map_batches(
         _MinhashStage,
         fn_constructor_args=(num_perm, num_bands, k, id_col, text_col),
         batch_format="pyarrow",
         concurrency=concurrency,
-    )
+    ).map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+    # ONE shuffle on hash(band key) % B; all groups of a bucket expand to
+    # pairs in a single vectorized pass (a per-(band,hash) map_groups would
+    # pay one Python call per distinct band value — tens of thousands)
     pairs = (
-        bands.groupby(["band_id", "band_hash"])
+        bands.groupby("_b")
         .map_groups(lambda g: _bucket_pairs(g, id_col), batch_format="pandas")
         .map_batches(_pin(_PAIR_SCHEMA), batch_format="pyarrow", batch_size=None)
     )
-    return (
-        pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
-    )
+    if not dedupe:
+        # verify_jaccard's second hop groups by hash(a, b) anyway, so its
+        # per-bucket dedupe is free — callers that feed the verifier skip
+        # this extra shuffle
+        return pairs
+    return _dedupe_pairs(pairs, _PAIR_SCHEMA)
 
 
 def verify_jaccard(
@@ -215,6 +297,9 @@ def verify_jaccard(
         )
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
+        # duplicate candidate pairs (multi-band hits) collapse here — all
+        # copies of (a, b) share this bucket by construction
+        g = g.drop_duplicates(subset=["a", "b", "side"])
         g = g.sort_values(["a", "b", "side"], kind="mergesort")
         a = g["a"].to_numpy()
         bb = g["b"].to_numpy()
@@ -241,7 +326,9 @@ def verify_jaccard(
 
 
 def minhash_near_dups(docs: Dataset, threshold: float = 0.7, **kw) -> Dataset:
-    return verify_jaccard(minhash_candidates(docs, **kw), docs, threshold=threshold)
+    return verify_jaccard(
+        minhash_candidates(docs, dedupe=False, **kw), docs, threshold=threshold
+    )
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -284,30 +371,60 @@ def simhash_near_dups(
             }
         )
 
+    from drone_ray.hashing import mix64
+
+    num_buckets = 32
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = (
+                b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + mix64(b["band_key"].to_numpy(zero_copy_only=False))
+            ) % np.uint64(num_buckets)
+        return b.append_column("_b", pa.array(h.astype(np.int64)))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
+        """All same-(band_id, band_key) pairs in one bucket, one vectorized
+        expansion + Hamming filter (no per-band-value Python)."""
+        bid = g["band_id"].to_numpy()
+        bkey = g["band_key"].to_numpy()
         ids = g[id_col].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        if ids.size < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype=np.int64)
-        i, j = np.triu_indices(ids.size, k=1)
-        d = hamming64(hs[i], hs[j])
-        keep = d <= max_hamming
-        return pd.DataFrame(
-            {"a": ids[i][keep], "b": ids[j][keep], "hamming": d[keep].astype(np.int64)}
+        order = np.lexsort((ids, bkey, bid))
+        bid, bkey, ids, hs = bid[order], bkey[order], ids[order], hs[order]
+        ai, bi = _expand_group_pairs([bid, bkey], ids)
+        empty = pd.DataFrame(
+            {
+                "a": np.empty(0, np.int64),
+                "b": np.empty(0, np.int64),
+                "hamming": np.empty(0, np.int64),
+            }
         )
+        if ai.size == 0:
+            return empty
+        d = hamming64(hs[ai], hs[bi])
+        keep = d <= max_hamming
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "a": ids[ai][keep],
+                "b": ids[bi][keep],
+                "hamming": d[keep].astype(np.int64),
+            }
+        ).drop_duplicates()
 
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())])
     pairs = (
         sh.map_batches(explode, batch_format="pyarrow", batch_size=None)
-        .groupby(["band_id", "band_key"])
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
         .map_groups(bucket_pairs, batch_format="pandas")
         .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-    )
+    # a pair's hamming is band-independent, so distinct == min
+    return _dedupe_pairs(pairs, schema)
 
 
 # --- embedding cosine near-dup --------------------------------------------
@@ -398,4 +515,5 @@ def embedding_near_dups_lsh(
         .map_groups(bucket_pairs, batch_format="pandas")
         .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )
-    return pairs.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))
+    # a pair's cosine is table-independent, so distinct == min
+    return _dedupe_pairs(pairs, schema)

@@ -125,6 +125,47 @@ def in_degrees(edges: Dataset) -> Dataset:
     return _degrees(edges.select_columns(["dst"]), "dst", "in_degree", _NUM_BUCKETS)
 
 
+def raw_endpoint_counts(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
+    """(vid, n_src, n_dst) — per-vertex RAW row counts (duplicates counted).
+    One cheap partial-count shuffle; used as an upper bound for hub-candidate
+    detection (raw ≥ deduped degree always)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        vids = np.unique(np.concatenate([s, d]))
+        ns = np.bincount(np.searchsorted(vids, s), minlength=vids.size)
+        nd = np.bincount(np.searchsorted(vids, d), minlength=vids.size)
+        return pa.table(
+            {
+                "vid": pa.array(vids, pa.int64()),
+                "n_src": pa.array(ns.astype(np.int64)),
+                "n_dst": pa.array(nd.astype(np.int64)),
+                "_b": pa.array((mix64(vids) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        vid = g["vid"].to_numpy()
+        uniq, inv = np.unique(vid, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "vid": uniq,
+                "n_src": np.bincount(inv, weights=g["n_src"].to_numpy(), minlength=uniq.size).astype(np.int64),
+                "n_dst": np.bincount(inv, weights=g["n_dst"].to_numpy(), minlength=uniq.size).astype(np.int64),
+            }
+        )
+
+    schema = pa.schema([("vid", pa.int64()), ("n_src", pa.int64()), ("n_dst", pa.int64())])
+    return (
+        edges.select_columns(["src", "dst"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
 def dual_degrees(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
     """(vid, deg_fwd, deg_rev, deg_both) of the deduped edge table in one
     pipeline: deg_fwd = distinct out-neighbors, deg_rev = distinct

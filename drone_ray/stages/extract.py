@@ -10,15 +10,19 @@ state, applied inside ``map_batches``.
 Extraction contract (fixed; the synthetic page generator and the oracle
 ``text`` column both follow it):
 
+* preclean = HTML comments and whole ``<script>``/``<style>`` elements are
+             removed first (real Common-Crawl pages; the synthetic fixture
+             contains none, so its bytes are unaffected).
 * text     = the normalized contents of the ``<title>`` element followed by
              the normalized contents of every ``<p>`` element, in document
              order, joined with ``"\\n"``; empty segments are dropped.
              "Normalized" = inner tags stripped, the five standard HTML
              entities unescaped (&amp; &lt; &gt; &quot; &#39;), runs of
              whitespace collapsed to one space, ends stripped.
-* links    = the value of every ``href="..."`` attribute of ``<a>`` tags in
-             the raw HTML, in document order, duplicates preserved
-             (canonicalization/dedup happens downstream, M9/D3).
+* links    = the value of every ``href`` attribute of ``<a>`` tags in the
+             precleaned HTML — quoted or bare — in document order,
+             duplicates preserved (canonicalization/dedup happens
+             downstream, M9/D3).
 """
 
 from __future__ import annotations
@@ -31,7 +35,17 @@ _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
 _P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I)
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
-_HREF_RE = re.compile(r"""<a\s[^>]*?href=["']([^"']*)["']""", re.S | re.I)
+_HREF_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:["']([^"']*)["']|([^\s"'>]+))""", re.S | re.I
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+
+
+def preclean(html: str) -> str:
+    """Drop comments and script/style elements (their text is not content
+    and their attribute soup would otherwise leak tags into segments)."""
+    return _SCRIPT_STYLE_RE.sub(" ", _COMMENT_RE.sub(" ", html))
 
 _ENTITIES = (
     ("&lt;", "<"),
@@ -52,6 +66,7 @@ def normalize_segment(raw: str) -> str:
 
 def extract_text(html: str) -> str:
     """Pure per-row text extraction following the module contract."""
+    html = preclean(html)
     segments = []
     m = _TITLE_RE.search(html)
     if m:
@@ -63,7 +78,7 @@ def extract_text(html: str) -> str:
 
 def extract_links(html: str) -> list[str]:
     """All raw href values of anchors, document order, dups preserved."""
-    return _HREF_RE.findall(html)
+    return [q or bare for q, bare in _HREF_RE.findall(preclean(html))]
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:

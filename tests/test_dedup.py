@@ -69,10 +69,18 @@ def test_minhash_lsh_finds_planted_near_dups():
         for a, b in itertools.combinations(ids, 2)
         if jaccard(sh[a], sh[b]) >= 0.5
     }
-    # LSH with 16 bands of 8 rows has >99.9% hit probability at j>=0.5 for
-    # planted dups (j≈0.9); require full recall on this fixture + no false
-    # positives (verification is exact)
-    assert got_pairs == exp_pairs
+    # no false positives (verification is exact) …
+    assert got_pairs <= exp_pairs
+    # … and full recall for the planted high-similarity pairs: 16 bands of
+    # 8 rows hit j≥0.85 with prob ≈1-(1-0.85^8)^16 > 0.99. Borderline pairs
+    # (j barely over 0.5) have ~6% band-hit probability and may legitimately
+    # be missed — approximate by design.
+    strong = {
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if jaccard(sh[a], sh[b]) >= 0.85
+    }
+    assert strong <= got_pairs
     # reported jaccard values are the exact ones
     for _, r in got.iterrows():
         assert abs(r["jaccard"] - jaccard(sh[int(r["a"])], sh[int(r["b"])])) < 1e-6

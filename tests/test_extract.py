@@ -75,3 +75,27 @@ def test_links_to_edges_batch_dedup_preserved():
         "https://b.example/y",
     ]
     assert out["src"][0].as_py() == out["src"][1].as_py()
+
+
+def test_extract_real_world_html_robustness():
+    # comments, script/style payloads and bare hrefs must not leak into
+    # text or be missed in links (not exercised by the synthetic fixture)
+    from drone_ray.stages.extract import extract_links, extract_text
+
+    html = (
+        "<html><head><title>T</title>"
+        "<style>p { color: red } </style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- <p>commented out</p> -->"
+        "<p>real <b>content</p>"
+        '<script src="x.js"></script>'
+        "<p>second &amp; last</p>"
+        '<a href=https://bare.example/p/1>bare</a>'
+        '<a href="https://quoted.example/p/2">q</a>'
+        "</body></html>"
+    )
+    assert extract_text(html) == "T\nreal content\nsecond & last"
+    assert extract_links(html) == [
+        "https://bare.example/p/1",
+        "https://quoted.example/p/2",
+    ]

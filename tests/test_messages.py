@@ -80,3 +80,56 @@ def test_combine_inbound_two_level_equals_global():
     assert set(got) == set(expd)
     for k in expd:
         assert abs(got[k] - expd[k]) < 1e-12
+
+
+def test_push_combined_compact_channel_equals_generic():
+    # push_combined's compact dense/sparse payloads + the mapped owner-side
+    # combine must equal the generic (vid,val) route+combine path exactly
+    import numpy as np
+
+    from drone_ray.graph.csr import PartitionGraph
+    from drone_ray.graph.messages import combine_inbound_local, route
+    from drone_ray.hashing import owner_partition
+
+    rng = np.random.default_rng(5)
+    P = 4
+    src = rng.integers(0, 200, 3000).astype(np.int64)
+    dst = rng.integers(0, 200, 3000).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    vids = np.unique(np.concatenate([src, dst]))
+    graphs = []
+    for p in range(P):
+        owned = vids[owner_partition(vids, P) == p]
+        sel = np.isin(owner_partition(src, P), [p])
+        graphs.append(PartitionGraph(p, P, owned, src[sel], dst[sel]))
+
+    for op in ("sum", "min"):
+        # every sender pushes a value per owned vertex along its out-edges
+        compact_payloads = [[None] * P for _ in range(P)]  # [receiver][sender]
+        generic_payloads = [[None] * P for _ in range(P)]
+        for p, g in enumerate(graphs):
+            rows = np.arange(g.n)
+            vals = (g.owned % 17).astype(np.float64) + p
+            routed, _ = g.push_combined(rows, vals, op=op)
+            dsts, vv = g.push(rows, vals)
+            gen = route({"vid": dsts, "val": vv}, P, op, precombine=True)
+            for q in range(P):
+                compact_payloads[q][p] = routed[q]
+                generic_payloads[q][p] = gen[q]
+        for q, g in enumerate(graphs):
+            # register static boundaries like the harness handshake does
+            g._in_idx_full = [
+                g.local_index(graphs[s].outbound_boundary(q, remote_only=False))
+                for s in range(P)
+            ]
+            g._in_idx_rem = [
+                g.local_index(graphs[s].outbound_boundary(q, remote_only=True))
+                for s in range(P)
+            ]
+            got = combine_inbound_local(g, compact_payloads[q], op)
+            exp = combine_inbound_local(g, generic_payloads[q], op)
+            assert got is not None and exp is not None
+            assert np.array_equal(got["vid"], exp["vid"])
+            assert np.array_equal(got["val"], exp["val"])
+            assert np.array_equal(got["li"], g.local_index(got["vid"]))
