@@ -133,3 +133,32 @@ def quality_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
     out = {id_col: batch[id_col]}
     out.update({k: pa.array(v) for k, v in cols.items()})
     return pa.table(out)
+
+
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+
+
+def bpe_tokens(text: str) -> list[str]:
+    """BPE-ish pre-tokenization: letter runs, single digits, single
+    punctuation marks (whitespace dropped). The pattern is deliberately
+    RE2-compatible so DuckDB's regexp_extract_all is an exact oracle."""
+    return _BPE_RE.findall(text)
+
+
+def bpe_token_stats_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    n_tok = np.empty(len(texts), np.int64)
+    n_uniq = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        tk = bpe_tokens(t)
+        n_tok[i] = len(tk)
+        n_uniq[i] = len(set(tk))
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_bpe_tokens": pa.array(n_tok, pa.int64()),
+            "n_uniq_bpe_tokens": pa.array(n_uniq, pa.int64()),
+        }
+    )

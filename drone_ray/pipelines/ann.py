@@ -154,3 +154,105 @@ def ann_topk_lsh(
     )
     out["cosine"] = out["cosine"].round(6)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _kmeans_lite(x: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic seeded Lloyd iterations on a driver-side SAMPLE — the
+    coarse quantizer for IVF. The sample is bounded (not the dataset), so
+    this stays O(sample·k·iters) regardless of corpus size."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(0)
+    return cent
+
+
+def ann_topk_ivf(
+    emb: Dataset,
+    query_ids=(0, 1, 2, 3, 4),
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_mod: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF approximate top-k: a seeded k-means coarse quantizer (trained on
+    a deterministic ~1/sample_mod sample) assigns every vector to a cluster
+    inside map_batches; each query probes only its n_probe nearest
+    clusters, so per-batch similarity work drops to ~n_probe/n_clusters of
+    the exact scan. Approximate by design: vectors in unprobed clusters are
+    invisible to that query (recall grows with n_probe).
+    """
+
+    def pick_sample(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % sample_mod == 0))
+
+    sample_parts = list(
+        emb.select_columns([id_col, vec_col])
+        .map_batches(pick_sample, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    strain = (
+        np.vstack([batch_matrix(t, vec_col) for t in sample_parts if t.num_rows])
+        if sample_parts
+        else np.zeros((0, 1))
+    )
+    if strain.shape[0] == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    cent = _kmeans_lite(strain, n_clusters)
+    qids, q = _query_matrix(emb, query_ids, id_col, vec_col)
+    # per query: the n_probe nearest centroids (by cosine)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]  # (m, n_probe)
+    ref = ray.put((qids, q, cent, probe))
+
+    def partial(b: pa.Table) -> pa.Table:
+        qi, qm, cc, pr = ray.get(ref)
+        x = batch_matrix(b, vec_col)
+        ids = np.array(b[id_col].to_pylist(), dtype=np.int64)
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        if x.size and qm.size:
+            d = ((x[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)  # cluster of each vector
+            for m, qid in enumerate(qi):
+                cand = np.isin(assign, pr[m])
+                if not cand.any():
+                    continue
+                s = cosine_matrix(x[cand], qm[m : m + 1])[:, 0]
+                cids = ids[cand]
+                idx = np.lexsort((cids, -s))[: min(k, len(cids))]
+                out["query_id"].extend([qid] * len(idx))
+                out["vec_id"].extend(cids[idx].tolist())
+                out["cosine"].extend(s[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
+
+    df = emb.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = (
+        df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["cosine"] = out["cosine"].round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -290,6 +290,50 @@ def q_simhash_near_dup(sf_dir: str):
 
 
 
+def q_bpe_token_stats(sf_dir: str):
+    from drone_ray.functions.text import bpe_token_stats_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bpe_token_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_host_page_stats(sf_dir: str):
+    """Per-site aggregation over the Common-Crawl-style pages fixture:
+    (host, n_pages, sum_chars). The fixture is fixed-size (see
+    q_extract_pages) so the static oracle path matches at every sf."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from drone_ray.sources.pages import write_pages
+
+    pages_dir = write_pages(EXTRACT_PAGES_DIR, EXTRACT_PAGES_N, seed=EXTRACT_PAGES_SEED)
+    pages = rd.read_parquet(pages_dir, columns=["url", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        urls = b["url"].to_pylist()
+        hosts = [u.split("://", 1)[1].split("/", 1)[0] for u in urls]
+        chars = [len(t) for t in b["text"].to_pylist()]
+        g = (
+            pd.DataFrame({"host": hosts, "chars": chars})
+            .groupby("host", sort=False)
+            .agg(n_pages=("chars", "size"), sum_chars=("chars", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+    )
+
+
 def q_vocabulary(sf_dir: str):
     from drone_ray.pipelines.textstats import vocabulary_size
 
@@ -315,6 +359,12 @@ def q_ann_topk_lsh(sf_dir: str):
     from drone_ray.pipelines.ann import ann_topk_lsh
 
     return ann_topk_lsh(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=10)
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    from drone_ray.pipelines.ann import ann_topk_ivf
+
+    return ann_topk_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=10)
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -651,6 +701,19 @@ REGISTRY: dict[str, tuple] = {
         q_doc_fingerprint,
         f"SELECT doc_id, {_NORM_SQL} AS fp FROM documents",
     ),
+    "bpe_token_stats": (
+        q_bpe_token_stats,
+        "SELECT doc_id, "
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens, "
+        "len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) "
+        "AS n_uniq_bpe_tokens FROM documents",
+    ),
+    "host_page_stats": (
+        q_host_page_stats,
+        "SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, "
+        "count(*) AS n_pages, CAST(sum(length(text)) AS BIGINT) AS sum_chars "
+        f"FROM read_parquet('{EXTRACT_PAGES_DIR}/*.parquet') GROUP BY 1",
+    ),
     "langid": (q_langid, None),  # heuristic model — unit-tested on pages fixture
     "quality": (q_quality, None),
     "minhash_near_dup": (q_minhash_near_dup, None),  # custom hashing
@@ -676,6 +739,7 @@ REGISTRY: dict[str, tuple] = {
         "list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC, vec_id) <= 10",
     ),
     "ann_topk_lsh": (q_ann_topk_lsh, None),  # approximate by design
+    "ann_topk_ivf": (q_ann_topk_ivf, None),  # approximate by design
     "embedding_near_dup": (
         q_embedding_near_dup,
         "SELECT a.vec_id AS a, b.vec_id AS b, "

@@ -50,3 +50,27 @@ def test_ann_lsh_subset_of_exact_space():
     sims = cosine_matrix(x, x[:1])[:, 0]
     for _, r in out.iterrows():
         assert abs(r["cosine"] - round(sims[int(r["vec_id"])], 6)) < 1e-6
+
+
+def test_ann_ivf_recall_vs_exact():
+    # IVF with n_probe=4 of 16 clusters on clustered vectors should keep
+    # high top-10 recall vs the exact scan; all reported cosines exact
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from drone_ray.pipelines.ann import ann_topk_exact, ann_topk_ivf
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32))
+    vecs = np.vstack([c + 0.1 * rng.normal(size=(80, 32)) for c in centers])
+    ids = np.arange(len(vecs))
+    emb = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    )
+    exact = ann_topk_exact(emb, query_ids=(0, 100, 200), k=10).to_pandas()
+    ivf = ann_topk_ivf(emb, query_ids=(0, 100, 200), k=10, n_clusters=8, n_probe=2).to_pandas()
+    for qid in (0, 100, 200):
+        e = set(exact[exact.query_id == qid].vec_id)
+        g = set(ivf[ivf.query_id == qid].vec_id)
+        assert len(e & g) >= 8, f"recall too low for query {qid}: {len(e & g)}/10"

@@ -68,3 +68,11 @@ def test_quality_batch_ranges():
     out = quality_batch(b)
     q = out["quality"].to_pylist()
     assert 0.0 <= q[1] < q[0] <= 1.0
+
+
+def test_bpe_tokens_semantics():
+    from drone_ray.functions.text import bpe_tokens
+
+    assert bpe_tokens("ab12, c-d!") == ["ab", "1", "2", ",", "c", "-", "d", "!"]
+    assert bpe_tokens("") == []
+    assert bpe_tokens("   ") == []
