@@ -184,9 +184,10 @@ def run_vertex_program(
     # reads step s's metrics — actors flow from step to step without waiting
     # on the driver round-trip. Safe to run one step past convergence: a
     # converged step's payload refs are all None and every program treats
-    # empty inbound as a no-op. Disabled while checkpointing (a checkpoint
-    # tagged step s must capture the state exactly after step s).
-    pipeline = not (checkpoint_dir and checkpoint_every)
+    # empty inbound as a no-op. Checkpoints ride the same pipeline: actor
+    # tasks execute in submission order, so submitting checkpoint(s) BEFORE
+    # superstep(s+1) guarantees the snapshot is exactly post-step-s state
+    # while the driver never blocks on the writes.
 
     def launch(s: int, prev: list | None):
         futs = []
@@ -202,47 +203,50 @@ def run_vertex_program(
             futs.append(a.superstep.options(num_returns=P + 2).remote(s, *args))
         return futs
 
+    def submit_checkpoint(s: int, futs: list):
+        return [
+            actors[p].checkpoint.remote(
+                checkpoint_dir,
+                s,
+                P,
+                *[futs[q][1 + p] for q in range(P)],
+                *[futs[q][P + 1] for q in range(P)],
+            )
+            for p in range(P)
+        ]
+
+    def commit_manifest(s: int):
+        step_dir = os.path.join(checkpoint_dir, f"step={s}")
+        tmp = os.path.join(step_dir, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "step": s,
+                    "num_partitions": P,
+                    "program": program_cls.__name__,
+                    "graph_token": manifest.content_token,
+                    "graph_dir": manifest.work_dir,
+                    "direction": direction,
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(step_dir, "manifest.json"))
+
     futures = launch(step, None)
     while True:
+        ck_futs = None
+        if checkpoint_dir and checkpoint_every and (step + 1) % checkpoint_every == 0:
+            ck_futs = submit_checkpoint(step, futures)  # before superstep s+1
         next_futures = None
-        if pipeline and step + 1 < max_steps:
+        if step + 1 < max_steps:
             next_futures = launch(step + 1, futures)
         mets = ray.get([f[0] for f in futures])  # SuperStepFinish barrier
         metrics_log.extend(mets)
         edges_total += sum(m.get("edges", 0) for m in mets)
 
-        if (
-            checkpoint_dir
-            and checkpoint_every
-            and (step + 1) % checkpoint_every == 0
-        ):
-            ray.get(
-                [
-                    actors[p].checkpoint.remote(
-                        checkpoint_dir,
-                        step,
-                        P,
-                        *[futures[q][1 + p] for q in range(P)],
-                        *[futures[q][P + 1] for q in range(P)],
-                    )
-                    for p in range(P)
-                ]
-            )
-            step_dir = os.path.join(checkpoint_dir, f"step={step}")
-            tmp = os.path.join(step_dir, ".manifest.tmp")
-            with open(tmp, "w") as f:
-                json.dump(
-                    {
-                        "step": step,
-                        "num_partitions": P,
-                        "program": program_cls.__name__,
-                        "graph_token": manifest.content_token,
-                        "graph_dir": manifest.work_dir,
-                        "direction": direction,
-                    },
-                    f,
-                )
-            os.replace(tmp, os.path.join(step_dir, "manifest.json"))
+        if ck_futs is not None:
+            ray.get(ck_futs)  # all state files durable before the manifest
+            commit_manifest(step)
 
         if program_cls.should_stop(mets, step):
             converged = True
