@@ -123,6 +123,9 @@ class PartitionGraph:
         "r_uniq": "_build_rem_index",
         "r_uniq_bounds": "_build_rem_index",
         "r_idx": "_build_rem_index",
+        "lin_indptr": "_build_lin_by_src",
+        "lin_by_src_indptr": "_build_lin_by_src",
+        "lin_by_src_pos": "_build_lin_by_src",
     }
 
     def __getattr__(self, name):
@@ -165,6 +168,21 @@ class PartitionGraph:
         np.cumsum(r_counts, out=self.r_indptr[1:])
         # stable: within src, remote edges keep (src,dst) order
         self.r_adj = d[r_mask]
+
+    def _build_lin_by_src(self) -> None:
+        """Reverse index over the local (dst-grouped) edge list: positions
+        grouped by SOURCE row, for frontier-sliced min-propagation (only
+        dst groups fed by a changed source get recomputed)."""
+        self.lin_indptr = np.append(self.lin_starts, self.m_local)
+        order = np.argsort(self.lin_src, kind="stable")
+        self.lin_by_src_pos = order
+        counts = (
+            np.bincount(self.lin_src, minlength=self.n)
+            if self.m_local
+            else np.zeros(self.n, np.int64)
+        )
+        self.lin_by_src_indptr = np.zeros(self.n + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.lin_by_src_indptr[1:])
 
     # --- dense outbound-boundary index (built once per used side) --------
     # The per-superstep sender combine used to be a lexsort over every

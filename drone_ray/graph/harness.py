@@ -256,6 +256,16 @@ def run_vertex_program(
         step += 1
         if step >= max_steps:
             step -= 1  # step `max_steps` never ran — keep the count honest
+            import warnings
+
+            warnings.warn(
+                f"{program_cls.__name__} stopped at max_steps={max_steps} without "
+                "converging — results are the state after that step, not the "
+                "fixpoint (long-diameter graphs propagate ~1 boundary hop per "
+                "superstep; raise max_steps). Intentional for fixed-iteration "
+                "runs (e.g. PageRank with eps=0).",
+                stacklevel=2,
+            )
             break
         futures = next_futures if next_futures is not None else launch(step, futures)
 

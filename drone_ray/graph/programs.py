@@ -148,19 +148,47 @@ class PageRank(VertexProgram):
 
 
 # ---------------------------------------------------------------------------
-def _local_min_fixpoint(g: PartitionGraph, vals: np.ndarray, add: float = 0.0) -> int:
+def _local_min_fixpoint(
+    g: PartitionGraph, vals: np.ndarray, add: float = 0.0, seeds: np.ndarray | None = None
+) -> int:
     """In-partition min-propagation to local fixpoint (the subgraph-centric
     speedup vs one-hop-per-superstep, /root/reference/src/algorithm/CC.go:28-45).
-    Mutates ``vals``; returns edges scanned."""
+    Mutates ``vals``; returns edges scanned.
+
+    FRONTIER-SLICED: after the first pass (full, or restricted to the edges
+    out of ``seeds`` when given — IncEval passes the rows that just received
+    smaller values), each inner round recomputes only the dst groups fed by
+    a vertex that changed in the previous round, so long-diameter graphs
+    cost O(edges touched) instead of O(rounds × local edges). Min-propagation
+    is monotone, so chaotic (frontier-ordered) iteration reaches the same
+    fixpoint as repeated full passes."""
+    if g.lin_starts.size == 0:
+        return 0
     scanned = 0
-    while g.lin_starts.size:
+    if seeds is None:
         srcv = vals[g.lin_src] + add
         mins = np.minimum.reduceat(srcv, g.lin_starts)
         scanned += g.m_local
         upd = mins < vals[g.lin_dsts]
-        if not upd.any():
+        changed = g.lin_dsts[upd]
+        vals[changed] = mins[upd]  # lin_dsts are unique per group
+    else:
+        changed = np.asarray(seeds)
+    while changed.size:
+        # edge positions whose source changed → affected dst groups
+        pos, _ = g._gather_slices(g.lin_by_src_indptr, g.lin_by_src_pos, changed)
+        if pos.size == 0:
             break
-        np.minimum.at(vals, g.lin_dsts[upd], mins[upd])
+        grp = np.unique(np.searchsorted(g.lin_starts, pos, side="right") - 1)
+        gsrc, glens = g._gather_slices(g.lin_indptr, g.lin_src, grp)
+        gsrcv = vals[gsrc] + add
+        new_starts = np.concatenate(([0], np.cumsum(glens)[:-1]))
+        mins = np.minimum.reduceat(gsrcv, new_starts)
+        scanned += int(gsrcv.size)
+        dsts = g.lin_dsts[grp]
+        upd = mins < vals[dsts]
+        changed = dsts[upd]
+        vals[changed] = mins[upd]
     return scanned
 
 
@@ -202,7 +230,9 @@ class ConnectedComponents(VertexProgram):
             return None, {"edges": 0, "n_changed": 0}
         before = st["label"].copy()
         st["label"][l[smaller]] = inbound["val"][smaller]
-        scanned = _local_min_fixpoint(g, st["label"])
+        # the partition was at local fixpoint; only rows the inbound lowered
+        # can invalidate it → frontier-seeded propagation
+        scanned = _local_min_fixpoint(g, st["label"], seeds=l[smaller])
         changed = np.flatnonzero(st["label"] < before)
         msgs, sent = self._boundary(g, st, changed)
         return msgs, {"edges": scanned + sent, "n_changed": int(changed.size)}
@@ -323,7 +353,7 @@ class SSSP(VertexProgram):
             return None, {"edges": 0}
         before = st["dist"].copy()
         np.minimum.at(st["dist"], l[smaller], inbound["val"][smaller])
-        scanned = _local_min_fixpoint(g, st["dist"], add=1.0)
+        scanned = _local_min_fixpoint(g, st["dist"], add=1.0, seeds=l[smaller])
         changed = np.flatnonzero(st["dist"] < before)
         msgs, sent = self._boundary(g, st, changed)
         return msgs, {"edges": scanned + sent, "n_changed": int(changed.size)}
