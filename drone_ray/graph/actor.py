@@ -39,9 +39,18 @@ class GraphPartitionActor:
     def __init__(self, manifest: dict, p: int, program_cls, program_kwargs: dict | None):
         self.p = p
         self.P = int(manifest["num_partitions"])
+        self.g = self._load_graph(manifest, p)
+        self.program = program_cls(**(program_kwargs or {}))
+        self.state = self.program.init_state(self.g)
+        self._pending: list | None = None  # inbound restored from checkpoint
+
+    def _load_graph(self, manifest: dict, p: int) -> PartitionGraph:
         hubs_path = manifest.get("hubs_path")
         direction = manifest.get("direction")  # None | "fwd" | "rev" | "both"
         dual = bool(manifest.get("dual"))
+        cached = self._try_cached_graph(manifest, p, direction)
+        if cached is not None:
+            return cached
         cols = ["src", "dst"] + (["dir"] if dual else []) + (["delegate"] if hubs_path else [])
         ed = read_partition(manifest["edges_dir"], p, cols)
         if dual:
@@ -79,7 +88,7 @@ class GraphPartitionActor:
             }.get(direction, "out_degree") if dual else "out_degree"
             hd = ht[deg_col].to_numpy(zero_copy_only=False)
             horder = np.argsort(hv)
-            self.g = PartitionGraph(
+            g = PartitionGraph(
                 p,
                 self.P,
                 owned,
@@ -91,10 +100,65 @@ class GraphPartitionActor:
                 hub_degrees=hd[horder],
             )
         else:
-            self.g = PartitionGraph(p, self.P, owned, ed["src"], ed["dst"])
-        self.program = program_cls(**(program_kwargs or {}))
-        self.state = self.program.init_state(self.g)
-        self._pending: list | None = None  # inbound restored from checkpoint
+            g = PartitionGraph(p, self.P, owned, ed["src"], ed["dst"])
+        self._save_cached_graph(manifest, p, direction, g)
+        return g
+
+    # ------------------------------------------------------------------
+    # Per-(partition, view) CSR cache: the constructor's sort/dedup over the
+    # partition's edge rows dominates reload time; repeated analytics on the
+    # same built graph (the engine's normal usage — PR then WCC then
+    # triangles) skip it by memory-mapping the derived arrays. Keyed by the
+    # layout's content token; written once, atomically, at first load.
+    _CACHE_FIELDS = (
+        "owned",
+        "indptr",
+        "adj",
+        "adj_src_local",
+        "out_degree",
+        "hub_vids",
+        "owned_is_hub",
+        "del_vids",
+        "del_indptr",
+        "del_adj",
+    )
+
+    def _cache_path(self, manifest: dict, p: int, direction) -> str | None:
+        token = manifest.get("content_token")
+        work_dir = manifest.get("work_dir")
+        if not token or not work_dir:
+            return None
+        return os.path.join(work_dir, "csr_cache", f"p{p}_{direction or 'na'}_{token}.npz")
+
+    def _try_cached_graph(self, manifest: dict, p: int, direction) -> PartitionGraph | None:
+        path = self._cache_path(manifest, p, direction)
+        if not path or not os.path.exists(path):
+            return None
+        try:
+            z = np.load(path, allow_pickle=False)
+            g = PartitionGraph.__new__(PartitionGraph)
+            g.p = p
+            g.P = self.P
+            for f in self._CACHE_FIELDS:
+                setattr(g, f, z[f])
+            g.n = int(g.owned.size)
+            g.m = int(g.adj.size)
+            g.pending_hub = []
+            return g
+        except Exception:  # corrupt/partial cache → rebuild
+            return None
+
+    def _save_cached_graph(self, manifest: dict, p: int, direction, g: PartitionGraph) -> None:
+        path = self._cache_path(manifest, p, direction)
+        if not path:
+            return
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp-{os.getpid()}.npz"  # .npz suffix: savez keeps it
+            np.savez(tmp[:-4], **{f: getattr(g, f) for f in self._CACHE_FIELDS})
+            os.replace(tmp, path)
+        except OSError:  # read-only work dir etc. — cache is best-effort
+            pass
 
     def ready(self) -> dict:
         return {"part": self.p, "n_vertices": self.g.n, "n_edges": self.g.m}

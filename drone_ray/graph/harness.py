@@ -127,6 +127,8 @@ def run_vertex_program(
         "hubs_path": getattr(manifest, "hubs_path", None),
         "dual": dual,
         "direction": direction,
+        "work_dir": manifest.work_dir,
+        "content_token": manifest.content_token,
     }
     actors = [
         GraphPartitionActor.options(num_cpus=actor_cpus).remote(
