@@ -59,3 +59,18 @@ def test_cc_resume_identical(tmp_path):
     ovids, ocomp = components_oracle(src, dst)
     assert np.array_equal(vids, ovids)
     assert np.array_equal(comp, ocomp)
+
+
+def test_resume_refuses_mismatched_program(tmp_path):
+    # a checkpoint dir written by PageRank must not silently restore into a
+    # ConnectedComponents run (mismatched state arrays → wrong results)
+    import pytest
+
+    src, dst = ba_powerlaw(n=300, m=3, seed=13)
+    man = graph_for(lambda: _edges_ds(src, dst), "resume_mismatch", 2)
+    ck = str(tmp_path / "ck")
+    run_vertex_program(man, PageRank, {"eps": 1e-10}, max_steps=6,
+                       checkpoint_dir=ck, checkpoint_every=2)
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_vertex_program(man, ConnectedComponents, {}, checkpoint_dir=ck,
+                           resume=True, direction="both")
