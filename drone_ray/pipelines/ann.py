@@ -180,15 +180,23 @@ def ann_topk_ivf(
     n_clusters: int = 16,
     n_probe: int = 4,
     sample_mod: int = 7,
+    max_train: int = 65536,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pa.Table:
     """IVF approximate top-k: a seeded k-means coarse quantizer (trained on
-    a deterministic ~1/sample_mod sample) assigns every vector to a cluster
-    inside map_batches; each query probes only its n_probe nearest
-    clusters, so per-batch similarity work drops to ~n_probe/n_clusters of
-    the exact scan. Approximate by design: vectors in unprobed clusters are
-    invisible to that query (recall grows with n_probe).
+    a deterministic sample) assigns every vector to a cluster inside
+    map_batches; each query probes only its n_probe nearest clusters, so
+    per-batch similarity work drops to ~n_probe/n_clusters of the exact
+    scan. Approximate by design: vectors in unprobed clusters are invisible
+    to that query (recall grows with n_probe).
+
+    The training sample is HARD-BOUNDED: the 1/sample_mod modulo filter is
+    followed by ``.limit(max_train)``, so at most max_train vectors ever
+    reach the driver regardless of corpus size (streaming execution stops
+    the upstream read once the limit is satisfied). Deterministic: block
+    order of a parquet read is stable, so the same input yields the same
+    sample and the same centroids.
     """
 
     def pick_sample(b: pa.Table) -> pa.Table:
@@ -198,6 +206,7 @@ def ann_topk_ivf(
     sample_parts = list(
         emb.select_columns([id_col, vec_col])
         .map_batches(pick_sample, batch_format="pyarrow", batch_size=None)
+        .limit(max_train)
         .iter_batches(batch_format="pyarrow", batch_size=None)
     )
     strain = (

@@ -281,7 +281,18 @@ def verify_jaccard(
         tt = g["text"].to_numpy()[is_doc]
         order = np.argsort(dd)
         dd, tt = dd[order], tt[order]
-        pos = np.searchsorted(dd, prs["did"].to_numpy())  # dids came from docs
+        want = prs["did"].to_numpy()
+        pos = np.searchsorted(dd, want)
+        # candidate ids must all exist in docs — validate instead of letting
+        # searchsorted silently attach a neighboring doc's text (or raise an
+        # opaque IndexError on an exhausted bucket)
+        ok = pos < dd.size
+        if not ok.all() or (dd[pos[ok]] != want[ok]).any():
+            missing = np.setdiff1d(want, dd)
+            raise ValueError(
+                f"verify_jaccard: {missing.size} candidate doc ids missing from "
+                f"the docs table (e.g. {missing[:5].tolist()})"
+            )
         a = prs["a"].to_numpy()
         bb = prs["b"].to_numpy()
         with np.errstate(over="ignore"):
