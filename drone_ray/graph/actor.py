@@ -39,10 +39,19 @@ class GraphPartitionActor:
     def __init__(self, manifest: dict, p: int, program_cls, program_kwargs: dict | None):
         self.p = p
         self.P = int(manifest["num_partitions"])
+        from drone_ray.hashing import Ownership
+
+        self.ownership = Ownership.from_dict(manifest.get("ownership"))
         self.g = self._load_graph(manifest, p)
         self.program = program_cls(**(program_kwargs or {}))
         self.state = self.program.init_state(self.g)
         self._pending: list | None = None  # inbound restored from checkpoint
+        # the payload this partition routed to ITSELF last superstep: kept
+        # in-process instead of round-tripping through the object store (on
+        # host-partitioned web graphs the self share is the majority of all
+        # message volume; on random graphs it is 1/P plus one object per
+        # actor per step off the plasma floor)
+        self._self_stash = None
 
     def _load_graph(self, manifest: dict, p: int) -> PartitionGraph:
         hubs_path = manifest.get("hubs_path")
@@ -65,9 +74,7 @@ class GraphPartitionActor:
             owned = np.unique(owned)
             if hubs_path:
                 hv_all = pq.read_table(hubs_path)["vid"].to_numpy(zero_copy_only=False)
-                from drone_ray.hashing import owner_partition as _op
-
-                mine = hv_all[_op(hv_all, self.P) == p]
+                mine = hv_all[self.ownership.of(hv_all, self.P) == p]
                 owned = np.unique(np.concatenate([owned, mine]))
         else:
             vd = read_partition(manifest["vertices_dir"], p, ["vid"])
@@ -98,9 +105,12 @@ class GraphPartitionActor:
                 delegate_dst=ed["dst"][dmask],
                 hub_vids=hv[horder],
                 hub_degrees=hd[horder],
+                ownership=self.ownership,
             )
         else:
-            g = PartitionGraph(p, self.P, owned, ed["src"], ed["dst"])
+            g = PartitionGraph(
+                p, self.P, owned, ed["src"], ed["dst"], ownership=self.ownership
+            )
         self._save_cached_graph(manifest, p, direction, g)
         return g
 
@@ -128,7 +138,12 @@ class GraphPartitionActor:
         work_dir = manifest.get("work_dir")
         if not token or not work_dir:
             return None
-        return os.path.join(work_dir, "csr_cache", f"p{p}_{direction or 'na'}_{token}.npz")
+        # derived boundary indexes depend on the ownership function too
+        return os.path.join(
+            work_dir,
+            "csr_cache",
+            f"p{p}_{direction or 'na'}_{self.ownership.token()}_{token}.npz",
+        )
 
     def _try_cached_graph(self, manifest: dict, p: int, direction) -> PartitionGraph | None:
         path = self._cache_path(manifest, p, direction)
@@ -139,6 +154,7 @@ class GraphPartitionActor:
             g = PartitionGraph.__new__(PartitionGraph)
             g.p = p
             g.P = self.P
+            g.ownership = self.ownership
             for f in self._CACHE_FIELDS:
                 setattr(g, f, z[f])
             g.n = int(g.owned.size)
@@ -247,6 +263,11 @@ class GraphPartitionActor:
             self._pending = None
         else:
             payloads = list(inbound[: self.P])
+            if self._self_stash is not None:
+                # sender index p must stay positional — compact payloads
+                # resolve against the registered boundary map of sender p
+                payloads[self.p] = self._self_stash
+                self._self_stash = None
             # expand hub broadcasts along this partition's delegate slices:
             # identical rows (and timing) to what an unsplit hub would have
             # pushed, but materialized at the receiver
@@ -274,7 +295,15 @@ class GraphPartitionActor:
                 self.program.combine_op,
                 self.program.extra_key,
                 precombine=self.program.sender_precombine,
+                ownership=self.ownership,
             )
+        # keep own payload in-process for the next step (see _self_stash)
+        n_self = 0
+        if routed[self.p] is not None:
+            self._self_stash = routed[self.p]
+            n_self = self._payload_rows(self._self_stash)
+            routed = list(routed)
+            routed[self.p] = None
         hub_out = self.g.drain_pending_hub()
         n_out = sum(self._payload_rows(r) for r in routed)
         n_hub = hub_out["vid"].size if hub_out else 0
@@ -283,8 +312,11 @@ class GraphPartitionActor:
             "part": self.p,
             "seconds": time.perf_counter() - t0,
             "msgs_out": int(n_out),
+            "msgs_self": int(n_self),
             "hub_out": int(n_hub),
-            "has_msgs": n_out > 0 or n_hub > 0,
+            # a partition whose only pending work is its own stashed payload
+            # must NOT report convergence — the stash is next step's inbound
+            "has_msgs": n_out > 0 or n_hub > 0 or n_self > 0,
             **info,
         }
         return (metrics, *routed, hub_out)
@@ -321,7 +353,15 @@ class GraphPartitionActor:
         pq.write_table(t, tmp)
         os.replace(tmp, os.path.join(step_dir, f"state-{self.p}.parquet"))
 
-        payloads = self._to_global(list(inbound_for_next[:n_msg]))
+        inc = list(inbound_for_next[:n_msg])
+        if self._self_stash is not None:
+            # the self-routed payload never entered the object store; splice
+            # it back at its sender slot (NOT consumed — the next superstep,
+            # already queued behind this task, still reads it). Actor tasks
+            # run in submission order, so the stash here is exactly the
+            # post-step-s payload the manifest claims.
+            inc[self.p] = self._self_stash
+        payloads = self._to_global(inc)
         for hub in inbound_for_next[n_msg:]:
             if hub is None or hub["vid"].size == 0:
                 continue

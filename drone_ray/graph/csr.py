@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from drone_ray.hashing import owner_partition
+from drone_ray.hashing import Ownership
 
 
 class PartitionGraph:
@@ -35,9 +35,11 @@ class PartitionGraph:
         delegate_dst: np.ndarray | None = None,
         hub_vids: np.ndarray | None = None,
         hub_degrees: np.ndarray | None = None,
+        ownership: Ownership | None = None,
     ) -> None:
         self.p = p
         self.P = num_partitions
+        self.ownership = ownership or Ownership()
         self.owned = np.asarray(owned_vids, dtype=np.int64)  # sorted unique
         self.n = int(self.owned.size)
 
@@ -141,7 +143,7 @@ class PartitionGraph:
         local-fixpoint speedup, /root/reference/src/algorithm/CC.go:28-45),
         plus the remote-only CSR for boundary sends."""
         d = self.adj
-        adj_owner = owner_partition(d, self.P)
+        adj_owner = self.ownership.of(d, self.P)
         local_mask = adj_owner == self.p
         l_dst = np.searchsorted(self.owned, d[local_mask])
         l_src = self.adj_src_local[local_mask]
@@ -208,7 +210,7 @@ class PartitionGraph:
                 np.empty(0, np.int64),
             )
         uniq = np.unique(adj)  # sorted by vid
-        own = owner_partition(uniq, self.P)
+        own = self.ownership.of(uniq, self.P)
         perm = np.lexsort((uniq, own))  # grouped by owner, vid asc within
         grouped = uniq[perm]
         bounds = np.searchsorted(own[perm], np.arange(self.P + 1))
@@ -224,12 +226,24 @@ class PartitionGraph:
 
     @staticmethod
     def _gather_slices(indptr: np.ndarray, adj: np.ndarray, rows: np.ndarray):
-        """Concatenated adjacency slices for the given rows (fully vectorized)."""
+        """Concatenated adjacency slices for the given rows (fully vectorized).
+
+        Callers pass ``rows`` sorted ascending and unique (frontiers come
+        from flatnonzero/unique/searchsorted over sorted sets), which makes
+        two identity fast paths exact: when the rows are ALL rows, or when
+        their slices cover every edge (every nonzero-degree row is active —
+        the dense early supersteps), the concatenated slices ARE ``adj`` in
+        storage order, so the offs construction (three full-size temporaries
+        + a fancy gather per superstep) is skipped entirely."""
         starts = indptr[rows]
         lens = indptr[rows + 1] - starts
         total = int(lens.sum())
         if total == 0:
             return np.empty(0, dtype=adj.dtype), lens
+        if total == adj.size and (
+            rows.size == indptr.size - 1 or bool(np.all(np.diff(rows) > 0))
+        ):
+            return adj, lens
         offs = np.repeat(starts, lens) + (
             np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
         )
@@ -295,20 +309,35 @@ class PartitionGraph:
             return out, 0
         vals = np.repeat(values, lens)
         m = int(bounds[-1])
-        cnt = np.bincount(idx, minlength=m)
+        # Touched slots are read off the accumulator itself (non-identity
+        # values) instead of a second counting bincount over all E rows. A
+        # slot whose combined value IS the identity (a sum cancelling to
+        # exactly 0.0, a min that stayed at inf) is dropped — receiving the
+        # identity is indistinguishable from receiving nothing for sum/min,
+        # and every program treats untouched rows as a no-op.
         if op == "sum":
-            acc = np.bincount(idx, weights=vals, minlength=m)
             if vals.dtype.kind in "iu":
-                acc = acc.astype(vals.dtype)
+                # bincount's float64 weights would silently round integer
+                # values beyond 2^53 — accumulate in the integer domain
+                acc = np.zeros(m, dtype=vals.dtype)
+                np.add.at(acc, idx, vals)
+            else:
+                acc = np.bincount(idx, weights=vals, minlength=m)
+            touched = acc != 0
         elif op == "min":
             if vals.dtype.kind == "f":
                 acc = np.full(m, np.inf)
+                np.minimum.at(acc, idx, vals)
+                touched = np.isfinite(acc)
             else:
-                acc = np.full(m, np.iinfo(vals.dtype).max, dtype=vals.dtype)
-            np.minimum.at(acc, idx, vals)
+                sentinel = np.iinfo(vals.dtype).max
+                acc = np.full(m, sentinel, dtype=vals.dtype)
+                np.minimum.at(acc, idx, vals)
+                touched = acc != sentinel
         else:  # pragma: no cover - max unused by built-ins
             acc = np.full(m, -np.inf)
             np.maximum.at(acc, idx, vals)
+            touched = np.isfinite(acc)
         # Compact payloads against the STATIC boundary the receiver
         # registered at startup (actor.register_inbound): dense form ships
         # just the value lane (identity slots are no-ops for sum/min),
@@ -319,14 +348,14 @@ class PartitionGraph:
             lo, hi = int(bounds[q]), int(bounds[q + 1])
             if lo == hi:
                 continue
-            csl = cnt[lo:hi]
-            n_touched = int(np.count_nonzero(csl))
+            tsl = touched[lo:hi]
+            n_touched = int(np.count_nonzero(tsl))
             if n_touched == 0:
                 continue
             if n_touched * 3 >= (hi - lo):  # sparse rows cost ~12B vs 8B dense
                 out[q] = {"d": acc[lo:hi].copy(), "r": remote_flag, "n": n_touched}
             else:
-                sel = np.flatnonzero(csl)
+                sel = np.flatnonzero(tsl)
                 out[q] = {
                     "p": sel.astype(np.int32),
                     "v": acc[lo + sel],

@@ -129,6 +129,7 @@ def run_vertex_program(
         "direction": direction,
         "work_dir": manifest.work_dir,
         "content_token": manifest.content_token,
+        "ownership": getattr(manifest, "ownership", None),
     }
     actors = [
         GraphPartitionActor.options(num_cpus=actor_cpus).remote(

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from drone_ray.hashing import owner_partition
+from drone_ray.hashing import Ownership, owner_partition
 
 Messages = dict  # {"vid": np.int64[], "val": np.ndarray, optional extra key col}
 
@@ -114,11 +114,15 @@ def combine_inbound_local(g, payloads: list[Messages | None], op: str) -> Messag
     idx = np.concatenate(idx_parts) if len(idx_parts) > 1 else idx_parts[0]
     val = np.concatenate(val_parts) if len(val_parts) > 1 else val_parts[0]
     if op == "sum":
-        acc = np.bincount(idx, weights=val, minlength=g.n)
+        if val.dtype.kind in "iu":
+            # integer accumulation domain — float64 bincount weights round
+            # values beyond 2^53 (see csr.push_combined)
+            acc = np.zeros(g.n, dtype=val.dtype)
+            np.add.at(acc, idx, val)
+        else:
+            acc = np.bincount(idx, weights=val, minlength=g.n)
         touched = np.flatnonzero(acc)
         out_val = acc[touched]
-        if val.dtype.kind in "iu":
-            out_val = out_val.astype(val.dtype)
     elif op == "min":
         if val.dtype.kind == "f":
             acc = np.full(g.n, np.inf)
@@ -144,6 +148,7 @@ def route(
     op: str,
     extra_key: str | None = None,
     precombine: bool = True,
+    ownership: Ownership | None = None,
 ) -> list[Messages | None]:
     """Split a message set by destination owner partition, optionally
     pre-combining per (destination, key) first.
@@ -163,7 +168,11 @@ def route(
     empty: list[Messages | None] = [None] * num_partitions
     if msgs is None or msgs["vid"].size == 0:
         return empty
-    owners = owner_partition(msgs["vid"], num_partitions)
+    owners = (
+        ownership.of(msgs["vid"], num_partitions)
+        if ownership is not None
+        else owner_partition(msgs["vid"], num_partitions)
+    )
     if precombine:
         # one lexsort with owner as the primary key: the combine's groups
         # (same vid ⇒ same owner) come out owner-contiguous, so the

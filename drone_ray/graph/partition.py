@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from drone_ray.hashing import owner_partition
+from drone_ray.hashing import Ownership
 
 MANIFEST_NAME = "graph_manifest.json"
 
@@ -52,6 +52,9 @@ class GraphManifest:
     # separate adjacency per direction flag instead
     # (/root/reference/src/graph/graph.go:103-122 useTargets).
     dual: bool = False
+    # vertex-ownership function (Ownership.to_dict()): None/absent = page
+    # hash; mode "host" co-locates same-site pages (see hashing.Ownership)
+    ownership: dict | None = None
 
     def save(self) -> None:
         tmp = os.path.join(self.work_dir, MANIFEST_NAME + ".tmp")
@@ -75,13 +78,13 @@ def _content_token(edges_dir: str) -> str:
 
 
 def _spill_vid_candidates(
-    src: np.ndarray, dst: np.ndarray, P: int, vertices_dir: str
+    src: np.ndarray, dst: np.ndarray, P: int, vertices_dir: str, own: Ownership
 ) -> None:
     """Side-write this batch's distinct vid candidates per partition (the
     vertices table forms in the same pass as the edge write; duplicates are
     np.unique()d by the actor at load)."""
     vids = np.unique(np.concatenate([src, dst]))
-    vpart = owner_partition(vids, P)
+    vpart = own.of(vids, P)
     order = np.argsort(vpart, kind="stable")
     sv, sp = vids[order], vpart[order]
     bounds = np.searchsorted(sp, np.arange(P + 1))
@@ -98,7 +101,9 @@ def _spill_vid_candidates(
         )
 
 
-def _tag_edges_dual(batch: pa.Table, P: int, vertices_dir: str, hub_ref=None) -> pa.Table:
+def _tag_edges_dual(
+    batch: pa.Table, P: int, vertices_dir: str, hub_ref=None, own: Ownership | None = None
+) -> pa.Table:
     """Dual layout: each input edge (s, d) emits (s, d, dir=0)@owner(s) and
     (d, s, dir=1)@owner(d). Hub rows (u in hubs) route by owner(v) and are
     marked delegate, exactly like the single-direction path.
@@ -108,19 +113,20 @@ def _tag_edges_dual(batch: pa.Table, P: int, vertices_dir: str, hub_ref=None) ->
     in its owner's partition — fwd row if it has out-edges, rev row if
     in-edges — except split hubs, which the actor recovers from the global
     hubs table instead."""
+    own = own or Ownership()
     s = batch["src"].to_numpy(zero_copy_only=False)
     d = batch["dst"].to_numpy(zero_copy_only=False)
     u = np.concatenate([s, d])
     v = np.concatenate([d, s])
     dirc = np.concatenate([np.zeros(s.size, np.int8), np.ones(s.size, np.int8)])
-    part = owner_partition(u, P)
+    part = own.of(u, P)
     delegate = np.zeros(u.size, dtype=bool)
     if hub_ref is not None:
         import ray
 
         hub_vids = ray.get(hub_ref)
         delegate = np.isin(u, hub_vids)
-        part = np.where(delegate, owner_partition(v, P), part).astype(np.int32)
+        part = np.where(delegate, own.of(v, P), part).astype(np.int32)
     return pa.table(
         {
             "src": pa.array(u, pa.int64()),
@@ -133,16 +139,17 @@ def _tag_edges_dual(batch: pa.Table, P: int, vertices_dir: str, hub_ref=None) ->
 
 
 def _tag_edges_spill_vids(
-    batch: pa.Table, P: int, vertices_dir: str, hub_ref=None
+    batch: pa.Table, P: int, vertices_dir: str, hub_ref=None, own: Ownership | None = None
 ) -> pa.Table:
     """Tag each edge with its owner partition AND side-write this batch's
     distinct vid candidates into per-partition files. The side output makes
     the vertices table in the same pass as the edges write (no second job);
     duplicate candidates — across batches or from task retries — are
     harmless because the partition actor np.unique()s them at load."""
+    own = own or Ownership()
     src = batch["src"].to_numpy(zero_copy_only=False)
     dst = batch["dst"].to_numpy(zero_copy_only=False)
-    part = owner_partition(src, P)
+    part = own.of(src, P)
     delegate = np.zeros(len(src), dtype=bool)
     if hub_ref is not None:
         import ray
@@ -151,9 +158,9 @@ def _tag_edges_spill_vids(
         # high-degree split: a hub's out-edges are routed by owner(dst) and
         # marked delegate — its adjacency spreads across all partitions
         delegate = np.isin(src, hub_vids)
-        part = np.where(delegate, owner_partition(dst, P), part).astype(np.int32)
+        part = np.where(delegate, own.of(dst, P), part).astype(np.int32)
 
-    _spill_vid_candidates(src, dst, P, vertices_dir)
+    _spill_vid_candidates(src, dst, P, vertices_dir, own)
     return pa.table(
         {
             "src": batch["src"],
@@ -172,6 +179,7 @@ def build_graph(
     source: str = "",
     hub_threshold: int | None = None,
     dual: bool = False,
+    ownership: Ownership | None = None,
 ) -> GraphManifest:
     """Partition an edge Dataset (src:int64, dst:int64) for the superstep engine.
 
@@ -296,9 +304,10 @@ def build_graph(
 
     os.makedirs(edges_dir, exist_ok=True)  # zero-edge input writes no files
     os.makedirs(vertices_dir, exist_ok=True)
+    own = ownership or Ownership()
     tag = _tag_edges_dual if dual else _tag_edges_spill_vids
     e.map_batches(
-        lambda b: tag(b, num_partitions, vertices_dir, hub_ref),
+        lambda b: tag(b, num_partitions, vertices_dir, hub_ref, own),
         batch_format="pyarrow",
     ).write_parquet(edges_dir, partition_cols=["part"])
 
@@ -313,9 +322,74 @@ def build_graph(
         hub_threshold=hub_threshold,
         hubs_path=hubs_path,
         dual=dual,
+        ownership=own.to_dict() if own.mode != "page" else None,
     )
     manifest.save()
     return manifest
+
+
+def detect_mega_hosts(
+    edges,
+    num_partitions: int,
+    host_bits: int = 18,
+    guard: float = 2.0,
+) -> Ownership:
+    """Build a host-mode :class:`Ownership` with its mega-site salt set.
+
+    A host prefix is SALTED (its vertices fall back to the uniform page
+    hash) when its endpoint count exceeds ``guard × total / P`` — a site
+    that big would overload its single owner partition. The count pass is
+    fully distributed: per-batch (prefix, count) partials reduce through
+    one hash-bucketed shuffle, and only prefixes already over the per-batch
+    threshold can survive, so the driver sees at most O(P/guard · buckets)
+    candidate rows, never the host table.
+    """
+    import pyarrow.compute as pc_
+
+    base = Ownership("host", host_bits)
+    B = 32
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = np.concatenate(
+            [
+                b["src"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        pref, cnt = np.unique(base.prefix_of(u), return_counts=True)
+        return pa.table(
+            {
+                "prefix": pa.array(pref.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "bucket": pa.array(pref % np.uint64(B), pa.int64()),
+            }
+        )
+
+    def reduce_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        agg = g.groupby("prefix", sort=False)["cnt"].sum().reset_index()
+        return agg
+
+    counts = (
+        edges.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(reduce_bucket)
+        .materialize()  # consumed twice (total + filter); O(n_hosts) rows
+    )
+    total = counts.sum("cnt") or 0
+    if total == 0:
+        return base
+    thresh = int(guard * total / num_partitions)
+
+    def over(b: pa.Table) -> pa.Table:
+        return b.filter(pc_.greater(b["cnt"], thresh))
+
+    # only mega-prefixes survive the filter — the driver never sees the
+    # host table, just the handful of sites too big for one partition
+    survivors = counts.map_batches(over, batch_format="pyarrow", batch_size=None).take_all()
+    salted = [np.uint64(r["prefix"]) for r in survivors]
+    return Ownership("host", host_bits, salted)
 
 
 def read_partition(dir_: str, p: int, columns: list[str]) -> dict[str, np.ndarray]:

@@ -164,9 +164,17 @@ def _local_min_fixpoint(
     fixpoint as repeated full passes."""
     if g.lin_starts.size == 0:
         return 0
+    # `+ add` must not promote int64 labels to float64: above 2^53 (any
+    # hash-derived vid space) the promotion silently rounds label values and
+    # min-propagation corrupts. Skip the addition entirely when add == 0
+    # (CC); SSSP passes float dists where + 1.0 is exact.
+    if add == 0.0:
+        _add = lambda x: x  # noqa: E731
+    else:
+        _add = lambda x: x + add  # noqa: E731
     scanned = 0
     if seeds is None:
-        srcv = vals[g.lin_src] + add
+        srcv = _add(vals[g.lin_src])
         mins = np.minimum.reduceat(srcv, g.lin_starts)
         scanned += g.m_local
         upd = mins < vals[g.lin_dsts]
@@ -181,7 +189,7 @@ def _local_min_fixpoint(
             break
         grp = np.unique(np.searchsorted(g.lin_starts, pos, side="right") - 1)
         gsrc, glens = g._gather_slices(g.lin_indptr, g.lin_src, grp)
-        gsrcv = vals[gsrc] + add
+        gsrcv = _add(vals[gsrc])
         new_starts = np.concatenate(([0], np.cumsum(glens)[:-1]))
         mins = np.minimum.reduceat(gsrcv, new_starts)
         scanned += int(gsrcv.size)

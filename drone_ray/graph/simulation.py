@@ -56,9 +56,7 @@ class GraphSimulation(VertexProgram):
         attr = g.owned % self.attr_mod
         sim = attr[:, None] == self.pattr[None, :]  # (n, k) bool
         # local reversed-edge list (w → pred with pred owned here)
-        from drone_ray.hashing import owner_partition
-
-        local_mask = owner_partition(g.adj, g.P) == g.p
+        local_mask = g.ownership.of(g.adj, g.P) == g.p
         self._l_src = g.adj_src_local[local_mask]  # w (local row)
         self._l_dst = np.searchsorted(g.owned, g.adj[local_mask])  # pred (local row)
         return {

@@ -19,21 +19,41 @@ import numpy as np
 _MASK63 = (1 << 63) - 1
 
 
-def hash_url(url: str) -> int:
+def hash_url(url: str, host_bits: int = 0) -> int:
     """64-bit (non-negative int64) id for a canonicalized URL.
 
     blake2b/8-byte keeps collision probability negligible for up to ~10^9
     distinct URLs per partition-space; ids are masked to 63 bits so they fit
     int64 without sign surprises in Arrow/parquet/DuckDB round-trips.
+
+    With ``host_bits`` > 0 the top ``host_bits`` bits of the id are a hash
+    of the URL's host and the low ``63 - host_bits`` bits hash the full URL
+    — a HOST-LOCALITY id layout: all pages of one site share an id prefix,
+    so :class:`Ownership` mode "host" can co-locate them on one partition
+    (the reference's METIS edge-cut rationale,
+    /root/reference/src/preprocess.py:2-27 — most web links are intra-site,
+    so boundary message volume drops by the intra-site link fraction).
+    host_bits=0 (default) is the plain page-hash id, unchanged from round 1.
     """
     h = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
-    return int.from_bytes(h, "big") & _MASK63
+    vid = int.from_bytes(h, "big") & _MASK63
+    if host_bits <= 0:
+        return vid
+    hh = hashlib.blake2b(url_host(url).encode("utf-8"), digest_size=8).digest()
+    prefix = int.from_bytes(hh, "big") >> (64 - host_bits)
+    return (prefix << (63 - host_bits)) | (vid & ((1 << (63 - host_bits)) - 1))
 
 
-def hash_urls(urls) -> np.ndarray:
+def url_host(url: str) -> str:
+    """Host (netloc) of a canonicalized http(s) URL — cheap split, no parse."""
+    rest = url.split("://", 1)
+    return rest[1].split("/", 1)[0] if len(rest) == 2 else rest[0].split("/", 1)[0]
+
+
+def hash_urls(urls, host_bits: int = 0) -> np.ndarray:
     """Vectorized-ish batch version of :func:`hash_url` → int64 ndarray."""
     return np.fromiter(
-        (hash_url(u) for u in urls), dtype=np.int64, count=len(urls)
+        (hash_url(u, host_bits) for u in urls), dtype=np.int64, count=len(urls)
     )
 
 
@@ -64,3 +84,73 @@ def mix64(x: np.ndarray) -> np.ndarray:
 def owner_partition(vids: np.ndarray, num_partitions: int) -> np.ndarray:
     """Partition owning each vertex id → int32 ndarray in [0, P)."""
     return (mix64(np.asarray(vids)) % np.uint64(num_partitions)).astype(np.int32)
+
+
+class Ownership:
+    """Pluggable vertex-ownership function, shared by every stage (edge
+    build, CSR boundary indexes, message routing) so all agree without any
+    lookup table.
+
+    mode "page" (default): owner(v) = mix64(v) % P — uniform, the round-1/2
+    behavior.
+
+    mode "host": owner(v) = mix64(v >> (63 - host_bits)) % P — vertices
+    sharing the top ``host_bits`` id prefix (all pages of one site under the
+    :func:`hash_url` host-locality layout) land on ONE partition, so
+    intra-site links never cross a partition boundary. ``salted`` lists the
+    prefixes of MEGA-HOSTS (sites too big for one partition — the skew
+    guard): their vertices fall back to the page hash and spread uniformly.
+    Ownership stays a pure function of the vid either way; the salted set is
+    tiny (mega-sites only) and travels in the graph manifest.
+    """
+
+    __slots__ = ("mode", "host_bits", "salted")
+
+    def __init__(self, mode: str = "page", host_bits: int = 18, salted=()):
+        if mode not in ("page", "host"):
+            raise ValueError(f"unknown ownership mode {mode!r}")
+        if mode == "host" and not (1 <= host_bits <= 48):
+            raise ValueError("host_bits must be in [1, 48]")
+        self.mode = mode
+        self.host_bits = int(host_bits)
+        # sorted uint64 prefixes — np.isin on sorted small arrays is cheap
+        self.salted = np.sort(np.asarray(list(salted), dtype=np.uint64))
+
+    def of(self, vids: np.ndarray, num_partitions: int) -> np.ndarray:
+        """Partition owning each vertex id → int32 ndarray in [0, P)."""
+        P = np.uint64(num_partitions)
+        v = np.asarray(vids)
+        if self.mode == "page":
+            return (mix64(v) % P).astype(np.int32)
+        pref = v.astype(np.uint64) >> np.uint64(63 - self.host_bits)
+        own = (mix64(pref) % P).astype(np.int32)
+        if self.salted.size:
+            m = np.isin(pref, self.salted)
+            if m.any():
+                own[m] = (mix64(v[m]) % P).astype(np.int32)
+        return own
+
+    def prefix_of(self, vids: np.ndarray) -> np.ndarray:
+        """Host prefix (uint64) of each vid under this layout."""
+        return np.asarray(vids).astype(np.uint64) >> np.uint64(63 - self.host_bits)
+
+    # --- manifest (de)serialization ------------------------------------
+    def to_dict(self) -> dict:
+        return {
+            "mode": self.mode,
+            "host_bits": self.host_bits,
+            "salted": [int(x) for x in self.salted],
+        }
+
+    @staticmethod
+    def from_dict(d: dict | None) -> "Ownership":
+        if not d:
+            return Ownership()
+        return Ownership(d["mode"], d.get("host_bits", 18), d.get("salted", ()))
+
+    def token(self) -> str:
+        """Short cache-key component (CSR caches depend on ownership)."""
+        if self.mode == "page":
+            return "page"
+        h = hashlib.blake2b(self.salted.tobytes(), digest_size=4).hexdigest()
+        return f"host{self.host_bits}-{h}"

@@ -48,16 +48,23 @@ def graph_for(
     symmetrize: bool = False,
     hub_threshold: int | None = None,
     dual: bool = True,
+    ownership=None,
 ) -> GraphManifest:
-    """Build the partitioned layout once per (cache_key, P, layout, hub).
+    """Build the partitioned layout once per (cache_key, P, layout, hub,
+    ownership).
 
     Default layout is DUAL: one build serves the directed (PR/SSSP),
     reversed (simulation) and symmetrized (WCC/LPA) views, so the expensive
     upstream (HTML extraction at web scale) and the partitioning shuffle run
-    once for the whole analytics suite instead of once per direction."""
+    once for the whole analytics suite instead of once per direction.
+
+    ``ownership``: a hashing.Ownership — mode "host" co-locates same-site
+    vertices (vids must use the hash_url host-prefix layout)."""
     layout = "dual" if dual else f"sym={symmetrize}"
+    own_tok = ownership.token() if ownership is not None else "page"
     token = hashlib.blake2b(
-        f"v{_LAYOUT_VERSION}|{cache_key}|P={num_partitions}|{layout}|hub={hub_threshold}".encode(),
+        f"v{_LAYOUT_VERSION}|{cache_key}|P={num_partitions}|{layout}|hub={hub_threshold}"
+        f"|own={own_tok}".encode(),
         digest_size=8,
     ).hexdigest()
     work_dir = os.path.join(_CACHE_ROOT, token)
@@ -71,6 +78,7 @@ def graph_for(
         source=cache_key,
         hub_threshold=hub_threshold,
         dual=dual,
+        ownership=ownership,
     )
 
 
@@ -85,9 +93,11 @@ def pagerank(
     eps: float = 1e-10,
     damping: float = 0.85,
     hub_threshold: int | None = None,
+    ownership=None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold)
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
+                  ownership=ownership)
     return _run(m, PageRank, {"eps": eps, "damping": damping},
                 direction="fwd", **harness_kwargs)
 
@@ -97,9 +107,11 @@ def connected_components(
     cache_key: str,
     num_partitions: int = 8,
     hub_threshold: int | None = None,
+    ownership=None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold)
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
+                  ownership=ownership)
     return _run(m, ConnectedComponents, {}, direction="both", **harness_kwargs)
 
 

@@ -37,11 +37,15 @@ def canonicalize(base_url: str, href: str) -> str | None:
     return absolute
 
 
-def links_to_edges_batch(batch: pa.Table) -> pa.Table:
+def links_to_edges_batch(batch: pa.Table, host_bits: int = 0) -> pa.Table:
     """(url, links: list<string>) → link rows (src, dst, src_url, dst_url).
 
     Flat-map expressed inside map_batches (one output row per kept href);
     duplicates preserved — exact dedup (D3) happens at edge finalization.
+
+    ``host_bits`` > 0 emits host-locality vids (hash_url host prefix layout)
+    so the graph build can co-locate same-site pages with
+    ``Ownership("host", host_bits)`` — see drone_ray.hashing.
     """
     urls = batch["url"].to_pylist()
     links = batch["links"].to_pylist()
@@ -54,8 +58,8 @@ def links_to_edges_batch(batch: pa.Table) -> pa.Table:
                 src_urls.append(u)
                 dst_urls.append(c)
     n = len(src_urls)
-    src = np.fromiter((hash_url(u) for u in src_urls), np.int64, count=n)
-    dst = np.fromiter((hash_url(u) for u in dst_urls), np.int64, count=n)
+    src = np.fromiter((hash_url(u, host_bits) for u in src_urls), np.int64, count=n)
+    dst = np.fromiter((hash_url(u, host_bits) for u in dst_urls), np.int64, count=n)
     return pa.table(
         {
             "src": pa.array(src, pa.int64()),
