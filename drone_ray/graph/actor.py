@@ -352,6 +352,13 @@ class GraphPartitionActor:
         tmp = os.path.join(step_dir, f".state-{self.p}.tmp")
         pq.write_table(t, tmp)
         os.replace(tmp, os.path.join(step_dir, f"state-{self.p}.parquet"))
+        if hasattr(self.program, "extra_state"):
+            # ragged program-managed state (e.g. LPA's neighbor-label count
+            # map) can't ride the length-n state columns
+            et = self.program.extra_state()
+            tmp = os.path.join(step_dir, f".extra-{self.p}.tmp")
+            pq.write_table(et, tmp)
+            os.replace(tmp, os.path.join(step_dir, f"extra-{self.p}.parquet"))
 
         inc = list(inbound_for_next[:n_msg])
         if self._self_stash is not None:
@@ -392,6 +399,9 @@ class GraphPartitionActor:
         meta = t.schema.metadata or {}
         state["aux"] = json.loads(meta.get(b"aux", b"{}").decode())
         self.state = state
+        extra_path = os.path.join(step_dir, f"extra-{self.p}.parquet")
+        if hasattr(self.program, "load_extra_state") and os.path.exists(extra_path):
+            self.program.load_extra_state(pq.read_table(extra_path))
         msgs_path = os.path.join(step_dir, f"msgs-{self.p}.parquet")
         if os.path.exists(msgs_path):
             mt = pq.read_table(msgs_path)

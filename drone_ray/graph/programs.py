@@ -257,7 +257,17 @@ class LabelPropagation(VertexProgram):
     SURVEY.md §2.12). Labels init to vid over symmetrized edges; each round
     every vertex takes the most frequent neighbor label, ties broken by the
     lowest label; stops when no label changed or after ``max_rounds``.
-    Message = (dst, label, count) with sum-combine per (dst, label)."""
+
+    DELTA MESSAGES (round 3): round 0 broadcasts every label once to seed a
+    per-owner neighbor-label count map; every later round sends
+    (dst, old_label, −1) / (dst, new_label, +1) only along the out-edges of
+    vertices whose label CHANGED — the reference's Sim ±count pattern
+    (/root/reference/src/algorithm/Sim.go:117-134). Per-round message volume
+    is ∝ Σ deg(changed) instead of Θ(E); winners are recomputed only for
+    rows whose counts moved, so results are bit-identical to the full
+    re-broadcast formulation (the count map always equals the current
+    neighbor-label multiset). Hub broadcasts pack (label, sign) as
+    ±(label+1) in the scalar channel."""
 
     combine_op = "sum"
     extra_key = "label"
@@ -269,42 +279,106 @@ class LabelPropagation(VertexProgram):
         self.max_rounds = max_rounds
 
     def init_state(self, g):
+        # neighbor-label count map: parallel arrays sorted by (row, lab).
+        # Ragged (not length n) ⇒ lives on the program instance and rides
+        # checkpoints through extra_state()/load_extra_state().
+        self._mrow = np.empty(0, np.int64)
+        self._mlab = np.empty(0, np.int64)
+        self._mcnt = np.empty(0, np.int64)
         return {"label": g.owned.copy(), "aux": {"round": 0}}
 
     def expand_hub(self, dsts, values):
-        # hub broadcast value is the hub's label; each replicated row counts 1
-        return {"vid": dsts, "val": np.ones(dsts.size, dtype=np.int64), "label": values.astype(np.int64)}
+        # scalar channel carries ±(label+1): sign = count delta, |v|-1 = label
+        v = values.astype(np.int64)
+        return {"vid": dsts, "val": np.sign(v), "label": np.abs(v) - 1}
 
-    def _broadcast(self, g, st):
-        rows = np.flatnonzero(g.out_degree > 0)
-        dst, lab = g.push(rows, st["label"][rows])
-        return _msgs(dst, np.ones(dst.size, dtype=np.int64), label=lab), int(dst.size)
+    def _push_packed(self, g, rows, packed):
+        """Push ±(label+1) along out-edges → (vid, val=±1, label) rows;
+        split-hub rows ride the scalar broadcast channel as-is."""
+        dst, v = g.push(rows, packed)
+        return dst, np.sign(v), np.abs(v) - 1
 
     def peval(self, g, st):
-        msgs, sent = self._broadcast(g, st)
-        return msgs, {"edges": sent, "n_changed": g.n}
+        rows = np.flatnonzero(g.out_degree > 0)
+        dst, val, lab = self._push_packed(g, rows, st["label"][rows] + 1)
+        return _msgs(dst, val, label=lab), {"edges": int(dst.size), "n_changed": g.n}
+
+    def _merge(self, li, lab, cnt):
+        """Fold (row, lab, cnt) deltas into the sorted count map."""
+        row = np.concatenate([self._mrow, li])
+        lb = np.concatenate([self._mlab, lab])
+        ct = np.concatenate([self._mcnt, cnt])
+        order = np.lexsort((lb, row))
+        row, lb, ct = row[order], lb[order], ct[order]
+        new = np.empty(row.size, dtype=bool)
+        new[0] = True
+        new[1:] = (row[1:] != row[:-1]) | (lb[1:] != lb[:-1])
+        starts = np.flatnonzero(new)
+        ct = np.add.reduceat(ct, starts)
+        keep = ct != 0
+        self._mrow = row[starts][keep]
+        self._mlab = lb[starts][keep]
+        self._mcnt = ct[keep]
+
+    def _winners(self, rows_t):
+        """(rows, winner_label) for the touched rows, from their map slices:
+        highest count, tie → lowest label (deterministic)."""
+        lo = np.searchsorted(self._mrow, rows_t, side="left")
+        hi = np.searchsorted(self._mrow, rows_t, side="right")
+        lens = hi - lo
+        total = int(lens.sum())
+        if total == 0:
+            return rows_t[:0], rows_t[:0]
+        pos = np.repeat(lo, lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        rr, ll, cc = self._mrow[pos], self._mlab[pos], self._mcnt[pos]
+        order = np.lexsort((ll, -cc, rr))
+        rs = rr[order]
+        first = np.empty(rs.size, dtype=bool)
+        first[0] = True
+        first[1:] = rs[1:] != rs[:-1]
+        return rs[first], ll[order][first]
 
     def inceval(self, g, st, inbound):
         st["aux"]["round"] += 1
         n_changed = 0
+        sent = 0
+        msgs = None
         if inbound is not None:
-            vid, lab, cnt = inbound["vid"], inbound["label"], inbound["val"]
-            # winner per vid: highest count, tie → lowest label (deterministic)
-            order = np.lexsort((lab, -cnt, vid))
-            v_s = vid[order]
-            first = np.empty(v_s.size, dtype=bool)
-            first[0] = True
-            first[1:] = v_s[1:] != v_s[:-1]
-            win_v = v_s[first]
-            win_l = lab[order][first]
-            li = g.local_index(win_v)
-            changed = win_l != st["label"][li]
-            n_changed = int(changed.sum())
-            st["label"][li] = win_l
-        if st["aux"]["round"] >= self.max_rounds:
-            return None, {"edges": 0, "n_changed": n_changed}
-        msgs, sent = self._broadcast(g, st)
+            li = g.local_index(inbound["vid"])
+            self._merge(li, inbound["label"].astype(np.int64), inbound["val"].astype(np.int64))
+            win_rows, win_lab = self._winners(np.unique(li))
+            cur = st["label"][win_rows]
+            chg = win_lab != cur
+            n_changed = int(chg.sum())
+            if n_changed and st["aux"]["round"] < self.max_rounds:
+                rows = win_rows[chg]
+                old, new = cur[chg], win_lab[chg]
+                st["label"][rows] = new
+                d1, v1, l1 = self._push_packed(g, rows, -(old + 1))
+                d2, v2, l2 = self._push_packed(g, rows, new + 1)
+                dst = np.concatenate([d1, d2])
+                msgs = _msgs(dst, np.concatenate([v1, v2]), label=np.concatenate([l1, l2]))
+                sent = int(dst.size)
+            elif n_changed:
+                st["label"][win_rows[chg]] = win_lab[chg]
         return msgs, {"edges": sent, "n_changed": n_changed}
+
+    def extra_state(self) -> pa.Table:
+        """Checkpoint the ragged count map (see actor.checkpoint)."""
+        return pa.table(
+            {
+                "row": pa.array(self._mrow, pa.int64()),
+                "lab": pa.array(self._mlab, pa.int64()),
+                "cnt": pa.array(self._mcnt, pa.int64()),
+            }
+        )
+
+    def load_extra_state(self, t: pa.Table) -> None:
+        self._mrow = np.array(t["row"].to_numpy(zero_copy_only=False))
+        self._mlab = np.array(t["lab"].to_numpy(zero_copy_only=False))
+        self._mcnt = np.array(t["cnt"].to_numpy(zero_copy_only=False))
 
     @classmethod
     def should_stop(cls, step_metrics, step):

@@ -439,39 +439,67 @@ def simhash_near_dups(
 
 
 # --- embedding cosine near-dup --------------------------------------------
+@ray.remote
+def _block_pair_sims(ta, tb, threshold, id_col, vec_col, same: bool):
+    """Cosine pairs (a < b, sim ≥ threshold) between two embedding blocks.
+    ``same=True`` compares a block to itself (upper triangle only)."""
+    aids = np.asarray(ta[id_col]).astype(np.int64)
+    x = batch_matrix(ta, vec_col)
+    if same:
+        bids, y = aids, x
+    else:
+        bids = np.asarray(tb[id_col]).astype(np.int64)
+        y = batch_matrix(tb, vec_col)
+    if aids.size == 0 or bids.size == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+    sims = cosine_matrix(x, y)
+    ii, jj = np.nonzero(sims >= threshold)
+    if same:
+        # a same-block pair shows up at (i, j) AND (j, i) — keep the upper
+        # triangle only (also drops the i == i self-pairs)
+        m = ii < jj
+        ii, jj = ii[m], jj[m]
+    a, bb, s = aids[ii], bids[jj], sims[ii, jj]
+    lo = np.minimum(a, bb)
+    hi = np.maximum(a, bb)
+    keep = lo < hi  # cross-block self-ids can't occur; ordering normalizes
+    return pa.table(
+        {
+            "a": pa.array(lo[keep], pa.int64()),
+            "b": pa.array(hi[keep], pa.int64()),
+            "cosine": pa.array(np.round(s[keep], 6), pa.float64()),
+        }
+    )
+
+
 def embedding_near_dups_exact(
     emb: Dataset, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> Dataset:
-    """Exact pairs (a < b, cosine ≥ threshold): every batch is compared
-    against the full broadcast matrix (ray.put once, read per task). This is
-    the small-side baseline the SQL oracle reproduces; the LSH variant below
-    is the web-scale path."""
-    ids_all: list[int] = []
-    mats = []
-    for b in emb.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=None):
-        ids_all.extend(b[id_col].to_pylist())
-        mats.append(batch_matrix(b, vec_col))
-    full = np.vstack(mats) if mats else np.zeros((0, 0))
-    ids_np = np.array(ids_all, dtype=np.int64)
-    ref = ray.put((ids_np, full))
-
-    def pairs(b: pa.Table) -> pa.Table:
-        rids = np.array(b[id_col].to_pylist(), dtype=np.int64)
-        x = batch_matrix(b, vec_col)
-        oids, mat = ray.get(ref)
-        sims = cosine_matrix(x, mat)
-        ii, jj = np.nonzero(sims >= threshold)
-        a, bb, s = rids[ii], oids[jj], sims[ii, jj]
-        keep = a < bb
-        return pa.table(
-            {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(bb[keep], pa.int64()),
-                "cosine": pa.array(np.round(s[keep], 6), pa.float64()),
-            }
+    """Exact pairs (a < b, cosine ≥ threshold), BLOCKED: the embedding table
+    is materialized into object-store blocks and one Ray task runs per
+    unordered block pair — each task reads exactly two blocks, so no process
+    (driver included) ever holds the full matrix. Exact all-pairs is
+    inherently O(n²) similarity work; the block grid is the scalable
+    schedule for it (and the oracle baseline for the LSH variant below,
+    which is the web-scale path that avoids the O(n²) altogether)."""
+    mat = emb.select_columns([id_col, vec_col]).materialize()
+    refs: list = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
         )
-
-    return emb.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    out = [
+        _block_pair_sims.remote(refs[i], refs[j], threshold, id_col, vec_col, i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(out)
 
 
 def embedding_near_dups_lsh(
@@ -487,24 +515,26 @@ def embedding_near_dups_lsh(
     bucket are missed; recall grows with n_tables."""
 
     def explode(b: pa.Table) -> pa.Table:
+        # Arrow-native: the vector column is REUSED (zero-copy slice per
+        # table replica), never materialized to Python lists; only the
+        # signature computation touches numpy
         x = batch_matrix(b, vec_col)
-        ids = np.array(b[id_col].to_pylist(), dtype=np.int64)
-        tables, keys, rid, vecs = [], [], [], []
+        n = len(b)
+        parts = []
         for t in range(n_tables):
             p = make_planes(x.shape[1] if x.size else 1, n_bits, seed=42 + t)
             sig = hyperplane_signs(x, p) if x.size else np.empty(0, np.int64)
-            tables.extend([t] * len(ids))
-            keys.extend(sig.tolist())
-            rid.extend(ids.tolist())
-            vecs.extend(x.tolist())
-        return pa.table(
-            {
-                "table_id": pa.array(tables, pa.int32()),
-                "bucket": pa.array(keys, pa.int64()),
-                id_col: pa.array(rid, pa.int64()),
-                "vec": pa.array(vecs, pa.list_(pa.float64())),
-            }
-        )
+            parts.append(
+                pa.table(
+                    {
+                        "table_id": pa.array(np.full(n, t, np.int32)),
+                        "bucket": pa.array(sig, pa.int64()),
+                        id_col: b[id_col],
+                        "vec": b[vec_col],
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else pa.table({})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()

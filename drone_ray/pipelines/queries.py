@@ -108,7 +108,13 @@ def q_triangles_per_vertex(sf_dir: str):
 
 
 def _graph_key(sf_dir: str) -> str:
-    return f"lg:{sf_dir}:M={M}"
+    # content fingerprint, not just the path: if the driver regenerates
+    # testdata in place between rounds, the cached graph layout must
+    # invalidate (size+mtime of lineitem.parquet changes the key)
+    from drone_ray.pipelines.analytics import path_fingerprint
+
+    fp = path_fingerprint(f"{sf_dir}/lineitem.parquet")
+    return f"lg:{sf_dir}:M={M}:fp={fp}"
 
 
 def q_pagerank(sf_dir: str):
@@ -200,7 +206,11 @@ def q_pagerank_pages(sf_dir: str):
             .select_columns(["src", "dst"])
         )
 
-    res = pagerank(edge_factory, f"pages:{pages_dir}", GRAPH_PARTITIONS)
+    from drone_ray.pipelines.analytics import path_fingerprint
+
+    res = pagerank(
+        edge_factory, f"pages:{pages_dir}:fp={path_fingerprint(pages_dir)}", GRAPH_PARTITIONS
+    )
     t = res.to_table()
     return pa.table(
         {
@@ -312,12 +322,21 @@ def q_host_page_stats(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
+        import pyarrow.compute as pc_
 
-        urls = b["url"].to_pylist()
-        hosts = [u.split("://", 1)[1].split("/", 1)[0] for u in urls]
-        chars = [len(t) for t in b["text"].to_pylist()]
+        # Arrow kernels end to end: host via regex extract (struct field
+        # "h"), chars via utf8_length — no Python string loop
+        hosts = pc_.struct_field(
+            pc_.extract_regex(b["url"], r"^[a-z]+://(?P<h>[^/]+)"), "h"
+        )
+        chars = pc_.utf8_length(b["text"])
         g = (
-            pd.DataFrame({"host": hosts, "chars": chars})
+            pd.DataFrame(
+                {
+                    "host": hosts.to_pandas(),
+                    "chars": chars.to_numpy(zero_copy_only=False),
+                }
+            )
             .groupby("host", sort=False)
             .agg(n_pages=("chars", "size"), sum_chars=("chars", "sum"))
             .reset_index()

@@ -57,6 +57,68 @@ def _run_starts(keys: np.ndarray) -> np.ndarray:
     return new
 
 
+def _key_type(ds: Dataset, key: str):
+    """pa.string() for string key columns, else pa.int64() (the output
+    schema must be fixed before execution — worker-side detection can't
+    reach the driver)."""
+    try:
+        sch = ds.schema()
+        t = sch.types[sch.names.index(key)]
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.string()
+    except Exception:
+        pass
+    return pa.int64()
+
+
+def _key_and_bucket(b: pa.Table, key: str, num_buckets: int):
+    """(key array kept in its own type, bucket int64 array). Integer keys
+    bucket via mix64; string keys via the per-distinct-value blake2b hash —
+    callers work for either dtype."""
+    kcol = b[key]
+    if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
+        k = kcol.to_numpy(zero_copy_only=False)
+        return kcol, pa.array(_str_bucket(k, num_buckets), pa.int64()), pa.string()
+    k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    return (
+        pa.array(k, pa.int64()),
+        pa.array((mix64(k) % np.uint64(num_buckets)).astype(np.int64)),
+        pa.int64(),
+    )
+
+
+def _sliding_window_sums(
+    k: np.ndarray, h: np.ndarray, c: np.ndarray, window_hours: int,
+    _max_runs: int | None = None,
+) -> np.ndarray:
+    """Windowed sums over (key-run-sorted, hour-ascending-within-run) sparse
+    counts, all keys at once. The vectorized path gives every key run its
+    own hour offset so a window can never reach into the previous key's
+    rows; the offset arithmetic is bound-checked — with an astronomically
+    large key-cardinality × hour-span product in ONE bucket it would
+    overflow int64, and the per-run loop (identical results) takes over
+    instead of silently merging windows across keys."""
+    if k.size == 0:
+        return np.zeros(0, np.int64)
+    kcode = np.cumsum(_run_starts(k)) - 1
+    h0 = h - h.min()
+    span = np.int64(int(h0.max()) + window_hours + 1)
+    n_runs = int(kcode[-1]) + 1
+    csum = np.cumsum(c)
+    limit = (2**62) // int(span) if _max_runs is None else _max_runs
+    if n_runs <= limit:
+        comp = kcode * span + h0
+        lo = np.searchsorted(comp, comp - (window_hours - 1), side="left")
+        return csum - np.where(lo > 0, csum[lo - 1], 0)
+    starts = np.flatnonzero(_run_starts(k))
+    ends = np.append(starts[1:], k.size)
+    out = np.empty(k.size, np.int64)
+    for s, e in zip(starts, ends):
+        lo = s + np.searchsorted(h0[s:e], h0[s:e] - (window_hours - 1), side="left")
+        out[s:e] = csum[s:e] - np.where(lo > 0, csum[lo - 1], 0)
+    return out
+
+
 def sessionize(
     events: Dataset,
     gap_us: int = US_PER_HOUR,
@@ -69,14 +131,14 @@ def sessionize(
     user], n_events, start_us, end_us)."""
 
     def partial(b: pa.Table) -> pa.Table:
-        k = b[key].to_numpy(zero_copy_only=False)
+        karr, bucket, _ = _key_and_bucket(b, key, num_buckets)
         t = b[ts].cast(pa.int64()).to_numpy()
         return pa.table(
             {
-                key: pa.array(k, pa.int64()),
+                key: karr,
                 "_t": pa.array(t, pa.int64()),
                 "event_id": b["event_id"],
-                "_b": pa.array((mix64(k) % np.uint64(num_buckets)).astype(np.int64)),
+                "_b": bucket,
             }
         )
 
@@ -111,7 +173,7 @@ def sessionize(
 
     schema = pa.schema(
         [
-            (key, pa.int64()),
+            (key, _key_type(events, key)),
             ("session_id", pa.int64()),
             ("n_events", pa.int64()),
             ("start_us", pa.int64()),
@@ -164,15 +226,7 @@ def sliding_hourly_counts(
         starts = np.flatnonzero(newg)
         k, h = k[starts], h[starts]
         c = np.add.reduceat(c, starts)
-        # sliding sum over each key's sparse hour list, all keys at once:
-        # give every key run its own hour offset so a window can never
-        # reach into the previous key's rows
-        kcode = np.cumsum(_run_starts(k)) - 1
-        span = np.int64(1) << np.int64(40)  # hours ≪ 2^40
-        comp = kcode * span + h
-        lo = np.searchsorted(comp, comp - (window_hours - 1), side="left")
-        csum = np.cumsum(c)
-        n_win = csum - np.where(lo > 0, csum[lo - 1], 0)
+        n_win = _sliding_window_sums(k, h, c, window_hours)
         return pd.DataFrame({key: k, "hour": h, "n_window": n_win})
 
     schema = pa.schema([(key, pa.string()), ("hour", pa.int64()), ("n_window", pa.int64())])
@@ -207,16 +261,17 @@ def asof_prior_event(
     def partial(b: pa.Table) -> pa.Table:
         kinds = b["event_type"].to_numpy(zero_copy_only=False)
         keep = (kinds == left_type) | (kinds == right_type)
-        k = b[key].to_numpy(zero_copy_only=False)[keep]
+        filt = b.filter(pa.array(keep))
+        karr, bucket, _ = _key_and_bucket(filt, key, num_buckets)
         return pa.table(
             {
-                key: pa.array(k, pa.int64()),
-                "_t": pa.array(b[ts].cast(pa.int64()).to_numpy()[keep], pa.int64()),
+                key: karr,
+                "_t": pa.array(filt[ts].cast(pa.int64()).to_numpy(), pa.int64()),
                 "event_id": pa.array(
-                    b["event_id"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                    filt["event_id"].to_numpy(zero_copy_only=False), pa.int64()
                 ),
                 "_r": pa.array(kinds[keep] == right_type),
-                "_b": pa.array((mix64(k) % np.uint64(num_buckets)).astype(np.int64)),
+                "_b": bucket,
             }
         )
 
@@ -254,7 +309,7 @@ def asof_prior_event(
     schema = pa.schema(
         [
             ("event_id", pa.int64()),
-            (key, pa.int64()),
+            (key, _key_type(events, key)),
             ("ts_us", pa.int64()),
             ("prior_event_id", pa.int64()),
             ("gap_us", pa.int64()),

@@ -31,21 +31,33 @@ import re
 
 import pyarrow as pa
 
-_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
-_P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I)
-_TAG_RE = re.compile(r"<[^>]+>")
+# Attribute-aware tag interior: quoted values may contain '>' without
+# terminating the tag (real-web malformation the round-2 regexes missed)
+_ATTRS = r"""(?:[^>"']|"[^"]*"|'[^']*')*"""
+_TITLE_RE = re.compile(rf"<title\b{_ATTRS}>(.*?)</title\s*>", re.S | re.I)
+# <p> cannot nest in HTML — an opening <p> implicitly closes the previous
+# one, and an unclosed trailing <p> runs to end of document. Capture from
+# each <p ...> up to the nearest </p or next <p (or EOF).
+_P_RE = re.compile(rf"<p\b{_ATTRS}>((?:(?!</?p\b).)*)", re.S | re.I)
+# inner-tag strip: only real tags (letter or ! after <), attribute-aware —
+# a stray literal '<' in text no longer swallows everything to the next '>'
+_TAG_RE = re.compile(rf"</?[A-Za-z!]{_ATTRS}>")
 _WS_RE = re.compile(r"\s+")
-_HREF_RE = re.compile(
-    r"""<a\s[^>]*?href\s*=\s*(?:["']([^"']*)["']|([^\s"'>]+))""", re.S | re.I
+_A_TAG_RE = re.compile(rf"<a\b({_ATTRS})>", re.S | re.I)
+# href must be a standalone attribute name (data-href must not match)
+_HREF_IN_RE = re.compile(
+    r"""(?<![\w-])href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.S | re.I
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
-_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_CDATA_RE = re.compile(r"<!\[CDATA\[.*?\]\]>", re.S)
+_SCRIPT_STYLE_RE = re.compile(rf"<(script|style)\b{_ATTRS}>.*?</\1\s*>", re.S | re.I)
 
 
 def preclean(html: str) -> str:
-    """Drop comments and script/style elements (their text is not content
-    and their attribute soup would otherwise leak tags into segments)."""
-    return _SCRIPT_STYLE_RE.sub(" ", _COMMENT_RE.sub(" ", html))
+    """Drop comments, CDATA sections and script/style elements (their text
+    is not content and their attribute soup would otherwise leak tags into
+    segments)."""
+    return _SCRIPT_STYLE_RE.sub(" ", _CDATA_RE.sub(" ", _COMMENT_RE.sub(" ", html)))
 
 _ENTITIES = (
     ("&lt;", "<"),
@@ -77,8 +89,15 @@ def extract_text(html: str) -> str:
 
 
 def extract_links(html: str) -> list[str]:
-    """All raw href values of anchors, document order, dups preserved."""
-    return [q or bare for q, bare in _HREF_RE.findall(preclean(html))]
+    """All raw href values of anchors, document order, dups preserved.
+    Two-stage: isolate each <a ...> tag (attribute-aware, so '>' inside a
+    quoted class value can't truncate the scan), then find its href."""
+    out: list[str] = []
+    for m in _A_TAG_RE.finditer(preclean(html)):
+        h = _HREF_IN_RE.search(m.group(1))
+        if h:
+            out.append(h.group(1) or h.group(2) or h.group(3) or "")
+    return out
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:

@@ -99,3 +99,46 @@ def test_extract_real_world_html_robustness():
         "https://bare.example/p/1",
         "https://quoted.example/p/2",
     ]
+
+
+def test_extract_adversarial_malformations():
+    """Round-3 hardening: nested <p>, '>' inside attribute values, unclosed
+    trailing <p>, CDATA, data-href decoys — same byte contract."""
+    from drone_ray.stages.extract import extract_links, extract_text
+
+    # '>' inside a quoted attribute must not truncate the tag
+    html = '<html><title>T</title><p class="a>b">keep this</p></html>'
+    assert extract_text(html) == "T\nkeep this"
+
+    # nested <p>: an opening <p> implicitly closes the previous one
+    html = "<p>first<p>second</p>"
+    assert extract_text(html) == "first\nsecond"
+
+    # unclosed trailing <p> runs to end of document
+    html = "<html><body><p>tail text"
+    assert extract_text(html) == "tail text"
+
+    # CDATA is not content
+    html = "<p>a <![CDATA[ <p>hidden</p> ]]> b</p>"
+    assert extract_text(html) == "a b"
+
+    # '>' inside an <a> attribute; href still found. data-href is not href
+    html = (
+        '<a class="x>y" href="https://h.example/1">l</a>'
+        '<a data-href="https://decoy.example/">d</a>'
+        "<p>body</p>"
+    )
+    assert extract_links(html) == ["https://h.example/1"]
+    assert extract_text(html) == "body"
+
+    # stray '<' in text no longer swallows to the next '>'
+    html = "<p>3 < 5 and x > 1</p>"
+    assert extract_text(html) == "3 < 5 and x > 1"
+
+
+def test_fixture_bytes_unchanged_by_hardening():
+    # the synthetic oracle text must be reproduced byte-identically by the
+    # hardened extractor (guards the driver extract_pages hash gate)
+    t = pages_table(500, seed=43)
+    got = extract_batch(t)["text"].to_pylist()
+    assert got == t["text"].to_pylist()

@@ -74,3 +74,52 @@ def test_resume_refuses_mismatched_program(tmp_path):
     with pytest.raises(ValueError, match="checkpoint"):
         run_vertex_program(man, ConnectedComponents, {}, checkpoint_dir=ck,
                            resume=True, direction="both")
+
+
+def test_lpa_resume_identical(tmp_path):
+    """LPA's ragged count map must survive checkpoints (extra_state)."""
+    from drone_ray.graph.programs import LabelPropagation
+    from drone_ray.oracles import lpa_oracle
+
+    src, dst = ba_powerlaw(n=400, m=3, seed=13)
+    man = graph_for(lambda: _edges_ds(src, dst), "resume_lpa", 2, symmetrize=True)
+    ck = str(tmp_path / "ck")
+    run_vertex_program(
+        man, LabelPropagation, {"max_rounds": 8}, checkpoint_dir=ck,
+        checkpoint_every=2, max_steps=3,
+    )
+    resumed = run_vertex_program(
+        man, LabelPropagation, {"max_rounds": 8}, checkpoint_dir=ck, resume=True
+    )
+    vids, labels = _sorted(resumed.to_table(), "label")
+    ovids, olab, _ = lpa_oracle(src, dst, max_rounds=8)
+    assert np.array_equal(vids, ovids)
+    assert np.array_equal(labels, olab)
+
+    clean = run_vertex_program(man, LabelPropagation, {"max_rounds": 8})
+    cvids, clab = _sorted(clean.to_table(), "label")
+    assert np.array_equal(labels, clab)
+
+
+def test_lpa_delta_message_volume(tmp_path):
+    """Round-3 delta LPA: after the seeding round, per-round message volume
+    tracks changed vertices, not Θ(E) re-broadcast."""
+    from drone_ray.graph.programs import LabelPropagation
+
+    src, dst = ba_powerlaw(n=600, m=3, seed=14)
+    man = graph_for(lambda: _edges_ds(src, dst), "lpa_delta_vol", 2, symmetrize=True)
+    res = run_vertex_program(man, LabelPropagation, {"max_rounds": 10})
+    by_step = {}
+    for m in res.metrics:
+        s = m["step"]
+        by_step.setdefault(s, {"msgs": 0, "changed": 0})
+        by_step[s]["msgs"] += m.get("msgs_out", 0) + m.get("msgs_self", 0) + m.get("hub_out", 0)
+        by_step[s]["changed"] += m.get("n_changed", 0)
+    steps = sorted(by_step)
+    seed_vol = by_step[steps[0]]["msgs"]
+    later = [by_step[s] for s in steps[2:] if by_step[s]["changed"] > 0]
+    # every post-seed round with few changes ships far less than the seed
+    # broadcast, and volume shrinks as fewer vertices change
+    assert any(x["msgs"] < seed_vol / 2 for x in later)
+    tail = [by_step[s]["msgs"] for s in steps[2:]]
+    assert tail == sorted(tail, reverse=True) or min(tail) < seed_vol / 4

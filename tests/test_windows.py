@@ -58,3 +58,46 @@ def test_sliding_counts():
     click = out[out["event_type"] == "click"].sort_values("hour")
     # click hours: 0, 0, 3, 0 (user2) → buckets {0: 3, 3: 1}; window [1,3] = 1
     assert dict(zip(click["hour"], click["n_window"])) == {0: 3, 3: 1}
+
+
+def test_sessionize_string_keys():
+    """ADVICE round 2: string keys must route through _str_bucket, not a
+    silent int64 cast."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array(["alice", "alice", "bob", "alice"], pa.string()),
+            "ts": pa.array([0, H // 2, 0, 3 * H], pa.timestamp("us")),
+            "event_type": pa.array(["click"] * 4, pa.string()),
+        }
+    )
+    out = sessionize(rd.from_arrow(t), gap_us=H).to_pandas().sort_values(
+        ["user_id", "session_id"]
+    )
+    recs = out.to_records(index=False).tolist()
+    assert recs == [
+        ("alice", 1, 2, 0, H // 2),
+        ("alice", 2, 1, 3 * H, 3 * H),
+        ("bob", 1, 1, 0, 0),
+    ]
+
+
+def test_sliding_window_sums_fallback_matches_vectorized():
+    """The per-run overflow fallback must agree with the composite-key path."""
+    from drone_ray.pipelines.windows import _sliding_window_sums
+
+    rng = np.random.default_rng(5)
+    ks, hs, cs = [], [], []
+    for key in range(20):
+        hours = np.unique(rng.integers(0, 50, size=rng.integers(1, 12)))
+        ks.extend([key] * hours.size)
+        hs.extend(hours.tolist())
+        cs.extend(rng.integers(1, 9, size=hours.size).tolist())
+    k = np.array(ks)
+    h = np.array(hs, dtype=np.int64)
+    c = np.array(cs, dtype=np.int64)
+    fast = _sliding_window_sums(k, h, c, 3)
+    slow = _sliding_window_sums(k, h, c, 3, _max_runs=0)  # force the loop path
+    assert (fast == slow).all()
