@@ -271,6 +271,50 @@ def run_scaling_child() -> dict:
         time.sleep(3)
     timings["pr_load"] = min(pr_load_times)
     timings["pagerank_supersteps"] = min(pr_steps_times)
+    msgs_random = sum(m.get("msgs_out", 0) for m in res.metrics)
+
+    # --- host-local supersteps: the production configuration for web link
+    # graphs. Same edge count, but 85% of edges stay inside a community and
+    # Ownership("host") co-locates each community, so cross-partition
+    # message volume collapses to the inter-site fraction (+ the self
+    # payload never enters the object store). This is what a real crawl
+    # graph looks like (DRONE's METIS edge-cut rationale); the random graph
+    # above is the worst case.
+    from drone_ray.graph.partition import detect_mega_hosts
+    from drone_ray.sources.synthetic_edges import HOSTLOC_BITS, community_edges
+
+    hdir = f"/tmp/drone_ray/scaling_graph_host_{n_edges}_P{P}"
+    shutil.rmtree(hdir, ignore_errors=True)
+    _session()
+    # production path: the mega-host guard MUST run — the community power
+    # law concentrates ~6% of all edges in one community, and without
+    # salting it that partition carries 2× the mean load and every
+    # superstep barrier waits on it (measured: host-local SLOWER than
+    # random at full parallelism purely from the imbalance)
+    # 16384 communities ≈ 380 vertices/site at this scale: hash-of-host
+    # placement evens out by law of large numbers (real webs have millions
+    # of hosts; few big communities would leave 1.5× placement variance)
+    NCOMM = 16384
+    hedges = community_edges(n_edges, n_edges // 16, n_communities=NCOMM)
+    hown = detect_mega_hosts(hedges, P, host_bits=HOSTLOC_BITS)
+    hman = build_graph(
+        community_edges(n_edges, n_edges // 16, n_communities=NCOMM),
+        hdir,
+        P,
+        hub_threshold=500_000,
+        ownership=hown,
+    )
+    ray.shutdown()
+    time.sleep(3)
+    hl_times = []
+    for _ in range(2):
+        _session()
+        hres = run_vertex_program(hman, PageRank, {"eps": 1e-10}, max_steps=n_steps)
+        hl_times.append(hres.wall_seconds)
+        ray.shutdown()
+        time.sleep(3)
+    timings["pagerank_supersteps_hostlocal"] = min(hl_times)
+    msgs_host = sum(m.get("msgs_out", 0) for m in hres.metrics)
     _session()  # keep a live session for the caller teardown path
 
     total = round(sum(timings.values()), 3)
@@ -284,6 +328,9 @@ def run_scaling_child() -> dict:
         "n_link_edges": int(n_link_edges),
         "n_synth_edges": n_edges,
         "pagerank_teps": int(res.edges_traversed / timings["pagerank_supersteps"]),
+        "hostlocal_teps": int(hres.edges_traversed / timings["pagerank_supersteps_hostlocal"]),
+        "msgs_out_random": int(msgs_random),
+        "msgs_out_hostlocal": int(msgs_host),
         "sf": _sf(SF_DIR),
     }
     ray.shutdown()
@@ -367,6 +414,25 @@ def run_scaling() -> dict:
     eff = (sec_lo / sec_hi) / (hi / lo)
     phase_eff = {k: round((best_lo[k] / best_hi[k]) / (hi / lo), 3) for k in phases}
     ceiling = max(c["ceiling"] for c in ceilings)
+    # round-paired view: each round's efficiency against the ceiling
+    # calibrated in the SAME sweep — the host's available parallelism swings
+    # between rounds (observed ceilings 0.75 vs 0.92), so cross-round minima
+    # normalized by the max ceiling can understate a clean round
+    paired = []
+    for i in range(len(runs[lo])):
+        ql, qh = runs[lo][i]["queries"], runs[hi][i]["queries"]
+        pe = {k: round((ql[k] / qh[k]) / (hi / lo), 3) for k in phases}
+        tot = round((sum(ql.values()) / sum(qh.values())) / (hi / lo), 3)
+        c = ceilings[i]["ceiling"]
+        paired.append(
+            {
+                "eff": tot,
+                "normalized": round(tot / c, 3),
+                "ceiling": c,
+                "phase_eff": pe,
+                "phase_normalized": {k: round(v / c, 3) for k, v in pe.items()},
+            }
+        )
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -374,6 +440,7 @@ def run_scaling() -> dict:
         "normalized_vs_hw_ceiling": round(eff / ceiling, 3),
         "hw_ceiling": ceilings,
         "phase_efficiency": phase_eff,
+        "paired_rounds": paired,
         "sec_8": sec_lo,
         "sec_32": sec_hi,
         "queries_8": best_lo,

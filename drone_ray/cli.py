@@ -46,7 +46,8 @@ def _edges_factory(path):
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(prog="drone_ray")
     ap.add_argument("command", choices=[
-        "build-pages-graph", "pagerank", "wcc", "lpa", "sssp", "simulation", "triangles",
+        "build-pages-graph", "pagerank", "wcc", "wcc-star", "lpa", "sssp",
+        "simulation", "triangles",
     ])
     ap.add_argument("--pages", help="pages parquet dir (build-pages-graph)")
     ap.add_argument("--edges", help="edge-table parquet dir")
@@ -58,6 +59,12 @@ def main(argv=None) -> dict:
     ap.add_argument("--max-rounds", type=int, default=10, help="lpa round cap")
     ap.add_argument("--pattern", help="pattern graph file (simulation, S6 format)")
     ap.add_argument("--hub-threshold", type=int, default=None)
+    ap.add_argument(
+        "--host-bits", type=int, default=0,
+        help="host-locality id layout: pack a host hash into the top N vid "
+             "bits (build-pages-graph) / route ownership by that prefix with "
+             "a mega-site salt guard (graph commands). 0 = uniform page hash.",
+    )
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=10)
     ap.add_argument("--resume", action="store_true")
@@ -73,14 +80,34 @@ def main(argv=None) -> dict:
 
         pages = rd.read_parquet(args.pages, columns=["url", "html"])
         links = pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=None)
+        hb = args.host_bits
         edges = links.map_batches(
-            links_to_edges_batch, batch_format="pyarrow", batch_size=None
+            lambda b: links_to_edges_batch(b, host_bits=hb),
+            batch_format="pyarrow",
+            batch_size=None,
         ).select_columns(["src", "dst"])
         dedup_edges(edges).write_parquet(args.out)
         import ray.data as rd2
 
         n = rd2.read_parquet(args.out).count()
         return {"command": args.command, "out": args.out, "n_edges": n}
+
+    if args.command == "wcc-star":
+        import ray.data as rd
+
+        import pyarrow.parquet as pq
+
+        from drone_ray.pipelines.cc_star import connected_components_star
+
+        t, rounds = connected_components_star(
+            rd.read_parquet(args.edges, columns=["src", "dst"])
+        )
+        import os
+
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(t, f"{args.out}/components.parquet")
+        return {"command": args.command, "out": args.out, "rounds": rounds,
+                "n_vertices": t.num_rows}
 
     if args.command == "triangles":
         import ray.data as rd
@@ -105,6 +132,15 @@ def main(argv=None) -> dict:
         output_dir=args.out,
     )
     ef = _edges_factory(args.edges)
+    ownership = None
+    if args.host_bits:
+        # edge table must carry host-layout vids (build-pages-graph with the
+        # same --host-bits); the mega-site guard runs one distributed count
+        from drone_ray.graph.partition import detect_mega_hosts
+
+        ownership = detect_mega_hosts(ef(), args.partitions, host_bits=args.host_bits)
+        key += f":host{args.host_bits}"
+    hk["ownership"] = ownership
     if args.command == "pagerank":
         res = A.pagerank(ef, key, args.partitions, eps=args.eps,
                          hub_threshold=args.hub_threshold, **hk)

@@ -336,21 +336,48 @@ class GraphPartitionActor:
         return t.num_rows
 
     # ------------------------------------------------------------------
-    def checkpoint(self, ckpt_dir: str, step: int, n_msg: int, *inbound_for_next) -> bool:
+    def checkpoint(
+        self,
+        ckpt_dir: str,
+        step: int,
+        n_msg: int,
+        *inbound_for_next,
+        chunk_rows: int = 4 << 20,
+    ) -> bool:
         """First ``n_msg`` payloads are regular messages; the rest are hub
         broadcasts, which are expanded along the delegate slices NOW so the
-        stored pending-inbound file is self-contained for resume."""
+        stored pending-inbound file is self-contained for resume.
+
+        State writes are CHUNKED: the file is produced row-group by
+        row-group (``chunk_rows`` rows each), so the encode buffer — and the
+        Python list materialization for 2-D state — is bounded regardless of
+        partition size (>10^9-vertex partitions stream through)."""
         step_dir = os.path.join(ckpt_dir, f"step={step}")
         os.makedirs(step_dir, exist_ok=True)
-        cols = {"vid": pa.array(self.g.owned, pa.int64())}
-        for k, v in self.state.items():
-            if k != "aux":
-                # 2-D state (e.g. simulation sim/post matrices) → list column
-                cols[k] = pa.array(v.tolist()) if v.ndim == 2 else pa.array(v)
         meta = {b"aux": json.dumps(self.state.get("aux", {})).encode()}
-        t = pa.table(cols).replace_schema_metadata(meta)
+
+        def chunk_table(off: int, cnt: int) -> pa.Table:
+            cols = {"vid": pa.array(self.g.owned[off : off + cnt], pa.int64())}
+            for k, v in self.state.items():
+                if k != "aux":
+                    s = v[off : off + cnt]
+                    # 2-D state (e.g. simulation matrices) → list column
+                    cols[k] = pa.array(s.tolist()) if v.ndim == 2 else pa.array(s)
+            return pa.table(cols).replace_schema_metadata(meta)
+
         tmp = os.path.join(step_dir, f".state-{self.p}.tmp")
-        pq.write_table(t, tmp)
+        n = int(self.g.n)
+        chunk_rows = max(1, int(chunk_rows))
+        if n == 0:
+            pq.write_table(chunk_table(0, 0), tmp)
+        else:
+            writer = None
+            for off in range(0, n, chunk_rows):
+                t = chunk_table(off, min(chunk_rows, n - off))
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, t.schema)
+                writer.write_table(t)
+            writer.close()
         os.replace(tmp, os.path.join(step_dir, f"state-{self.p}.parquet"))
         if hasattr(self.program, "extra_state"):
             # ragged program-managed state (e.g. LPA's neighbor-label count

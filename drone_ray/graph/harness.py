@@ -86,6 +86,7 @@ def run_vertex_program(
     actor_cpus: float = 0,
     output_dir: str | None = None,
     direction: str | None = None,
+    checkpoint_chunk_rows: int = 4 << 20,
 ) -> ProgramResult:
     """Run a VertexProgram over a built graph; returns emitted results +
     per-superstep metrics. Does NOT call ray.init (caller owns the session).
@@ -214,6 +215,7 @@ def run_vertex_program(
                 P,
                 *[futs[q][1 + p] for q in range(P)],
                 *[futs[q][P + 1] for q in range(P)],
+                chunk_rows=checkpoint_chunk_rows,
             )
             for p in range(P)
         ]

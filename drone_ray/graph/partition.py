@@ -332,7 +332,7 @@ def detect_mega_hosts(
     edges,
     num_partitions: int,
     host_bits: int = 18,
-    guard: float = 2.0,
+    guard: float = 1.5,
 ) -> Ownership:
     """Build a host-mode :class:`Ownership` with its mega-site salt set.
 

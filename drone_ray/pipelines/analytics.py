@@ -121,9 +121,11 @@ def label_propagation(
     num_partitions: int = 8,
     max_rounds: int = 10,
     hub_threshold: int | None = None,
+    ownership=None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold)
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
+                  ownership=ownership)
     return _run(m, LabelPropagation, {"max_rounds": max_rounds},
                 direction="both", **harness_kwargs)
 
@@ -134,9 +136,11 @@ def sssp(
     source: int,
     num_partitions: int = 8,
     hub_threshold: int | None = None,
+    ownership=None,
     **harness_kwargs,
 ) -> ProgramResult:
-    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold)
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
+                  ownership=ownership)
     return _run(m, SSSP, {"source": source}, direction="fwd", **harness_kwargs)
 
 
@@ -147,6 +151,7 @@ def graph_simulation(
     pattern_targets: dict,
     num_partitions: int = 8,
     hub_threshold: int | None = None,
+    ownership=None,
     **harness_kwargs,
 ) -> ProgramResult:
     """Graph pattern simulation (reference Sim). The engine runs on the
@@ -154,7 +159,8 @@ def graph_simulation(
     for why reversal is needed; no separate reversed build exists."""
     from drone_ray.graph.simulation import GraphSimulation
 
-    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold)
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
+                  ownership=ownership)
     return _run(
         m,
         GraphSimulation,

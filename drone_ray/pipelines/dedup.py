@@ -438,6 +438,147 @@ def simhash_near_dups(
     return _dedupe_pairs(pairs, schema)
 
 
+# --- exact n-gram Jaccard near-dup ----------------------------------------
+def ngram_jaccard_near_dups(
+    docs: Dataset,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> Dataset:
+    """EXACT token-n-gram Jaccard pairs (a < b, jaccard ≥ threshold) — the
+    oracle-able member of the near-dup family (MinHash/SimHash above are its
+    approximations). SQL-equivalent semantics: whitespace tokens of the
+    trimmed text, distinct n-token shingles, docs with fewer than n tokens
+    have no shingles.
+
+    Fully bucketed, three shuffles, nothing driver-side:
+      1. (shingle_hash, doc, n_shingles) rows meet in hash(shingle) buckets;
+         per-bucket vectorized pair expansion emits (a, b, na, nb, c) with c
+         = shared shingles IN THIS BUCKET (each shingle group lives wholly
+         in one bucket, so partial counts are disjoint);
+      2. partials meet in hash(a, b) buckets where c sums and the Jaccard
+         c/(na+nb−c) filters.
+
+    Sizes ride along on every shingle row (one int64), so no sizes join
+    exists. Skew note: a shingle shared by k docs expands to k(k−1)/2
+    pairs — that quadratic is inherent to EXACT Jaccard (it is the
+    candidate-free ground truth); at web scale use minhash_near_dups +
+    verify_jaccard, which this operator's semantics anchor."""
+    from drone_ray.functions.minhash import _token_hashes
+    from drone_ray.hashing import mix64
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        sh_all, doc_all, nsh_all = [], [], []
+        g = np.uint64(0x9E3779B97F4A7C15)
+        for did, text in zip(ids, texts):
+            toks = (text or "").split()
+            if len(toks) < n:
+                continue
+            th = _token_hashes(toks)
+            with np.errstate(over="ignore"):
+                acc = np.zeros(th.size - n + 1, np.uint64)
+                for j in range(n):
+                    acc = acc * g + th[j : th.size - n + 1 + j]
+                sh = np.unique(mix64(acc))
+            sh_all.append(sh)
+            doc_all.append(np.full(sh.size, did, np.int64))
+            nsh_all.append(np.full(sh.size, sh.size, np.int64))
+        if not sh_all:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                    "nsh": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int64()),
+                }
+            )
+        sh = np.concatenate(sh_all)
+        return pa.table(
+            {
+                "sh": pa.array(sh.view(np.int64), pa.int64()),
+                "doc": pa.array(np.concatenate(doc_all), pa.int64()),
+                "nsh": pa.array(np.concatenate(nsh_all), pa.int64()),
+                "_b": pa.array((sh % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        d = g["doc"].to_numpy()
+        ns = g["nsh"].to_numpy()
+        order = np.lexsort((d, sh))
+        sh, d, ns = sh[order], d[order], ns[order]
+        empty = pd.DataFrame(
+            {c: np.empty(0, np.int64) for c in ("a", "b", "na", "nb", "c", "_pb")}
+        )
+        if sh.size == 0:
+            return empty
+        new = np.empty(sh.size, dtype=bool)
+        new[0] = True
+        new[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, sh.size))
+        pos = np.arange(sh.size) - np.repeat(starts, lens)  # index within group
+        tot = int(pos.sum())
+        if tot == 0:
+            return empty
+        # all (i < j) pairs within each shingle group, fully vectorized:
+        # element at local pos p is the 'b' side of p pairs
+        b_idx = np.repeat(np.arange(sh.size), pos)
+        first_pair = np.cumsum(pos) - pos
+        a_idx = np.repeat(np.repeat(starts, lens), pos) + (
+            np.arange(tot) - np.repeat(first_pair, pos)
+        )
+        a, bb = d[a_idx], d[b_idx]  # d ascending within group ⇒ a < b
+        na, nb = ns[a_idx], ns[b_idx]
+        df = (
+            pd.DataFrame({"a": a, "b": bb, "na": na, "nb": nb})
+            .groupby(["a", "b"], sort=False)
+            .agg(na=("na", "first"), nb=("nb", "first"), c=("na", "size"))
+            .reset_index()
+        )
+        with np.errstate(over="ignore"):
+            pb = (
+                mix64(df["a"].to_numpy()) * np.uint64(0x9E3779B97F4A7C15)
+                + mix64(df["b"].to_numpy())
+            ) % np.uint64(num_buckets)
+        df["_pb"] = pb.astype(np.int64)
+        return df
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["a", "b"], sort=False)
+            .agg(na=("na", "first"), nb=("nb", "first"), c=("c", "sum"))
+            .reset_index()
+        )
+        j = agg["c"].to_numpy() / (
+            agg["na"].to_numpy() + agg["nb"].to_numpy() - agg["c"].to_numpy()
+        )
+        keep = j >= threshold
+        return pd.DataFrame(
+            {
+                "a": agg["a"].to_numpy()[keep],
+                "b": agg["b"].to_numpy()[keep],
+                "jaccard": np.round(j[keep], 6),
+            }
+        )
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(shingle_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(score, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
 # --- embedding cosine near-dup --------------------------------------------
 @ray.remote
 def _block_pair_sims(ta, tb, threshold, id_col, vec_col, same: bool):

@@ -40,7 +40,11 @@ GRAPH_PARTITIONS = 4
 PR_ITERS = 120
 # pages fixture for the extract_pages driver check: fixed size/seed at every
 # sf so the static oracle SQL (a path embedded at registry build time) always
-# describes the same table the Ray query extracts from
+# describes the same table the Ray query extracts from. NOTE (declared):
+# extract_pages and host_page_stats therefore run on a CONSTANT 500-page
+# table at every scale factor — they gate extraction/aggregation
+# correctness, not scale; sf-scaled extraction throughput is exercised by
+# pagerank_pages (~200k pages/sf) and bench.py's extract_edges phase.
 EXTRACT_PAGES_DIR = "/tmp/drone_ray/pages_extract_oracle"
 EXTRACT_PAGES_N = 500
 EXTRACT_PAGES_SEED = 43
@@ -144,6 +148,15 @@ def q_wcc(sf_dir: str):
     return connected_components(
         lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS
     ).to_table()
+
+
+def q_wcc_star(sf_dir: str):
+    """Pointer-jumping WCC (large-star/small-star contraction): O(log n)
+    shuffle rounds vs the superstep engine's O(diameter) — same labels."""
+    from drone_ray.pipelines.cc_star import connected_components_star
+
+    t, _rounds = connected_components_star(lg_edges(sf_dir))
+    return t
 
 
 def q_lpa(sf_dir: str):
@@ -295,6 +308,19 @@ def q_simhash_near_dup(sf_dir: str):
 
     return simhash_near_dups(
         _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+    )
+
+
+NGRAM_JACCARD_T = 0.5
+
+
+def q_ngram_jaccard_near_dup(sf_dir: str):
+    """EXACT 3-gram Jaccard pairs — the oracle-backed ground truth the
+    MinHash/SimHash approximations above target."""
+    from drone_ray.pipelines.dedup import ngram_jaccard_near_dups
+
+    return ngram_jaccard_near_dups(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=NGRAM_JACCARD_T, n=3
     )
 
 
@@ -697,6 +723,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "pagerank": (q_pagerank, _PR_SQL),
     "wcc": (q_wcc, _WCC_SQL),
+    "wcc_star": (q_wcc_star, _WCC_SQL),
     "lpa": (q_lpa, _LPA_SQL),
     "sssp": (q_sssp, _SSSP_SQL),
     # greatest-fixpoint removal cascade — not monotone, not CTE-expressible;
@@ -737,6 +764,20 @@ REGISTRY: dict[str, tuple] = {
     "quality": (q_quality, None),
     "minhash_near_dup": (q_minhash_near_dup, None),  # custom hashing
     "simhash_near_dup": (q_simhash_near_dup, None),
+    "ngram_jaccard_near_dup": (
+        q_ngram_jaccard_near_dup,
+        # exact 3-gram Jaccard in pure SQL: distinct shingles per doc, pair
+        # intersection counts via self-join on shared shingles, sizes join
+        f"""WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents WHERE trim(text) <> ''),
+i AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 2)) AS p, tk FROM t WHERE len(tk) >= 3),
+s AS (SELECT DISTINCT doc_id, tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] AS sh FROM i),
+z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1),
+c AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM s x
+      JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a, b, round(CAST(c AS DOUBLE) / (za.nsh + zb.nsh - c), 6) AS jaccard
+FROM c JOIN z za ON za.doc_id = a JOIN z zb ON zb.doc_id = b
+WHERE CAST(c AS DOUBLE) / (za.nsh + zb.nsh - c) >= {NGRAM_JACCARD_T}""",
+    ),
     "vocabulary": (
         q_vocabulary,
         "SELECT count(DISTINCT t.w) AS n_distinct_tokens FROM documents, "

@@ -4,6 +4,7 @@ SimHash banding guarantee, embedding near-dup exact vs numpy."""
 import itertools
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 from drone_ray.functions.minhash import MinHasher, hamming64, jaccard, simhash64, word_shingles
@@ -126,3 +127,46 @@ def test_embedding_near_dup_exact_matches_numpy():
     exp = {(int(a), int(b)) for a, b in zip(i[sims[i, j] >= 0.8], j[sims[i, j] >= 0.8])}
     assert set(zip(out["a"], out["b"])) == exp
     assert (10, 40) in exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_exact_matches_sql_oracle():
+    """Exact 3-gram Jaccard pairs must equal the DuckDB oracle bit-for-bit
+    (this operator is the dedup family's oracle-able ground truth)."""
+    import duckdb
+
+    import ray.data as rd
+
+    from drone_ray.pipelines.dedup import ngram_jaccard_near_dups
+    from drone_ray.pipelines.queries import REGISTRY
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "completely different text with no overlap here",
+                "  the quick brown fox jumps over the lazy dog  ",
+                "short one",  # < 3 tokens: no shingles
+                "",
+            ],
+        }
+    )
+    got = (
+        ngram_jaccard_near_dups(rd.from_arrow(docs), threshold=0.5, num_buckets=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(REGISTRY["ngram_jaccard_near_dup"][1])
+        .df()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    assert got["jaccard"].tolist() == want["jaccard"].tolist()

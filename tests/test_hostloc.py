@@ -153,3 +153,21 @@ def test_detect_mega_hosts_salts_only_the_giant(tmp_path):
     parts = own.of(np.unique(vids), 8)
     counts = np.bincount(parts, minlength=8)
     assert counts.max() < 0.5 * counts.sum()
+
+
+def test_path_fingerprint_detects_inplace_mutation(tmp_path):
+    """Registry graph-cache keys fold in path_fingerprint: regenerating a
+    testdata parquet in place must change the key (→ layout rebuild)."""
+    import pyarrow.parquet as pq
+
+    from drone_ray.pipelines.analytics import path_fingerprint
+
+    import pyarrow as pa
+
+    f = tmp_path / "edges.parquet"
+    pq.write_table(pa.table({"src": [1, 2], "dst": [2, 3]}), f)
+    fp1 = path_fingerprint(str(tmp_path))
+    pq.write_table(pa.table({"src": [9, 8], "dst": [8, 7]}), f)  # same rows, new bytes
+    fp2 = path_fingerprint(str(tmp_path))
+    assert fp1 != fp2
+    assert path_fingerprint(str(tmp_path)) == fp2  # stable when untouched

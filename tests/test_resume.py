@@ -123,3 +123,31 @@ def test_lpa_delta_message_volume(tmp_path):
     assert any(x["msgs"] < seed_vol / 2 for x in later)
     tail = [by_step[s]["msgs"] for s in steps[2:]]
     assert tail == sorted(tail, reverse=True) or min(tail) < seed_vol / 4
+
+
+def test_checkpoint_chunked_state_resume(tmp_path):
+    """Round-3 checkpoint chunking: multi-row-group state files must resume
+    to identical results (forced with a tiny chunk size)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    src, dst = ba_powerlaw(n=300, m=3, seed=15)
+    man = graph_for(lambda: _edges_ds(src, dst), "resume_chunked", 2, symmetrize=False)
+    ck = str(tmp_path / "ck")
+    run_vertex_program(
+        man, PageRank, {"eps": 1e-10}, checkpoint_dir=ck, checkpoint_every=2,
+        max_steps=5, checkpoint_chunk_rows=17,
+    )
+    state_files = glob.glob(f"{ck}/step=*/state-*.parquet")
+    assert state_files
+    assert all(pq.ParquetFile(f).num_row_groups > 1 for f in state_files)
+
+    resumed = run_vertex_program(
+        man, PageRank, {"eps": 1e-10}, checkpoint_dir=ck, resume=True
+    )
+    assert resumed.converged
+    clean = run_vertex_program(man, PageRank, {"eps": 1e-10})
+    _, rs = _sorted(resumed.to_table(), "score")
+    _, cs = _sorted(clean.to_table(), "score")
+    assert np.array_equal(rs, cs)
