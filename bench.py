@@ -379,6 +379,53 @@ def _burn(n: int) -> int:
     return x
 
 
+def _burn_stream(n: int) -> float:
+    """Memory-streaming control: numpy array adds, ~3·8·n bytes per pass.
+    No shared state, no Ray — measures how DRAM bandwidth divides across
+    concurrent processes on this box."""
+    import numpy as _np
+
+    a = _np.ones(n)
+    b = _np.ones(n)
+    for _ in range(5):
+        a = a + b
+    return float(a[0])
+
+
+def _hw_ceiling_stream(lo: int = 8, hi: int = 32) -> dict:
+    """Like _hw_ceiling, but for BANDWIDTH-bound work: k processes each
+    streaming ~1 GB of array traffic, pinned to k cores. The superstep
+    phase's kernels (bincount/gather over CSR arrays, object-store copies)
+    are memory-streaming, so THIS ceiling — not the integer-loop CPU one —
+    is the fixed-work speedup the memory system physically allows them. On
+    a real N→4N cluster each node brings its own DRAM channels, so this
+    ceiling, like the CPU one, does not apply there."""
+    import multiprocessing as mp
+
+    n = 8_000_000  # 64 MB/array → ~1 GB streamed per proc over 5 passes
+
+    def timed(k: int) -> float:
+        old = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(k)))
+        try:
+            t0 = time.perf_counter()
+            with mp.Pool(k) as p:
+                p.map(_burn_stream, [n] * k)
+            return time.perf_counter() - t0
+        finally:
+            os.sched_setaffinity(0, old)
+
+    timed(2)  # warm pool + allocator
+    t_lo, t_hi = timed(lo), timed(hi)
+    max_speedup = (hi / lo) * t_lo / t_hi
+    return {
+        "ceiling": round(max_speedup / (hi / lo), 3),
+        "max_speedup": round(max_speedup, 2),
+        "t_lo": round(t_lo, 2),
+        "t_hi": round(t_hi, 2),
+    }
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -400,8 +447,10 @@ def run_scaling() -> dict:
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
     runs: dict[int, list] = {lo: [], hi: []}
     ceilings = []
+    stream_ceilings = []
     for _ in range(rounds):
         ceilings.append(_hw_ceiling(lo, hi))
+        stream_ceilings.append(_hw_ceiling_stream(lo, hi))
         runs[lo].append(one(lo))
         time.sleep(10)  # let the previous child's workers fully terminate
         runs[hi].append(one(hi))
@@ -414,23 +463,37 @@ def run_scaling() -> dict:
     eff = (sec_lo / sec_hi) / (hi / lo)
     phase_eff = {k: round((best_lo[k] / best_hi[k]) / (hi / lo), 3) for k in phases}
     ceiling = max(c["ceiling"] for c in ceilings)
-    # round-paired view: each round's efficiency against the ceiling
+    # per-phase ceiling mapping: the superstep phases are memory-STREAMING
+    # workloads (bincount/gather over CSR arrays + object-store copies), so
+    # their physically attainable fixed-work speedup on one box is the
+    # stream ceiling, not the integer-loop CPU ceiling the other phases get
+    _STREAM_PHASES = {"pagerank_supersteps", "pagerank_supersteps_hostlocal"}
+
+    def _phase_ceiling(k: str, cpu_c: float, stream_c: float) -> float:
+        return stream_c if k in _STREAM_PHASES else cpu_c
+
+    # round-paired view: each round's efficiency against the ceilings
     # calibrated in the SAME sweep — the host's available parallelism swings
-    # between rounds (observed ceilings 0.75 vs 0.92), so cross-round minima
-    # normalized by the max ceiling can understate a clean round
+    # between rounds (observed CPU ceilings 0.75 vs 0.92), so cross-round
+    # minima normalized by the max ceiling can understate a clean round
     paired = []
     for i in range(len(runs[lo])):
         ql, qh = runs[lo][i]["queries"], runs[hi][i]["queries"]
         pe = {k: round((ql[k] / qh[k]) / (hi / lo), 3) for k in phases}
         tot = round((sum(ql.values()) / sum(qh.values())) / (hi / lo), 3)
         c = ceilings[i]["ceiling"]
+        sc = stream_ceilings[i]["ceiling"]
         paired.append(
             {
                 "eff": tot,
                 "normalized": round(tot / c, 3),
                 "ceiling": c,
+                "stream_ceiling": sc,
                 "phase_eff": pe,
-                "phase_normalized": {k: round(v / c, 3) for k, v in pe.items()},
+                "phase_normalized": {
+                    k: round(min(v / _phase_ceiling(k, c, sc), 9.99), 3)
+                    for k, v in pe.items()
+                },
             }
         )
     return {
@@ -439,7 +502,21 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "normalized_vs_hw_ceiling": round(eff / ceiling, 3),
         "hw_ceiling": ceilings,
+        "hw_ceiling_stream": stream_ceilings,
         "phase_efficiency": phase_eff,
+        "phase_normalized": {
+            k: round(
+                min(
+                    v
+                    / _phase_ceiling(
+                        k, ceiling, max(c["ceiling"] for c in stream_ceilings)
+                    ),
+                    9.99,
+                ),
+                3,
+            )
+            for k, v in phase_eff.items()
+        },
         "paired_rounds": paired,
         "sec_8": sec_lo,
         "sec_32": sec_hi,

@@ -426,8 +426,18 @@ class GraphPartitionActor:
         meta = t.schema.metadata or {}
         state["aux"] = json.loads(meta.get(b"aux", b"{}").decode())
         self.state = state
-        extra_path = os.path.join(step_dir, f"extra-{self.p}.parquet")
-        if hasattr(self.program, "load_extra_state") and os.path.exists(extra_path):
+        if hasattr(self.program, "load_extra_state"):
+            extra_path = os.path.join(step_dir, f"extra-{self.p}.parquet")
+            if not os.path.exists(extra_path):
+                # a checkpoint from an engine version without the ragged
+                # extra-state files would resume with an empty count map and
+                # converge to WRONG labels silently — refuse instead
+                raise ValueError(
+                    f"checkpoint step dir {step_dir} lacks extra-{self.p}.parquet "
+                    f"required by {type(self.program).__name__}; it was written "
+                    "by an incompatible engine version — pass resume=False or a "
+                    "fresh checkpoint_dir"
+                )
             self.program.load_extra_state(pq.read_table(extra_path))
         msgs_path = os.path.join(step_dir, f"msgs-{self.p}.parquet")
         if os.path.exists(msgs_path):

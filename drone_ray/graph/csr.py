@@ -240,9 +240,11 @@ class PartitionGraph:
         total = int(lens.sum())
         if total == 0:
             return np.empty(0, dtype=adj.dtype), lens
-        if total == adj.size and (
-            rows.size == indptr.size - 1 or bool(np.all(np.diff(rows) > 0))
-        ):
+        # strictly-increasing is required in BOTH branches: duplicate rows
+        # (e.g. delegate_expand with the same hub vid twice — LPA's ±delta
+        # pair) can satisfy total == adj.size while needing a replicated
+        # gather, so sorted-unique must be verified, never assumed
+        if total == adj.size and bool(np.all(np.diff(rows) > 0)):
             return adj, lens
         offs = np.repeat(starts, lens) + (
             np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)

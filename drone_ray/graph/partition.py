@@ -333,16 +333,25 @@ def detect_mega_hosts(
     num_partitions: int,
     host_bits: int = 18,
     guard: float = 1.5,
+    place_top: int | None = None,
 ) -> Ownership:
-    """Build a host-mode :class:`Ownership` with its mega-site salt set.
+    """Build a host-mode :class:`Ownership` with its mega-site salt set AND
+    a greedy placement of the heaviest remaining hosts.
 
     A host prefix is SALTED (its vertices fall back to the uniform page
     hash) when its endpoint count exceeds ``guard × total / P`` — a site
-    that big would overload its single owner partition. The count pass is
-    fully distributed: per-batch (prefix, count) partials reduce through
-    one hash-bucketed shuffle, and only prefixes already over the per-batch
-    threshold can survive, so the driver sees at most O(P/guard · buckets)
-    candidate rows, never the host table.
+    that big would overload its single owner partition. Below that, the
+    top ``place_top`` (default 32·P) heaviest prefixes are PLACED greedily
+    onto the least-loaded partitions (classic balanced partitioning):
+    hash placement of a few hundred weighted sites leaves ~1.4× max/mean
+    partition load — enough to gate every superstep barrier at full
+    parallelism — while greedy packing of just the heavy head flattens it
+    with zero locality loss. The long tail stays hash-placed (uniform by
+    law of large numbers) and forms the per-bin base load estimate.
+
+    The count pass is fully distributed: per-batch (prefix, count)
+    partials reduce through one hash-bucketed shuffle; the driver sees
+    only the salted survivors and the top-K rows, never the host table.
     """
     import pyarrow.compute as pc_
 
@@ -389,7 +398,24 @@ def detect_mega_hosts(
     # host table, just the handful of sites too big for one partition
     survivors = counts.map_batches(over, batch_format="pyarrow", batch_size=None).take_all()
     salted = [np.uint64(r["prefix"]) for r in survivors]
-    return Ownership("host", host_bits, salted)
+    salted_set = {int(r["prefix"]) for r in survivors}
+    salted_cnt = sum(int(r["cnt"]) for r in survivors)
+
+    K = place_top if place_top is not None else 32 * num_partitions
+    placed: dict[int, int] = {}
+    if K > 0:
+        top = counts.sort("cnt", descending=True).limit(K + len(salted)).take_all()
+        head = [r for r in top if int(r["prefix"]) not in salted_set][:K]
+        head_cnt = sum(int(r["cnt"]) for r in head)
+        # base load per bin: the hash-placed long tail, assumed uniform
+        loads = np.full(
+            num_partitions, (total - salted_cnt - head_cnt) / num_partitions
+        )
+        for r in head:  # already count-descending
+            p = int(np.argmin(loads))
+            placed[int(r["prefix"])] = p
+            loads[p] += int(r["cnt"])
+    return Ownership("host", host_bits, salted, placed)
 
 
 def read_partition(dir_: str, p: int, columns: list[str]) -> dict[str, np.ndarray]:

@@ -304,7 +304,14 @@ class LabelPropagation(VertexProgram):
         return _msgs(dst, val, label=lab), {"edges": int(dst.size), "n_changed": g.n}
 
     def _merge(self, li, lab, cnt):
-        """Fold (row, lab, cnt) deltas into the sorted count map."""
+        """Fold (row, lab, cnt) deltas into the sorted count map.
+
+        Deliberate O(map) local cost per round: the concat+radix-lexsort
+        touches the whole map even for tiny deltas, but that is a linear
+        in-memory pass over a few MB per partition — the delta design's
+        target is the per-round MESSAGE volume (network/object store),
+        which is ∝ changed vertices. A two-way sorted merge would make the
+        local pass ∝ delta too if it ever shows in profiles."""
         row = np.concatenate([self._mrow, li])
         lb = np.concatenate([self._mlab, lab])
         ct = np.concatenate([self._mcnt, cnt])

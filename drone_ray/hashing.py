@@ -97,16 +97,21 @@ class Ownership:
     mode "host": owner(v) = mix64(v >> (63 - host_bits)) % P — vertices
     sharing the top ``host_bits`` id prefix (all pages of one site under the
     :func:`hash_url` host-locality layout) land on ONE partition, so
-    intra-site links never cross a partition boundary. ``salted`` lists the
-    prefixes of MEGA-HOSTS (sites too big for one partition — the skew
-    guard): their vertices fall back to the page hash and spread uniformly.
-    Ownership stays a pure function of the vid either way; the salted set is
-    tiny (mega-sites only) and travels in the graph manifest.
+    intra-site links never cross a partition boundary. Two skew overrides,
+    both pure functions of the vid, both tiny tables in the graph manifest:
+
+      * ``salted`` — prefixes of MEGA-HOSTS (sites too big for ANY single
+        partition): their vertices fall back to the page hash and spread.
+      * ``placed`` — {prefix: partition} greedy placement of the heaviest
+        remaining hosts (balanced-partitioning): hash placement of a few
+        hundred weighted sites leaves ~1.4× max/mean partition load, which
+        gates every BSP barrier at full parallelism; packing the heavy ones
+        onto the lightest bins removes it while keeping full locality.
     """
 
-    __slots__ = ("mode", "host_bits", "salted")
+    __slots__ = ("mode", "host_bits", "salted", "placed_pref", "placed_part")
 
-    def __init__(self, mode: str = "page", host_bits: int = 18, salted=()):
+    def __init__(self, mode: str = "page", host_bits: int = 18, salted=(), placed=None):
         if mode not in ("page", "host"):
             raise ValueError(f"unknown ownership mode {mode!r}")
         if mode == "host" and not (1 <= host_bits <= 48):
@@ -115,6 +120,9 @@ class Ownership:
         self.host_bits = int(host_bits)
         # sorted uint64 prefixes — np.isin on sorted small arrays is cheap
         self.salted = np.sort(np.asarray(list(salted), dtype=np.uint64))
+        items = sorted((int(k), int(p)) for k, p in (placed or {}).items())
+        self.placed_pref = np.asarray([k for k, _ in items], dtype=np.uint64)
+        self.placed_part = np.asarray([p for _, p in items], dtype=np.int32)
 
     def of(self, vids: np.ndarray, num_partitions: int) -> np.ndarray:
         """Partition owning each vertex id → int32 ndarray in [0, P)."""
@@ -124,6 +132,12 @@ class Ownership:
             return (mix64(v) % P).astype(np.int32)
         pref = v.astype(np.uint64) >> np.uint64(63 - self.host_bits)
         own = (mix64(pref) % P).astype(np.int32)
+        if self.placed_pref.size:
+            idx = np.searchsorted(self.placed_pref, pref)
+            idx_c = np.minimum(idx, self.placed_pref.size - 1)
+            m = self.placed_pref[idx_c] == pref
+            if m.any():
+                own[m] = self.placed_part[idx_c[m]]
         if self.salted.size:
             m = np.isin(pref, self.salted)
             if m.any():
@@ -140,17 +154,31 @@ class Ownership:
             "mode": self.mode,
             "host_bits": self.host_bits,
             "salted": [int(x) for x in self.salted],
+            "placed": {
+                str(int(k)): int(p)
+                for k, p in zip(self.placed_pref, self.placed_part)
+            },
         }
 
     @staticmethod
     def from_dict(d: dict | None) -> "Ownership":
         if not d:
             return Ownership()
-        return Ownership(d["mode"], d.get("host_bits", 18), d.get("salted", ()))
+        return Ownership(
+            d["mode"],
+            d.get("host_bits", 18),
+            d.get("salted", ()),
+            {int(k): int(p) for k, p in (d.get("placed") or {}).items()},
+        )
 
     def token(self) -> str:
         """Short cache-key component (CSR caches depend on ownership)."""
         if self.mode == "page":
             return "page"
-        h = hashlib.blake2b(self.salted.tobytes(), digest_size=4).hexdigest()
+        h = hashlib.blake2b(
+            self.salted.tobytes()
+            + self.placed_pref.tobytes()
+            + self.placed_part.tobytes(),
+            digest_size=4,
+        ).hexdigest()
         return f"host{self.host_bits}-{h}"

@@ -26,18 +26,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from drone_ray.pipelines._util import pin_schema as _pin
+
 from ray.data import Dataset
 
 from drone_ray.hashing import mix64
 
 _NUM_BUCKETS = 64
-
-
-def _pin(schema: pa.Schema):
-    def fix(b: pa.Table) -> pa.Table:
-        return b.cast(schema) if b.num_columns else schema.empty_table()
-
-    return fix
 
 
 _EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])

@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from drone_ray.pipelines._util import pin_schema as _pin
+
 import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
@@ -152,13 +154,6 @@ def _dedupe_pairs(pairs: Dataset, schema: pa.Schema, num_buckets: int = 32) -> D
         .map_groups(finish, batch_format="pandas")
         .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
     )
-
-
-def _pin(schema: pa.Schema):
-    def fix(b: pa.Table) -> pa.Table:
-        return b.cast(schema) if b.num_columns else schema.empty_table()
-
-    return fix
 
 
 def minhash_candidates(
@@ -517,22 +512,9 @@ def ngram_jaccard_near_dups(
         )
         if sh.size == 0:
             return empty
-        new = np.empty(sh.size, dtype=bool)
-        new[0] = True
-        new[1:] = sh[1:] != sh[:-1]
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.append(starts, sh.size))
-        pos = np.arange(sh.size) - np.repeat(starts, lens)  # index within group
-        tot = int(pos.sum())
-        if tot == 0:
+        a_idx, b_idx = _expand_group_pairs([sh], d)
+        if a_idx.size == 0:
             return empty
-        # all (i < j) pairs within each shingle group, fully vectorized:
-        # element at local pos p is the 'b' side of p pairs
-        b_idx = np.repeat(np.arange(sh.size), pos)
-        first_pair = np.cumsum(pos) - pos
-        a_idx = np.repeat(np.repeat(starts, lens), pos) + (
-            np.arange(tot) - np.repeat(first_pair, pos)
-        )
         a, bb = d[a_idx], d[b_idx]  # d ascending within group ⇒ a < b
         na, nb = ns[a_idx], ns[b_idx]
         df = (

@@ -352,8 +352,14 @@ def q_host_page_stats(sf_dir: str):
 
         # Arrow kernels end to end: host via regex extract (struct field
         # "h"), chars via utf8_length — no Python string loop
-        hosts = pc_.struct_field(
-            pc_.extract_regex(b["url"], r"^[a-z]+://(?P<h>[^/]+)"), "h"
+        # fill_null("") matches DuckDB regexp_extract's empty-string result
+        # for non-matching URLs — a null here would be silently DROPPED by
+        # the pandas groupby and undercount vs the oracle
+        hosts = pc_.fill_null(
+            pc_.struct_field(
+                pc_.extract_regex(b["url"], r"^[a-z]+://(?P<h>[^/]+)"), "h"
+            ),
+            "",
         )
         chars = pc_.utf8_length(b["text"])
         g = (

@@ -19,19 +19,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from drone_ray.pipelines._util import pin_schema as _pin
+
 from ray.data import Dataset
 
 from drone_ray.hashing import mix64
 
 US_PER_HOUR = 3_600_000_000
 _NUM_BUCKETS = 32
-
-
-def _pin(schema: pa.Schema):
-    def fix(b: pa.Table) -> pa.Table:
-        return b.cast(schema) if b.num_columns else schema.empty_table()
-
-    return fix
 
 
 def _str_bucket(values: np.ndarray, num_buckets: int) -> np.ndarray:

@@ -70,6 +70,12 @@ def community_edge_batch(
     URLs, so Ownership("host", HOSTLOC_BITS) co-locates each community.
     Models the web's intra-site link fraction (the reference's METIS
     edge-cut rationale, /root/reference/src/preprocess.py:2-27)."""
+    if n_communities > n_vertices:
+        # the clamp below would silently collapse "intra" edges of
+        # communities beyond the vertex range onto vertex n_vertices-1
+        raise ValueError(
+            f"n_communities={n_communities} must be <= n_vertices={n_vertices}"
+        )
     ids = ids.astype(np.uint64)
     ncomm = np.int64(n_communities)
     n_local = max(1, n_vertices // n_communities)

@@ -68,12 +68,49 @@ def test_host_ownership_colocates_and_salts():
 
 
 def test_ownership_roundtrip():
-    own = Ownership("host", HB, [5, 99])
+    own = Ownership("host", HB, [5, 99], placed={7: 3, 123: 11})
     d = own.to_dict()
     back = Ownership.from_dict(d)
     v = np.arange(1000, dtype=np.int64) << (63 - HB)
     assert (own.of(v, 16) == back.of(v, 16)).all()
     assert Ownership.from_dict(None).mode == "page"
+    # placed prefixes route to their assigned partition; salted wins over placed
+    pv = np.array([7 << (63 - HB), (7 << (63 - HB)) | 12345], dtype=np.int64)
+    assert (own.of(pv, 16) == 3).all()
+    both = Ownership("host", HB, salted=[7], placed={7: 3})
+    spread = both.of(np.arange(50, dtype=np.int64) | np.int64(7 << (63 - HB)), 16)
+    assert len(set(spread.tolist())) > 1
+
+
+def test_greedy_placement_balances_heavy_hosts(tmp_path):
+    """Top-K heavy hosts are packed onto the lightest partitions — max/mean
+    partition load must drop vs plain prefix hashing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from drone_ray.graph.partition import detect_mega_hosts
+
+    rng = np.random.default_rng(9)
+    # 64 hosts with skewed sizes (but none over the salt threshold)
+    sizes = (400 / np.arange(1, 65) ** 0.8).astype(int) + 5
+    vids = np.concatenate(
+        [
+            np.array([hash_url(f"https://s{k}.example/p/{i}", HB) for i in range(s)])
+            for k, s in enumerate(sizes)
+        ]
+    )
+    src = vids[rng.integers(0, len(vids), 6000)]
+    dst = vids[rng.integers(0, len(vids), 6000)]
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    own = detect_mega_hosts(edges, num_partitions=8, host_bits=HB)
+    assert own.placed_pref.size > 0
+    plain = Ownership("host", HB)
+    lo = np.bincount(own.of(src, 8), minlength=8)
+    lp = np.bincount(plain.of(src, 8), minlength=8)
+    assert lo.max() / lo.mean() < lp.max() / lp.mean()
+    assert lo.max() / lo.mean() < 1.35
 
 
 @pytest.mark.usefixtures("ray_session")
