@@ -233,6 +233,53 @@ def q_pagerank_pages(sf_dir: str):
     )
 
 
+def q_pagerank_pages_hostloc(sf_dir: str):
+    """The production configuration of the flagship chain: host-locality
+    vids (hash_url host_bits=18) + host ownership with the mega-site
+    salt/placement guard — same pipeline, intra-site links never cross a
+    partition boundary. Scores per URL equal q_pagerank_pages (vids differ
+    by the id layout, so it registers as its own rows-only query)."""
+    import ray.data as rd
+
+    from drone_ray.graph.partition import detect_mega_hosts
+    from drone_ray.pipelines.analytics import pagerank, path_fingerprint
+    from drone_ray.sources.pages import write_pages
+    from drone_ray.stages.canonicalize import links_to_edges_batch
+    from drone_ray.stages.extract import extract_batch
+
+    HB = 18
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_pages = max(200, int(float(sf) * 200_000))
+    pages_dir = write_pages(f"/tmp/drone_ray/pages_sf{sf}", n_pages, seed=42)
+
+    def edge_factory():
+        pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+        return (
+            pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=None)
+            .map_batches(
+                lambda b: links_to_edges_batch(b, host_bits=HB),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .select_columns(["src", "dst"])
+        )
+
+    ownership = detect_mega_hosts(edge_factory(), GRAPH_PARTITIONS, host_bits=HB)
+    res = pagerank(
+        edge_factory,
+        f"pages_hostloc:{pages_dir}:fp={path_fingerprint(pages_dir)}",
+        GRAPH_PARTITIONS,
+        ownership=ownership,
+    )
+    t = res.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def q_extract_pages(sf_dir: str):
     """(url, text) extracted from the synthetic pages fixture. The fixture
     stores the generator's oracle ``text`` column, so the DuckDB oracle reads
@@ -736,6 +783,7 @@ REGISTRY: dict[str, tuple] = {
     # pytest brute-force oracle instead (tests/test_simulation.py)
     "graph_simulation": (q_graph_simulation, None),
     "pagerank_pages": (q_pagerank_pages, None),  # vids are custom url hashes
+    "pagerank_pages_hostloc": (q_pagerank_pages_hostloc, None),  # host-partitioned
     "extract_pages": (q_extract_pages, _EXTRACT_PAGES_SQL),
     "doc_dedup": (
         q_doc_dedup,

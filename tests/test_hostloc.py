@@ -208,3 +208,16 @@ def test_path_fingerprint_detects_inplace_mutation(tmp_path):
     fp2 = path_fingerprint(str(tmp_path))
     assert fp1 != fp2
     assert path_fingerprint(str(tmp_path)) == fp2  # stable when untouched
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_pages_hostloc_same_scores():
+    """The host-partitioned flagship must produce the same multiset of
+    PageRank scores as the page-hash flagship (vids differ by id layout)."""
+    from drone_ray.pipelines.queries import q_pagerank_pages, q_pagerank_pages_hostloc
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = np.sort(q_pagerank_pages(sf_dir)["score"].to_numpy())
+    b = np.sort(q_pagerank_pages_hostloc(sf_dir)["score"].to_numpy())
+    assert a.size == b.size
+    np.testing.assert_allclose(a, b, atol=2e-6)
