@@ -337,31 +337,28 @@ def run_scaling_child() -> dict:
     return out
 
 
-def _hw_ceiling(lo: int = 8, hi: int = 32) -> dict:
-    """Calibrate the BOX's parallel-scaling ceiling with an embarrassingly
-    parallel pure-Python control (independent integer loops, no shared
-    state, no Ray, no memory traffic to speak of). On this sandbox's shared
-    VM, per-core throughput drops as concurrency rises (hypervisor sharing
-    / SMT), so even a perfect workload cannot reach speedup hi/lo. The
-    ceiling = (hi/lo) · t_lo / t_hi is the fixed-work speedup an ideal
-    program could achieve here; efficiencies should be read against it. On
-    a real N→4N cluster every added node brings its own cores, DRAM and
-    NIC, so this ceiling does not apply there."""
+def _ceiling(worker, arg, lo: int, hi: int) -> dict:
+    """Fixed-work speedup ceiling for ``worker``: time k processes × one
+    ``worker(arg)`` each, pinned to k cores (the same affinity shape as
+    the workload children), at k = lo and k = hi. ceiling = (hi/lo) ·
+    t_lo/t_hi normalized to 1.0 — the efficiency an IDEAL program with
+    this resource profile could reach on this box. On a real N→4N cluster
+    every added node brings its own cores, DRAM and NIC, so neither
+    ceiling applies there."""
     import multiprocessing as mp
 
     def timed(k: int) -> float:
-        # same affinity shape as the workload children: k procs on k cores
         old = os.sched_getaffinity(0)
         os.sched_setaffinity(0, set(range(k)))
         try:
             t0 = time.perf_counter()
             with mp.Pool(k) as p:
-                p.map(_burn, [20_000_000] * k)
+                p.map(worker, [arg] * k)
             return time.perf_counter() - t0
         finally:
             os.sched_setaffinity(0, old)
 
-    timed(2)  # warm the pool machinery
+    timed(2)  # warm the pool machinery / allocator
     t_lo, t_hi = timed(lo), timed(hi)
     max_speedup = (hi / lo) * t_lo / t_hi
     return {
@@ -370,6 +367,12 @@ def _hw_ceiling(lo: int = 8, hi: int = 32) -> dict:
         "t_lo": round(t_lo, 2),
         "t_hi": round(t_hi, 2),
     }
+
+
+def _hw_ceiling(lo: int = 8, hi: int = 32) -> dict:
+    """CPU-bound ceiling: independent integer loops — no shared state, no
+    memory traffic to speak of. Measures hypervisor/SMT core sharing."""
+    return _ceiling(_burn, 20_000_000, lo, hi)
 
 
 def _burn(n: int) -> int:
@@ -393,37 +396,12 @@ def _burn_stream(n: int) -> float:
 
 
 def _hw_ceiling_stream(lo: int = 8, hi: int = 32) -> dict:
-    """Like _hw_ceiling, but for BANDWIDTH-bound work: k processes each
-    streaming ~1 GB of array traffic, pinned to k cores. The superstep
-    phase's kernels (bincount/gather over CSR arrays, object-store copies)
-    are memory-streaming, so THIS ceiling — not the integer-loop CPU one —
-    is the fixed-work speedup the memory system physically allows them. On
-    a real N→4N cluster each node brings its own DRAM channels, so this
-    ceiling, like the CPU one, does not apply there."""
-    import multiprocessing as mp
-
-    n = 8_000_000  # 64 MB/array → ~1 GB streamed per proc over 5 passes
-
-    def timed(k: int) -> float:
-        old = os.sched_getaffinity(0)
-        os.sched_setaffinity(0, set(range(k)))
-        try:
-            t0 = time.perf_counter()
-            with mp.Pool(k) as p:
-                p.map(_burn_stream, [n] * k)
-            return time.perf_counter() - t0
-        finally:
-            os.sched_setaffinity(0, old)
-
-    timed(2)  # warm pool + allocator
-    t_lo, t_hi = timed(lo), timed(hi)
-    max_speedup = (hi / lo) * t_lo / t_hi
-    return {
-        "ceiling": round(max_speedup / (hi / lo), 3),
-        "max_speedup": round(max_speedup, 2),
-        "t_lo": round(t_lo, 2),
-        "t_hi": round(t_hi, 2),
-    }
+    """BANDWIDTH-bound ceiling: k processes each streaming ~1 GB of array
+    traffic. The superstep kernels (bincount/gather over CSR arrays,
+    object-store copies) are memory-streaming, so THIS ceiling — not the
+    integer-loop CPU one — is the fixed-work speedup the memory system
+    physically allows them."""
+    return _ceiling(_burn_stream, 8_000_000, lo, hi)
 
 
 def run_scaling() -> dict:

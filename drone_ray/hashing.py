@@ -133,6 +133,16 @@ class Ownership:
         pref = v.astype(np.uint64) >> np.uint64(63 - self.host_bits)
         own = (mix64(pref) % P).astype(np.int32)
         if self.placed_pref.size:
+            if int(self.placed_part.max()) >= num_partitions:
+                # placement bakes in the partition count it was detected
+                # for; silently returning an id >= P would write edges into
+                # partitions no actor ever reads
+                raise ValueError(
+                    f"Ownership.placed assigns partition "
+                    f"{int(self.placed_part.max())} but this graph has only "
+                    f"{num_partitions} partitions — re-run detect_mega_hosts "
+                    f"with num_partitions={num_partitions}"
+                )
             idx = np.searchsorted(self.placed_pref, pref)
             idx_c = np.minimum(idx, self.placed_pref.size - 1)
             m = self.placed_pref[idx_c] == pref

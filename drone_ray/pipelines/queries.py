@@ -196,81 +196,62 @@ def q_graph_simulation(sf_dir: str):
     return res.to_table()
 
 
-def q_pagerank_pages(sf_dir: str):
-    """Flagship chain on synthetic Common-Crawl-style pages: generate →
-    extract (M8) → canonicalize/hash (M9) → edges → PageRank. Page count
-    scales with the sf directory name."""
+def _pagerank_pages_impl(sf_dir: str, host_bits: int = 0):
+    """Shared flagship body: generate → extract (M8) → canonicalize/hash
+    (M9) → edges → PageRank. ``host_bits`` > 0 switches the chain to the
+    production configuration — host-locality vids + host ownership with
+    the mega-site salt/placement guard (the detected Ownership is cached
+    on disk per (pages fingerprint, P, host_bits) so warm runs skip the
+    extra extraction pass)."""
+    import json as _json
+
     import ray.data as rd
 
-    from drone_ray.pipelines.analytics import pagerank
-    from drone_ray.sources.pages import write_pages
-    from drone_ray.stages.canonicalize import links_to_edges_batch
-    from drone_ray.stages.extract import extract_batch
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_pages = max(200, int(float(sf) * 200_000))
-    pages_dir = write_pages(f"/tmp/drone_ray/pages_sf{sf}", n_pages, seed=42)
-
-    def edge_factory():
-        pages = rd.read_parquet(pages_dir, columns=["url", "html"])
-        return (
-            pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=None)
-            .map_batches(links_to_edges_batch, batch_format="pyarrow", batch_size=None)
-            .select_columns(["src", "dst"])
-        )
-
-    from drone_ray.pipelines.analytics import path_fingerprint
-
-    res = pagerank(
-        edge_factory, f"pages:{pages_dir}:fp={path_fingerprint(pages_dir)}", GRAPH_PARTITIONS
-    )
-    t = res.to_table()
-    return pa.table(
-        {
-            "vid": t["vid"],
-            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
-        }
-    )
-
-
-def q_pagerank_pages_hostloc(sf_dir: str):
-    """The production configuration of the flagship chain: host-locality
-    vids (hash_url host_bits=18) + host ownership with the mega-site
-    salt/placement guard — same pipeline, intra-site links never cross a
-    partition boundary. Scores per URL equal q_pagerank_pages (vids differ
-    by the id layout, so it registers as its own rows-only query)."""
-    import ray.data as rd
-
-    from drone_ray.graph.partition import detect_mega_hosts
     from drone_ray.pipelines.analytics import pagerank, path_fingerprint
     from drone_ray.sources.pages import write_pages
     from drone_ray.stages.canonicalize import links_to_edges_batch
     from drone_ray.stages.extract import extract_batch
 
-    HB = 18
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_pages = max(200, int(float(sf) * 200_000))
     pages_dir = write_pages(f"/tmp/drone_ray/pages_sf{sf}", n_pages, seed=42)
+    fp = path_fingerprint(pages_dir)
 
     def edge_factory():
         pages = rd.read_parquet(pages_dir, columns=["url", "html"])
         return (
             pages.map_batches(extract_batch, batch_format="pyarrow", batch_size=None)
             .map_batches(
-                lambda b: links_to_edges_batch(b, host_bits=HB),
+                lambda b: links_to_edges_batch(b, host_bits=host_bits),
                 batch_format="pyarrow",
                 batch_size=None,
             )
             .select_columns(["src", "dst"])
         )
 
-    ownership = detect_mega_hosts(edge_factory(), GRAPH_PARTITIONS, host_bits=HB)
-    res = pagerank(
-        edge_factory,
-        f"pages_hostloc:{pages_dir}:fp={path_fingerprint(pages_dir)}",
-        GRAPH_PARTITIONS,
-        ownership=ownership,
-    )
+    ownership = None
+    key = f"pages:{pages_dir}:fp={fp}"
+    if host_bits:
+        import os as _os
+
+        from drone_ray.graph.partition import detect_mega_hosts
+        from drone_ray.hashing import Ownership
+
+        own_cache = f"/tmp/drone_ray/ownership_{fp}_{GRAPH_PARTITIONS}_{host_bits}.json"
+        if _os.path.exists(own_cache):
+            with open(own_cache) as f:
+                ownership = Ownership.from_dict(_json.load(f))
+        else:
+            ownership = detect_mega_hosts(
+                edge_factory(), GRAPH_PARTITIONS, host_bits=host_bits
+            )
+            tmp = own_cache + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(ownership.to_dict(), f)
+            _os.replace(tmp, own_cache)
+        key = f"pages_hostloc:{pages_dir}:fp={fp}"
+
+    res = pagerank(edge_factory, key, GRAPH_PARTITIONS, ownership=ownership)
     t = res.to_table()
     return pa.table(
         {
@@ -278,6 +259,20 @@ def q_pagerank_pages_hostloc(sf_dir: str):
             "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
         }
     )
+
+
+def q_pagerank_pages(sf_dir: str):
+    """Flagship chain on synthetic Common-Crawl-style pages; page count
+    scales with the sf directory name."""
+    return _pagerank_pages_impl(sf_dir)
+
+
+def q_pagerank_pages_hostloc(sf_dir: str):
+    """The flagship chain in production configuration: host-locality vids
+    (hash_url host_bits=18) + host ownership with salt/placement. Scores
+    per URL equal q_pagerank_pages (vids differ by the id layout, so it
+    registers as its own rows-only query)."""
+    return _pagerank_pages_impl(sf_dir, host_bits=18)
 
 
 def q_extract_pages(sf_dir: str):

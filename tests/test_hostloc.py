@@ -221,3 +221,13 @@ def test_pagerank_pages_hostloc_same_scores():
     b = np.sort(q_pagerank_pages_hostloc(sf_dir)["score"].to_numpy())
     assert a.size == b.size
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_placed_partition_count_mismatch_raises():
+    """Ownership with a placement detected for P=32 must refuse a graph
+    built with fewer partitions (silently dropping edges otherwise)."""
+    own = Ownership("host", HB, placed={7: 11})
+    v = np.array([(7 << (63 - HB)) | 5], dtype=np.int64)
+    assert own.of(v, 16)[0] == 11
+    with pytest.raises(ValueError, match="only 8 partitions"):
+        own.of(v, 8)
