@@ -635,6 +635,78 @@ _TRI_SQL = (
 
 _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
+# Non-empty token list (whitespace-only text → [] like Python str.split);
+# the langid/quality oracles build on this so empty-text edge cases match
+# functions/text.py exactly.
+_TOKENS_NE_SQL = f"list_filter({_TOKENS_SQL}, x -> x <> '')"
+
+
+def _sql_strlist(words) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+def _langid_sql() -> str:
+    """Exact SQL mirror of functions/text.py detect_lang: CJK char ratio
+    gate, then argmax stopword hits with first-in-sorted-order tie-break
+    (strict `>` from a ('en', 0) start ⇒ all-zero → 'en', ties → earliest
+    language alphabetically). Verified bit-identical on sf0.001/0.01/0.1."""
+    from drone_ray.functions.text import STOPWORDS
+
+    hits = ",\n    ".join(
+        f"len(list_filter(tk, x -> x IN ({_sql_strlist(STOPWORDS[lang])}))) AS h_{lang}"
+        for lang in sorted(STOPWORDS)
+    )
+    mx = "greatest(h_de, h_en, h_es, h_fr)"
+    return f"""WITH d AS (
+  SELECT doc_id,
+    list_transform({_TOKENS_NE_SQL}, x -> lower(x)) AS tk,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS DOUBLE) / length(text) END AS cjk
+  FROM documents
+), h AS (
+  SELECT doc_id, cjk, len(tk) AS nt,
+    {hits}
+  FROM d
+)
+SELECT doc_id,
+  CASE WHEN cjk > 0.05 THEN 'zh'
+       WHEN nt = 0 OR {mx} = 0 THEN 'en'
+       WHEN h_de = {mx} THEN 'de'
+       WHEN h_en = {mx} THEN 'en'
+       WHEN h_es = {mx} THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM h"""
+
+
+def _quality_sql() -> str:
+    """Exact SQL mirror of functions/text.py quality_batch (same division
+    order, same bands, round-6 composite). Empty text → all-zero features;
+    whitespace-only text still scores the clean band (0.25), matching the
+    Python `if not t: continue` guard. Verified bit-identical on
+    sf0.001/0.01/0.1."""
+    from drone_ray.functions.text import STOPWORDS
+
+    stops = _sql_strlist(set().union(*STOPWORDS.values()))
+    return f"""WITH d AS (
+  SELECT doc_id, text, {_TOKENS_NE_SQL} AS tk FROM documents
+), f AS (
+  SELECT doc_id, text, len(tk) AS nt,
+    CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS DOUBLE) / length(text) END AS punct_ratio,
+    CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) END AS digit_ratio,
+    CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) END AS mean_token_len,
+    CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_filter(tk, x -> lower(x) IN ({stops}))) AS DOUBLE) / len(tk) END AS stopword_ratio,
+    CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END AS uniq_ratio
+  FROM d
+)
+SELECT doc_id, nt AS n_tokens, mean_token_len, punct_ratio, digit_ratio, stopword_ratio, uniq_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE round(
+    0.35 * least(1.0, nt / 50.0)
+    + 0.2 * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1.0
+                  WHEN mean_token_len > 0 THEN 0.5 ELSE 0.0 END)
+    + 0.25 * (1.0 - least(1.0, 4.0 * punct_ratio + 4.0 * digit_ratio))
+    + 0.2 * uniq_ratio, 6) END AS quality
+FROM f"""
+
 # --- iterative-fixpoint oracles (recursive CTEs over EDGES_SQL) ------------
 # NOTE: DuckDB 1.0 evaluates UNION as UNION ALL in *non-recursive* CTEs that
 # live inside a WITH RECURSIVE block — dedup must be an explicit DISTINCT.
@@ -809,8 +881,8 @@ REGISTRY: dict[str, tuple] = {
         "count(*) AS n_pages, CAST(sum(length(text)) AS BIGINT) AS sum_chars "
         f"FROM read_parquet('{EXTRACT_PAGES_DIR}/*.parquet') GROUP BY 1",
     ),
-    "langid": (q_langid, None),  # heuristic model — unit-tested on pages fixture
-    "quality": (q_quality, None),
+    "langid": (q_langid, _langid_sql()),
+    "quality": (q_quality, _quality_sql()),
     "minhash_near_dup": (q_minhash_near_dup, None),  # custom hashing
     "simhash_near_dup": (q_simhash_near_dup, None),
     "ngram_jaccard_near_dup": (
