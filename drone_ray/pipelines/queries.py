@@ -427,6 +427,65 @@ def q_host_page_stats(sf_dir: str):
     )
 
 
+# --- webtext cleaning (pipelines/webtext.py) -------------------------------
+# The synthetic documents carry no natural PII or shared boilerplate, so the
+# gate queries plant both deterministically — the same expression in the Ray
+# chain and the SQL oracle — and the driver hash then exercises the actual
+# redaction / dedup logic instead of an all-zero pass-through.
+BOILER = (
+    "subscribe to our newsletter for updates click here to accept cookies "
+    "and continue reading this site"
+)  # exactly CHUNK_W = 16 tokens → one full shared chunk heads planted docs
+
+
+def _plant_boiler_batch(b: pa.Table) -> pa.Table:
+    texts = [
+        f"{BOILER} {t}" if i % 5 == 0 else t
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist())
+    ]
+    return pa.table({"doc_id": b["doc_id"], "text": pa.array(texts, pa.string())})
+
+
+def _plant_pii_batch(b: pa.Table) -> pa.Table:
+    out = []
+    for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+        if i % 3 == 0:
+            t += f" contact user{i}@example.org"
+        if i % 4 == 0:
+            t += f" from 10.{i % 200}.{i % 100}.7"
+        if i % 5 == 0:
+            t += f" call 555-{1000 + i % 9000}"
+        out.append(t)
+    return pa.table({"doc_id": b["doc_id"], "text": pa.array(out, pa.string())})
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Corpus-level boilerplate removal: 16-token chunks deduped corpus-wide,
+    first (doc_id, chunk_id) occurrence wins; docs reassembled from their
+    surviving chunks."""
+    from drone_ray.pipelines.webtext import chunk_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _plant_boiler_batch, batch_format="pyarrow", batch_size=None
+    )
+    return chunk_dedup(docs)
+
+
+def q_pii_scrub(sf_dir: str):
+    from drone_ray.pipelines.webtext import pii_scrub
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _plant_pii_batch, batch_format="pyarrow", batch_size=None
+    )
+    return pii_scrub(docs)
+
+
+def q_repetition_stats(sf_dir: str):
+    from drone_ray.pipelines.webtext import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_vocabulary(sf_dir: str):
     from drone_ray.pipelines.textstats import vocabulary_size
 
@@ -707,6 +766,93 @@ SELECT doc_id, nt AS n_tokens, mean_token_len, punct_ratio, digit_ratio, stopwor
     + 0.2 * uniq_ratio, 6) END AS quality
 FROM f"""
 
+def _pii_sql() -> str:
+    """Nested regexp_replace mirror of scrub_pii_batch: each category's
+    count is taken on the text AFTER the previous substitution, exactly as
+    the Python subn chain does. Patterns are shared constants."""
+    from drone_ray.pipelines.webtext import EMAIL_PAT, IPV4_PAT, PHONE_PAT
+
+    plant = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.org' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 100 AS VARCHAR) || '.7' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'"
+        " || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END"
+    )
+    return (
+        f"WITH p AS (SELECT doc_id, {plant} AS t FROM documents), "
+        f"e AS (SELECT doc_id, len(regexp_extract_all(t, '{EMAIL_PAT}')) AS n_emails, "
+        f"regexp_replace(t, '{EMAIL_PAT}', '<EMAIL>', 'g') AS t FROM p), "
+        f"i AS (SELECT doc_id, n_emails, len(regexp_extract_all(t, '{IPV4_PAT}')) AS n_ips, "
+        f"regexp_replace(t, '{IPV4_PAT}', '<IP>', 'g') AS t FROM e) "
+        f"SELECT doc_id, n_emails, n_ips, "
+        f"len(regexp_extract_all(t, '{PHONE_PAT}')) AS n_phones, "
+        f"regexp_replace(t, '{PHONE_PAT}', '<PHONE>', 'g') AS text_clean FROM i"
+    )
+
+
+def _chunk_dedup_sql() -> str:
+    """Window-function mirror of pipelines/webtext.chunk_dedup over the
+    boilerplate-planted corpus: chunk = 16-token list_slice joined by ' ',
+    winner = row_number() 1 in (doc_id, chunk_id) order per chunk string."""
+    from drone_ray.pipelines.webtext import CHUNK_W as W
+
+    toks_t = _TOKENS_NE_SQL.replace("trim(text)", "trim(t)")
+    return f"""WITH p AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN '{BOILER} ' || text ELSE text END AS t
+  FROM documents
+), t AS (
+  SELECT doc_id, {toks_t} AS tk FROM p
+), c AS (
+  SELECT doc_id, chunk_id,
+    array_to_string(list_slice(tk, chunk_id * {W} + 1, chunk_id * {W} + {W}), ' ') AS chunk
+  FROM (SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(tk) / {W}.0) AS BIGINT) - 1)) AS chunk_id, tk FROM t)
+), k AS (
+  SELECT doc_id, chunk_id, chunk,
+    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn
+  FROM c
+), agg AS (
+  SELECT doc_id, count(*) AS n_chunks,
+    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_id), '') AS text_clean
+  FROM k GROUP BY 1
+)
+SELECT t.doc_id, coalesce(n_chunks, 0) AS n_chunks, coalesce(n_kept, 0) AS n_kept,
+  coalesce(text_clean, '') AS text_clean
+FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id"""
+
+
+def _repetition_sql() -> str:
+    """Mirror of webtext.repetition_stats_batch. Fractions are raw double
+    divisions on both sides (bit-identical IEEE; round() half-tie semantics
+    differ between Python and DuckDB). Bigrams join tokens with ' ' — an
+    injective encoding since tokens are whitespace-free."""
+    return f"""WITH t AS (
+  SELECT doc_id, {_TOKENS_NE_SQL} AS tk FROM documents
+), u AS (
+  SELECT doc_id, s.w AS w, count(*) AS c FROM t, unnest(tk) AS s(w) GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, max(c) AS mx FROM u GROUP BY 1
+), bi AS (
+  SELECT doc_id, w2, count(*) AS c FROM (
+    SELECT doc_id, tk[p] || ' ' || tk[p + 1] AS w2
+    FROM (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS p, tk FROM t WHERE len(tk) >= 2)
+  ) GROUP BY 1, 2
+), mb AS (
+  SELECT doc_id, max(c) AS mxb FROM bi GROUP BY 1
+), f AS (
+  SELECT t.doc_id, len(tk) AS n_tokens,
+    CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(coalesce(mx, 0) AS DOUBLE) / len(tk) END AS top_token_frac,
+    CASE WHEN len(tk) < 2 THEN 0.0 ELSE CAST(coalesce(mxb, 0) AS DOUBLE) / (len(tk) - 1) END AS top_bigram_frac
+  FROM t LEFT JOIN m ON t.doc_id = m.doc_id LEFT JOIN mb ON t.doc_id = mb.doc_id
+)
+SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac,
+  CAST(CASE WHEN n_tokens >= 10 AND top_token_frac <= 0.2 AND top_bigram_frac <= 0.15 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f"""
+
+
 # --- iterative-fixpoint oracles (recursive CTEs over EDGES_SQL) ------------
 # NOTE: DuckDB 1.0 evaluates UNION as UNION ALL in *non-recursive* CTEs that
 # live inside a WITH RECURSIVE block — dedup must be an explicit DISTINCT.
@@ -883,6 +1029,9 @@ REGISTRY: dict[str, tuple] = {
     ),
     "langid": (q_langid, _langid_sql()),
     "quality": (q_quality, _quality_sql()),
+    "pii_scrub": (q_pii_scrub, _pii_sql()),
+    "repetition_stats": (q_repetition_stats, _repetition_sql()),
+    "chunk_dedup": (q_chunk_dedup, _chunk_dedup_sql()),
     "minhash_near_dup": (q_minhash_near_dup, None),  # custom hashing
     "simhash_near_dup": (q_simhash_near_dup, None),
     "ngram_jaccard_near_dup": (

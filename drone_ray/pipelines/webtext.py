@@ -1,0 +1,265 @@
+"""Webtext-cleaning operators a Common-Crawl-scale training-data pipeline
+runs between extraction and tokenization:
+
+  * chunk_dedup       -- CCNet-style corpus-level boilerplate removal:
+                         fixed-width token chunks deduped corpus-wide; the
+                         first occurrence in (doc_id, chunk_id) order wins,
+                         every later identical chunk is dropped and the doc
+                         text is reassembled from its surviving chunks.
+  * pii_scrub         -- email / IPv4 / phone redaction with per-category
+                         counts. Patterns are RE2-compatible (explicit
+                         [0-9], no lookaround) so DuckDB regexp_replace /
+                         regexp_extract_all is an exact oracle.
+  * repetition_stats  -- Gopher-style repetition signals per document
+                         (top-token fraction, top-bigram fraction) plus a
+                         thresholded keep flag.
+
+Scale notes: pii_scrub and repetition_stats are stateless vectorized-batch
+map_batches (per-doc token work is inherently per-row, as in
+functions/text.py). chunk_dedup is two bucketed shuffles -- chunk-hash
+buckets to pick winners, doc buckets to reassemble -- with one vectorized
+pass per bucket and no driver-side state; memory per task is one bucket.
+The reference engine has no cleaning stages (it consumes pre-built edge
+lists); these extend the engine for the LLM-training-data mandate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from drone_ray.pipelines._util import pin_schema as _pin
+
+CHUNK_W = 16
+_NUM_BUCKETS = 32
+
+# --- PII patterns (identical semantics in Python re and DuckDB's RE2:
+#     leftmost-first, greedy, ASCII classes only) ---------------------------
+EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PAT = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_PAT = r"\b[0-9]{3}-[0-9]{4}\b"
+
+_EMAIL_RE = re.compile(EMAIL_PAT)
+_IPV4_RE = re.compile(IPV4_PAT)
+_PHONE_RE = re.compile(PHONE_PAT)
+
+
+def scrub_pii_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Redact emails -> IPv4s -> phones (in that order: each count is taken
+    on the text AFTER the previous substitution, mirroring the nested
+    regexp_replace oracle exactly)."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_emails = np.empty(n, np.int64)
+    n_ips = np.empty(n, np.int64)
+    n_phones = np.empty(n, np.int64)
+    clean = []
+    for i, t in enumerate(texts):
+        t, n_emails[i] = _EMAIL_RE.subn("<EMAIL>", t)
+        t, n_ips[i] = _IPV4_RE.subn("<IP>", t)
+        t, n_phones[i] = _PHONE_RE.subn("<PHONE>", t)
+        clean.append(t)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_emails": pa.array(n_emails),
+            "n_ips": pa.array(n_ips),
+            "n_phones": pa.array(n_phones),
+            "text_clean": pa.array(clean, pa.string()),
+        }
+    )
+
+
+def pii_scrub(docs: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """(doc_id, n_emails, n_ips, n_phones, text_clean) per document."""
+    return docs.map_batches(
+        lambda b: scrub_pii_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+# --- Gopher-style repetition signals ---------------------------------------
+def repetition_stats_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per doc: n_tokens, top_token_frac = max token count / n_tokens,
+    top_bigram_frac = max bigram count / (n_tokens - 1), and keep = 1 iff
+    n_tokens >= 10 AND top_token_frac <= 0.2 AND top_bigram_frac <= 0.15.
+    Fractions are raw IEEE divisions (NOT rounded): double division of the
+    same integers is bit-identical in numpy and DuckDB, whereas round()
+    half-tie semantics differ between Python and SQL."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_tokens = np.zeros(n, np.int64)
+    ttf = np.zeros(n, np.float64)
+    tbf = np.zeros(n, np.float64)
+    for i, t in enumerate(texts):
+        tk = t.split()
+        nt = len(tk)
+        n_tokens[i] = nt
+        if nt:
+            ttf[i] = max(Counter(tk).values()) / nt
+        if nt >= 2:
+            tbf[i] = max(Counter(zip(tk, tk[1:])).values()) / (nt - 1)
+    keep = ((n_tokens >= 10) & (ttf <= 0.2) & (tbf <= 0.15)).astype(np.int64)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens),
+            "top_token_frac": pa.array(ttf),
+            "top_bigram_frac": pa.array(tbf),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def repetition_stats(docs: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    return docs.map_batches(
+        lambda b: repetition_stats_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+# --- corpus-level chunk dedup ----------------------------------------------
+def _chunk_bucket(chunks: list[str], num_buckets: int) -> np.ndarray:
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(c.encode(), digest_size=8).digest(), "big")
+            % num_buckets
+            for c in chunks
+        ),
+        np.int64,
+        count=len(chunks),
+    )
+
+
+def chunk_dedup(
+    docs: Dataset,
+    width: int = CHUNK_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = _NUM_BUCKETS,
+) -> Dataset:
+    """Corpus-wide duplicate-chunk removal (CCNet paragraph dedup adapted to
+    fixed ``width``-token chunks, since the corpus has no line structure).
+
+    Returns one row per input doc: (doc_id, n_chunks, n_kept, text_clean)
+    where text_clean is the space-join of the doc's surviving chunks in
+    chunk order. A chunk survives iff its (doc_id, chunk_id) is the
+    lexicographically smallest occurrence of that exact chunk text in the
+    corpus -- so shared boilerplate survives only in the first doc that
+    carries it, and within-doc repeats collapse to the first copy.
+    """
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        out_id, out_cid, out_chunk = [], [], []
+        for i, t in zip(ids, b[text_col].to_pylist()):
+            tk = t.split()
+            for c in range(0, (len(tk) + width - 1) // width):
+                out_id.append(i)
+                out_cid.append(c)
+                out_chunk.append(" ".join(tk[c * width : (c + 1) * width]))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                "chunk": pa.array(out_chunk, pa.string()),
+                "_b": pa.array(_chunk_bucket(out_chunk, num_buckets)),
+            }
+        )
+
+    def mark_winners(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per chunk-hash bucket: first (doc, chunk_id)
+        # occurrence of each distinct chunk string keeps, the rest drop
+        ch = g["chunk"].to_numpy()
+        ids = g[id_col].to_numpy()
+        cid = g["chunk_id"].to_numpy()
+        order = np.lexsort((cid, ids, ch))
+        keep_sorted = np.empty(len(g), dtype=bool)
+        keep_sorted[:1] = True
+        keep_sorted[1:] = ch[order][1:] != ch[order][:-1]
+        keep = np.empty(len(g), dtype=bool)
+        keep[order] = keep_sorted
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "chunk_id": cid,
+                "chunk": ch,
+                "keep": keep,
+                "_db": ids % _NUM_BUCKETS,
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-doc run boundaries; the string join per doc is the
+        # only (unavoidable) Python step
+        ids = g[id_col].to_numpy()
+        cid = g["chunk_id"].to_numpy()
+        order = np.lexsort((cid, ids))
+        ids, cid = ids[order], cid[order]
+        keep = g["keep"].to_numpy()[order]
+        ch = g["chunk"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        ends = np.r_[starts[1:], ids.size]
+        n_kept = np.add.reduceat(keep.astype(np.int64), starts)
+        texts = [
+            " ".join(ch[i] for i in range(s, e) if keep[i])
+            for s, e in zip(starts, ends)
+        ]
+        return pd.DataFrame(
+            {
+                id_col: ids[starts],
+                "n_chunks": ends - starts,
+                "n_kept": n_kept,
+                "text_clean": texts,
+            }
+        )
+
+    schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("n_chunks", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("text_clean", pa.string()),
+        ]
+    )
+
+    deduped = (
+        docs.map_batches(explode, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(mark_winners, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(assemble, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
+    )
+
+    # zero-token docs produce no chunk rows -- union their empty results so
+    # every input doc appears exactly once in the output
+    def empties(b: pa.Table) -> pa.Table:
+        ids = [
+            i
+            for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist())
+            if not t.split()
+        ]
+        k = len(ids)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_chunks": pa.array([0] * k, pa.int64()),
+                "n_kept": pa.array([0] * k, pa.int64()),
+                "text_clean": pa.array([""] * k, pa.string()),
+            }
+        )
+
+    empty_docs = docs.map_batches(empties, batch_format="pyarrow", batch_size=None)
+    return deduped.union(empty_docs)

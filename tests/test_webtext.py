@@ -1,0 +1,137 @@
+"""Webtext-cleaning operators: PII scrub edge cases, Gopher repetition
+signals vs brute force, corpus-level chunk dedup vs a Python oracle."""
+
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+
+from drone_ray.pipelines.webtext import (
+    CHUNK_W,
+    chunk_dedup,
+    pii_scrub,
+    repetition_stats,
+    repetition_stats_batch,
+    scrub_pii_batch,
+)
+
+
+def _docs_table(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_scrub_pii_batch():
+    b = _docs_table(
+        [
+            "mail me at a.b+c@sub.example.org today",
+            "server 192.168.0.1 and 10.0.0.255 respond",
+            "call 555-0199 or 555-1234 now",
+            "no pii here at all",
+            "x@y.io sits at 1.2.3.4 call 555-7777",
+            "",
+        ]
+    )
+    out = scrub_pii_batch(b)
+    assert out["n_emails"].to_pylist() == [1, 0, 0, 0, 1, 0]
+    assert out["n_ips"].to_pylist() == [0, 2, 0, 0, 1, 0]
+    assert out["n_phones"].to_pylist() == [0, 0, 2, 0, 1, 0]
+    clean = out["text_clean"].to_pylist()
+    assert clean[0] == "mail me at <EMAIL> today"
+    assert clean[1] == "server <IP> and <IP> respond"
+    assert clean[2] == "call <PHONE> or <PHONE> now"
+    assert clean[3] == "no pii here at all"
+    assert clean[4] == "<EMAIL> sits at <IP> call <PHONE>"
+    assert clean[5] == ""
+
+
+def test_repetition_stats_brute():
+    texts = [
+        "",
+        "one",
+        "a a a a a a a a a a",  # 10 tokens, ttf = 1.0 -> dropped
+        "the quick brown fox jumps over the lazy dog again and again ok",
+        "x y " * 30,  # bigram 'y x' and 'x y' dominate -> dropped
+    ]
+    out = repetition_stats_batch(_docs_table(texts))
+    for i, t in enumerate(texts):
+        tk = t.split()
+        nt = len(tk)
+        assert out["n_tokens"][i].as_py() == nt
+        exp_ttf = max(Counter(tk).values()) / nt if nt else 0.0
+        exp_tbf = (
+            max(Counter(zip(tk, tk[1:])).values()) / (nt - 1) if nt >= 2 else 0.0
+        )
+        assert out["top_token_frac"][i].as_py() == pytest.approx(exp_ttf, abs=0)
+        assert out["top_bigram_frac"][i].as_py() == pytest.approx(exp_tbf, abs=0)
+        exp_keep = int(nt >= 10 and exp_ttf <= 0.2 and exp_tbf <= 0.15)
+        assert out["keep"][i].as_py() == exp_keep
+    assert out["keep"].to_pylist() == [0, 0, 0, 1, 0]
+
+
+def _brute_chunk_dedup(texts, width=CHUNK_W):
+    """First (doc_id, chunk_id) occurrence of each chunk string wins."""
+    seen = set()
+    rows = []
+    for did, t in enumerate(texts):
+        tk = t.split()
+        n_chunks = (len(tk) + width - 1) // width
+        kept = []
+        for c in range(n_chunks):
+            ch = " ".join(tk[c * width : (c + 1) * width])
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        rows.append((did, n_chunks, len(kept), " ".join(kept)))
+    return rows
+
+
+def test_chunk_dedup_vs_brute():
+    import ray.data as rd
+
+    boiler = " ".join(f"b{i}" for i in range(CHUNK_W))
+    texts = [
+        boiler + " unique tail zero alpha beta",
+        "plain document two with its own words only here",
+        boiler + " another tail for document three",
+        "",
+        "   ",  # whitespace-only: zero chunks
+        boiler,  # exactly the boilerplate, fully deduped away
+        # within-doc repeat: same chunk twice in one doc
+        " ".join(f"w{i % CHUNK_W}" for i in range(2 * CHUNK_W)),
+    ]
+    out = (
+        chunk_dedup(rd.from_arrow(_docs_table(texts)), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_chunk_dedup(texts)
+    assert len(out) == len(texts)
+    for did, n_chunks, n_kept, clean in exp:
+        row = out.iloc[did]
+        assert row["doc_id"] == did
+        assert row["n_chunks"] == n_chunks, did
+        assert row["n_kept"] == n_kept, did
+        assert row["text_clean"] == clean, did
+    # the planted boilerplate survived only in doc 0
+    assert out.iloc[0]["n_kept"] == out.iloc[0]["n_chunks"]
+    assert out.iloc[2]["n_kept"] == out.iloc[2]["n_chunks"] - 1
+    assert out.iloc[5]["n_kept"] == 0 and out.iloc[5]["text_clean"] == ""
+    # doc 6 repeats its own chunk: second copy dropped within-doc
+    assert out.iloc[6]["n_chunks"] == 2 and out.iloc[6]["n_kept"] == 1
+
+
+def test_pii_scrub_dataset_roundtrip():
+    import ray.data as rd
+
+    out = pii_scrub(rd.from_arrow(_docs_table(["a@b.co x", "clean"]))).to_pandas()
+    assert sorted(out["text_clean"]) == ["<EMAIL> x", "clean"]
+
+
+def test_repetition_stats_dataset():
+    import ray.data as rd
+
+    out = repetition_stats(
+        rd.from_arrow(_docs_table(["a b c d e f g h i j k l", "a a"]))
+    ).to_pandas()
+    assert set(out["keep"]) == {0, 1}
