@@ -173,6 +173,90 @@ def _kmeans_lite(x: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.n
     return cent
 
 
+def kmeans_distributed(
+    emb: Dataset,
+    n_clusters: int,
+    iters: int = 5,
+    sample_mod: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Exact Lloyd k-means over the FULL corpus, distributed: each iteration
+    is one map_batches pass emitting per-batch partial (cluster, sum, count)
+    rows — k×d doubles per batch — reduced on the driver in a deterministic
+    sorted order (cluster, then min-vec_id batch key), so repeated runs give
+    bit-identical centroids. The driver only ever holds k×d centroids plus
+    k×n_batches partial rows; nothing scales with corpus size. Costs
+    ``iters`` full passes — use over the sample-capped trainer when the
+    bounded sample is no longer representative (≥10^8 vectors).
+
+    Init: the first n_clusters rows of the deterministic modulo sample
+    (pushed-down filter + limit, same mechanism as the sample trainer)."""
+
+    def pick_init(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % sample_mod == 0))
+
+    init_parts = list(
+        emb.select_columns([id_col, vec_col])
+        .map_batches(pick_init, batch_format="pyarrow", batch_size=None)
+        .limit(n_clusters)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    init = [batch_matrix(t, vec_col) for t in init_parts if t.num_rows]
+    if not init:
+        return np.zeros((0, 1))
+    cent = np.vstack(init)[:n_clusters].astype(np.float64)
+    k, d = cent.shape
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = batch_matrix(b, vec_col)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            if x.size == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "bkey": pa.array([], pa.int64()),
+                        "count": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            dist = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = dist.argmin(1)
+            sums = np.zeros((k, d))
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=k)
+            nz = np.flatnonzero(counts)
+            bkey = int(ids.min())
+            return pa.table(
+                {
+                    "cluster": pa.array(nz, pa.int64()),
+                    "bkey": pa.array([bkey] * len(nz), pa.int64()),
+                    "count": pa.array(counts[nz], pa.int64()),
+                    "vsum": pa.array(list(sums[nz]), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = emb.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+        if not len(parts):
+            break
+        parts = parts.sort_values(["cluster", "bkey"], kind="mergesort")
+        cl = parts["cluster"].to_numpy()
+        cnt = parts["count"].to_numpy()
+        vs = np.vstack(parts["vsum"].to_numpy())
+        new = cent.copy()
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        tot = np.add.reduceat(cnt, starts)
+        ssum = np.add.reduceat(vs, starts, axis=0)
+        new[cl[starts]] = ssum / tot[:, None]
+        cent = new
+    return cent
+
+
 def ann_topk_ivf(
     emb: Dataset,
     query_ids=(0, 1, 2, 3, 4),
@@ -183,6 +267,7 @@ def ann_topk_ivf(
     max_train: int = 65536,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train: str = "sample",
 ) -> pa.Table:
     """IVF approximate top-k: a seeded k-means coarse quantizer (trained on
     a deterministic sample) assigns every vector to a cluster inside
@@ -197,24 +282,36 @@ def ann_topk_ivf(
     the upstream read once the limit is satisfied). Deterministic: block
     order of a parquet read is stable, so the same input yields the same
     sample and the same centroids.
+
+    ``train="distributed"`` swaps the sample trainer for kmeans_distributed
+    (exact Lloyd over the whole corpus, iters full passes) — the scale path
+    when the capped sample stops being representative.
     """
+    if train == "distributed":
+        cent = kmeans_distributed(
+            emb, n_clusters, sample_mod=sample_mod, id_col=id_col, vec_col=vec_col
+        )
+    else:
 
-    def pick_sample(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(ids % sample_mod == 0))
+        def pick_sample(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % sample_mod == 0))
 
-    sample_parts = list(
-        emb.select_columns([id_col, vec_col])
-        .map_batches(pick_sample, batch_format="pyarrow", batch_size=None)
-        .limit(max_train)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-    )
-    strain = (
-        np.vstack([batch_matrix(t, vec_col) for t in sample_parts if t.num_rows])
-        if sample_parts
-        else np.zeros((0, 1))
-    )
-    if strain.shape[0] == 0:
+        sample_parts = list(
+            emb.select_columns([id_col, vec_col])
+            .map_batches(pick_sample, batch_format="pyarrow", batch_size=None)
+            .limit(max_train)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        strain = (
+            np.vstack([batch_matrix(t, vec_col) for t in sample_parts if t.num_rows])
+            if sample_parts
+            else np.zeros((0, 1))
+        )
+        cent = (
+            _kmeans_lite(strain, n_clusters) if strain.shape[0] else np.zeros((0, 1))
+        )
+    if cent.shape[0] == 0:
         return pa.table(
             {
                 "query_id": pa.array([], pa.int64()),
@@ -222,7 +319,6 @@ def ann_topk_ivf(
                 "cosine": pa.array([], pa.float64()),
             }
         )
-    cent = _kmeans_lite(strain, n_clusters)
     qids, q = _query_matrix(emb, query_ids, id_col, vec_col)
     # per query: the n_probe nearest centroids (by cosine)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)

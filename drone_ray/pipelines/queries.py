@@ -519,6 +519,16 @@ def q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=10)
 
 
+def q_ann_topk_ivf_dist(sf_dir: str):
+    """IVF with the distributed full-corpus Lloyd trainer (the ≥10^8-vector
+    scale path; the default ivf query uses the bounded-sample trainer)."""
+    from drone_ray.pipelines.ann import ann_topk_ivf
+
+    return ann_topk_ivf(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=10, train="distributed"
+    )
+
+
 def q_embedding_near_dup(sf_dir: str):
     from drone_ray.pipelines.dedup import embedding_near_dups_exact
 
@@ -1070,6 +1080,7 @@ WHERE CAST(c AS DOUBLE) / (za.nsh + zb.nsh - c) >= {NGRAM_JACCARD_T}""",
     ),
     "ann_topk_lsh": (q_ann_topk_lsh, None),  # approximate by design
     "ann_topk_ivf": (q_ann_topk_ivf, None),  # approximate by design
+    "ann_topk_ivf_dist": (q_ann_topk_ivf_dist, None),  # approximate by design
     "embedding_near_dup": (
         q_embedding_near_dup,
         "SELECT a.vec_id AS a, b.vec_id AS b, "

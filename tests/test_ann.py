@@ -74,3 +74,34 @@ def test_ann_ivf_recall_vs_exact():
         e = set(exact[exact.query_id == qid].vec_id)
         g = set(ivf[ivf.query_id == qid].vec_id)
         assert len(e & g) >= 8, f"recall too low for query {qid}: {len(e & g)}/10"
+
+
+def test_ann_ivf_distributed_trainer_recall_and_determinism():
+    # the full-corpus Lloyd trainer: same recall bar as the sample trainer,
+    # and bit-identical centroids across runs (sorted partial reduce)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from drone_ray.pipelines.ann import ann_topk_exact, ann_topk_ivf, kmeans_distributed
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32))
+    vecs = np.vstack([c + 0.1 * rng.normal(size=(80, 32)) for c in centers])
+    ids = np.arange(len(vecs))
+    emb = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    )
+    exact = ann_topk_exact(emb, query_ids=(0, 100, 200), k=10).to_pandas()
+    ivf = ann_topk_ivf(
+        emb, query_ids=(0, 100, 200), k=10, n_clusters=8, n_probe=2, train="distributed"
+    ).to_pandas()
+    for qid in (0, 100, 200):
+        e = set(exact[exact.query_id == qid].vec_id)
+        g = set(ivf[ivf.query_id == qid].vec_id)
+        assert len(e & g) >= 8, f"recall too low for query {qid}: {len(e & g)}/10"
+
+    c1 = kmeans_distributed(emb, 8, iters=3)
+    c2 = kmeans_distributed(emb, 8, iters=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 32)
