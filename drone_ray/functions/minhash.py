@@ -20,9 +20,23 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _MAXH = np.uint64((1 << 61) - 1)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
+# MinHash arithmetic lives in GF(2^31-1): products of two 31-bit values fit
+# exactly in uint64 (numpy) and in BIGINT (DuckDB), so the whole signature
+# chain is reproducible as plain SQL — which is what makes minhash_near_dup
+# an oracle-backed query rather than a trust-me sketch.
+_P31 = np.uint64((1 << 31) - 1)
+_SENT31 = np.uint64((1 << 31) - 2)  # empty-shingle-set sentinel
+
 
 def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def md5_lower64(s: str) -> int:
+    """Exact Python twin of DuckDB's ``md5_number_lower``: the last 8 bytes
+    of the md5 digest read little-endian (verified empirically against
+    DuckDB 1.0)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
 
 
 def _token_hashes(toks: list[str]) -> np.ndarray:
@@ -52,33 +66,63 @@ def word_shingles(text: str, k: int = 3) -> np.ndarray:
         return np.unique(mix64(acc))
 
 
-class MinHasher:
-    """num_perm universal-hash permutations h_i(x) = (a_i·x + b_i) mod p."""
+def shingle_strings(text: str, k: int = 3) -> list[str]:
+    """k-word shingle STRINGS of the whitespace tokens; <k tokens collapse
+    to one all-token shingle, empty text to []. The string form (not a
+    process-local hash) is what lets the DuckDB oracle regenerate shingles
+    with ``tk[p] || ' ' || …`` and match bit-for-bit."""
+    toks = text.split()
+    if not toks:
+        return []
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
-    def __init__(self, num_perm: int = 128, seed: int = 42):
-        rng = np.random.default_rng(seed)
+
+class MinHasher:
+    """num_perm universal-hash permutations h_i(x) = (a_i·x + b_i) mod p
+    with p = 2^31-1 and a_i/b_i derived from md5 of fixed strings — every
+    value on the chain is reproducible in SQL (see _MINHASH_SQL in
+    pipelines/queries.py). Seeded and process-independent."""
+
+    def __init__(self, num_perm: int = 128):
+        p = int(_P31)
         self.num_perm = num_perm
-        self.a = rng.integers(1, int(_MERSENNE), num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, int(_MERSENNE), num_perm, dtype=np.uint64)
+        self.a = np.array(
+            [1 + md5_lower64(f"mh-a-{i}") % (p - 1) for i in range(num_perm)], dtype=np.uint64
+        )
+        self.b = np.array(
+            [md5_lower64(f"mh-b-{i}") % p for i in range(num_perm)], dtype=np.uint64
+        )
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
-        """uint64[num_perm]; empty shingle set → all MAXH sentinel."""
+        """uint64[num_perm]; empty shingle set → all-sentinel. Inputs are
+        reduced mod p first so a·x fits uint64 exactly (no wraparound)."""
         if shingle_hashes.size == 0:
-            return np.full(self.num_perm, _MAXH, dtype=np.uint64)
-        x = shingle_hashes.astype(np.uint64)
-        with np.errstate(over="ignore"):
-            # (num_perm, n) universal hashes; mod 2^61-1 keeps values well mixed
-            hv = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+            return np.full(self.num_perm, _SENT31, dtype=np.uint64)
+        x = shingle_hashes.astype(np.uint64) % _P31
+        hv = (self.a[:, None] * x[None, :] + self.b[:, None]) % _P31
         return hv.min(axis=1)
+
+    def signature_of_strings(self, shs: list[str]) -> np.ndarray:
+        """Signature over md5-hashed shingle strings — the oracle-grade
+        entry point (md5_lower64 == DuckDB md5_number_lower)."""
+        if not shs:
+            return np.full(self.num_perm, _SENT31, dtype=np.uint64)
+        sid = np.array([md5_lower64(s) for s in shs], dtype=np.uint64)
+        return self.signature(sid)
 
 
 def band_hashes(sig: np.ndarray, num_bands: int = 16) -> np.ndarray:
-    """Hash each band of the signature to one uint64 bucket key."""
+    """Hash each band of the signature to one uint64 bucket key: md5 of the
+    comma-joined decimal values — the same string DuckDB's
+    ``string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)`` builds, so band
+    equality is identical on both sides."""
     rows = sig.size // num_bands
     out = np.empty(num_bands, dtype=np.uint64)
     for b in range(num_bands):
-        chunk = sig[b * rows : (b + 1) * rows].tobytes()
-        out[b] = int.from_bytes(hashlib.blake2b(chunk, digest_size=8).digest(), "big")
+        s = ",".join(str(int(v)) for v in sig[b * rows : (b + 1) * rows])
+        out[b] = md5_lower64(s)
     return out
 
 

@@ -31,6 +31,7 @@ from drone_ray.functions.minhash import (
     band_hashes,
     hamming64,
     jaccard,
+    shingle_strings,
     simhash64,
     simhash_bands,
     word_shingles,
@@ -70,7 +71,7 @@ class _MinhashStage:
         texts = batch[self.text_col].to_pylist()
         out_id, out_band, out_hash = [], [], []
         for i, t in zip(ids, texts):
-            sig = self.mh.signature(word_shingles(t, self.k))
+            sig = self.mh.signature_of_strings(shingle_strings(t, self.k))
             bh = band_hashes(sig, self.num_bands)
             out_id.extend([i] * self.num_bands)
             out_band.extend(range(self.num_bands))

@@ -709,6 +709,65 @@ _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 # functions/text.py exactly.
 _TOKENS_NE_SQL = f"list_filter({_TOKENS_SQL}, x -> x <> '')"
 
+# Full MinHash+LSH chain in SQL — possible because the Ray-side hashing
+# (functions/minhash.py) is built from DuckDB-computable primitives:
+# shingle id = md5_number_lower(shingle) mod 2^31-1, permutations
+# h_i(x) = (a_i x + b_i) mod 2^31-1 with a_i/b_i = md5 of fixed strings,
+# band equality on the comma-joined decimal signature slice. Every product
+# fits BIGINT, so there is no wraparound to emulate. Shingle semantics:
+# k-grams for >=3 tokens, one all-token shingle for 1-2, none for 0
+# (signature = all-sentinel 2147483646, so empty docs pair with empty
+# docs at jaccard 1.0 — mirrored by the CASE below). Verification is
+# exact distinct-shingle Jaccard like the ngram_jaccard oracle.
+_MINHASH_SQL = f"""WITH t AS (SELECT doc_id, {_TOKENS_NE_SQL} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] AS sh
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+        FROM t WHERE len(tk) >= 3)
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') FROM t WHERE len(tk) BETWEEN 1 AND 2
+),
+perm AS (SELECT i, 1 + md5_number_lower('mh-a-' || i) % 2147483646 AS a,
+                md5_number_lower('mh-b-' || i) % 2147483647 AS b
+         FROM range(128) r(i)),
+sig AS (
+  SELECT t.doc_id, p.i,
+         COALESCE(MIN(((p.a * (md5_number_lower(s.sh) % 2147483647)) + p.b) % 2147483647),
+                  2147483646) AS h
+  FROM t CROSS JOIN perm p LEFT JOIN sh s ON s.doc_id = t.doc_id
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 8 AS band_id,
+         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bs
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bs = y.bs AND x.doc_id < y.doc_id
+),
+ds AS (SELECT DISTINCT doc_id, sh FROM sh),
+z AS (SELECT doc_id, count(*) AS nsh FROM ds GROUP BY 1),
+c AS (
+  SELECT cand.a, cand.b, count(*) AS nc
+  FROM cand JOIN ds x ON x.doc_id = cand.a
+            JOIN ds y ON y.doc_id = cand.b AND y.sh = x.sh
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT cand.a, cand.b,
+         CASE WHEN za.nsh IS NULL AND zb.nsh IS NULL THEN 1.0
+              ELSE CAST(COALESCE(c.nc, 0) AS DOUBLE)
+                   / (COALESCE(za.nsh, 0) + COALESCE(zb.nsh, 0) - COALESCE(c.nc, 0))
+         END AS jc
+  FROM cand
+  LEFT JOIN z za ON za.doc_id = cand.a
+  LEFT JOIN z zb ON zb.doc_id = cand.b
+  LEFT JOIN c ON c.a = cand.a AND c.b = cand.b
+)
+SELECT a, b, round(jc, 6) AS jaccard FROM j WHERE round(jc, 6) >= 0.5"""
+
 
 def _sql_strlist(words) -> str:
     return ", ".join(f"'{w}'" for w in sorted(words))
@@ -1042,7 +1101,7 @@ REGISTRY: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, _pii_sql()),
     "repetition_stats": (q_repetition_stats, _repetition_sql()),
     "chunk_dedup": (q_chunk_dedup, _chunk_dedup_sql()),
-    "minhash_near_dup": (q_minhash_near_dup, None),  # custom hashing
+    "minhash_near_dup": (q_minhash_near_dup, _MINHASH_SQL),
     "simhash_near_dup": (q_simhash_near_dup, None),
     "ngram_jaccard_near_dup": (
         q_ngram_jaccard_near_dup,
