@@ -114,3 +114,27 @@ def test_self_loops_and_duplicate_edges():
     vids, scores = _sorted(res.to_table(), "score")
     ovids, opr = pagerank_oracle(src, dst)  # oracle dedups identically
     assert np.abs(scores - opr).max() < 1e-6
+
+
+def test_pipeline_depth_invariance():
+    """The superstep speculation window is an execution detail: depths
+    1/2/4 run the same number of steps and produce bit-identical scores
+    (should_stop only fires on a zero-message step, so speculative steps
+    are state-preserving no-ops)."""
+    src, dst = ba_powerlaw(n=400, m=3, seed=11)
+    base = None
+    base_steps = None
+    for depth in (1, 2, 4):
+        r = pagerank(
+            lambda: _edges_ds(src, dst),
+            f"depth_{depth}",
+            num_partitions=2,
+            pipeline_depth=depth,
+        )
+        _, scores = _sorted(r.to_table(), "score")
+        if base is None:
+            base, base_steps = scores, r.steps
+        else:
+            assert np.array_equal(scores, base)
+            assert r.steps == base_steps
+        assert r.converged
