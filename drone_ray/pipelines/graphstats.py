@@ -1,0 +1,332 @@
+"""Descriptive link-graph statistics over an edge Dataset.
+
+The audit metrics a web-crawl pipeline reports next to the iterative
+programs: degree distribution, edge reciprocity, average neighbor
+out-degree, and co-citation similarity (related pages à la Dean &
+Henzinger). The reference engine only materializes raw degree files
+(/root/reference/src/graph/graph.go:389-420 Degree.<i>); these extend that
+inventory with the standard graph-shape reports, each expressed as the
+engine's one-bucketed-shuffle pattern: per-batch vectorized partials →
+hash-bucket groupby → one vectorized pass per bucket. No driver-side loops;
+every stage streams.
+
+Scale notes (100 TB): every operator here shuffles O(|E|) rows exactly once
+(plus one O(distinct keys) reduce); co-citation additionally expands
+per-source neighbor pairs, which is O(Σ d_src²) — the ``max_source_degree``
+knob is the celebrity-page guard for power-law graphs (standard practice:
+a shopping-cart page linked from every product page would otherwise emit
+billions of pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from drone_ray.hashing import mix64
+from drone_ray.pipelines._util import pin_schema
+from drone_ray.stages.edges import out_degrees
+
+_B = 32
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray, num_buckets: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ((mix64(a) * _GOLDEN + mix64(b)) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def degree_distribution(edges: Dataset, num_buckets: int = _B) -> Dataset:
+    """(out_degree, n_vertices) histogram of the out-degree sequence.
+
+    out_degrees is itself a bucketed reduce; the histogram is a second tiny
+    reduce keyed by the degree value (distinct degrees ≪ |V| on power-law
+    graphs, so the final shuffle is near-free)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["out_degree"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "out_degree": pa.array(uniq, pa.int64()),
+                "_c": pa.array(cnt, pa.int64()),
+                "_b": pa.array((mix64(uniq) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("out_degree", sort=False)["_c"].sum().reset_index()
+        return pd.DataFrame(
+            {"out_degree": agg["out_degree"], "n_vertices": agg["_c"]}
+        )
+
+    schema = pa.schema([("out_degree", pa.int64()), ("n_vertices", pa.int64())])
+    return (
+        out_degrees(edges)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
+def reciprocity(edges: Dataset, num_buckets: int = _B) -> Dataset:
+    """One row: (n_edges, n_reciprocal, reciprocity) over a DEDUPED directed
+    edge table without self-loops. An edge (a, b) is reciprocal iff (b, a)
+    is also present; ``reciprocity`` = reciprocal edges / all edges — the
+    classic mutual-link fraction of a web graph.
+
+    Both directions of an unordered pair land in the same hash({lo,hi})
+    bucket, so the mutual test is a per-bucket sorted run-length check —
+    each edge row moves exactly once."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "_b": pa.array(_pair_bucket(lo, hi, num_buckets)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        lo = g["lo"].to_numpy()
+        hi = g["hi"].to_numpy()
+        n = lo.size
+        if n == 0:
+            return pd.DataFrame({"n_edges": [0], "n_reciprocal": [0]})
+        order = np.lexsort((hi, lo))
+        sl, sh = lo[order], hi[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (sl[1:] != sl[:-1]) | (sh[1:] != sh[:-1])
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.append(starts, n))
+        # input is exact-deduped, so a run of 2 == both directions present
+        return pd.DataFrame(
+            {"n_edges": [int(n)], "n_reciprocal": [int((runs == 2).sum() * 2)]}
+        )
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        ne = int(g["n_edges"].sum())
+        nr = int(g["n_reciprocal"].sum())
+        return pd.DataFrame(
+            {
+                "n_edges": [ne],
+                "n_reciprocal": [nr],
+                "reciprocity": [round(nr / ne, 6) if ne else 0.0],
+            }
+        )
+
+    schema = pa.schema(
+        [("n_edges", pa.int64()), ("n_reciprocal", pa.int64()), ("reciprocity", pa.float64())]
+    )
+    return (
+        edges.select_columns(["src", "dst"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(lambda b: b.append_column("_k", pa.array([0] * len(b), pa.int64())),
+                     batch_format="pyarrow", batch_size=None)
+        .groupby("_k")
+        .map_groups(total, batch_format="pandas")
+        .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
+def avg_neighbor_degree(edges: Dataset, num_buckets: int = _B) -> Dataset:
+    """(src, avg_nbr_degree): mean out-degree of each vertex's out-neighbors
+    (a neighbor with no out-edges counts 0) — the assortativity ingredient.
+
+    Two-hop bucketed join, no broadcast: edge rows keyed by dst and degree
+    rows keyed by vid meet in hash(key) buckets (the degree table is O(|V|)
+    — too big to broadcast at web scale); per-bucket searchsorted lookup,
+    then per-src partial sums reduce through a second hash(src) shuffle."""
+    degs = out_degrees(edges)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(d, pa.int64()),
+                "val": pa.array(s, pa.int64()),
+                "side": pa.array(np.zeros(s.size, np.int8)),
+                "_b": pa.array((mix64(d) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        v = b["src"].to_numpy(zero_copy_only=False)
+        od = b["out_degree"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(v, pa.int64()),
+                "val": pa.array(od, pa.int64()),
+                "side": pa.array(np.ones(v.size, np.int8)),
+                "_b": pa.array((mix64(v) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy()
+        val = g["val"].to_numpy()
+        dk = key[side == 1]
+        dv = val[side == 1]
+        order = np.argsort(dk, kind="stable")
+        dk, dv = dk[order], dv[order]
+        ek = key[side == 0]  # the dst being looked up
+        es = val[side == 0]  # the src accumulating the average
+        if es.size == 0:
+            return pd.DataFrame({"src": [], "sum_od": [], "n": []})
+        if dk.size == 0:
+            od = np.zeros(es.size, np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(dk, ek), dk.size - 1)
+            od = np.where(dk[pos] == ek, dv[pos], 0)
+        # per-src partial (sum, count) inside the bucket — integer-domain
+        # accumulation (bincount weights round through float64 above 2^53)
+        us, inv = np.unique(es, return_inverse=True)
+        sums = np.zeros(us.size, np.int64)
+        np.add.at(sums, inv, od.astype(np.int64))
+        cnts = np.bincount(inv)
+        return pd.DataFrame({"src": us, "sum_od": sums, "n": cnts})
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        if not b.num_columns or len(b) == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "sum_od": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "_b2": pa.array([], pa.int64()),
+                }
+            )
+        b = b.cast(pa.schema([("src", pa.int64()), ("sum_od", pa.int64()), ("n", pa.int64())]))
+        s = b["src"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_b2", pa.array((mix64(s) % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("src", sort=False).agg(sum_od=("sum_od", "sum"), n=("n", "sum"))
+        avg = np.round(agg["sum_od"].to_numpy() / agg["n"].to_numpy(), 6)
+        return pd.DataFrame({"src": agg.index.to_numpy(), "avg_nbr_degree": avg})
+
+    schema = pa.schema([("src", pa.int64()), ("avg_nbr_degree", pa.float64())])
+    both = edges.select_columns(["src", "dst"]).map_batches(
+        edge_rows, batch_format="pyarrow", batch_size=None
+    ).union(degs.map_batches(deg_rows, batch_format="pyarrow", batch_size=None))
+    return (
+        both.groupby("_b")
+        .map_groups(join_bucket, batch_format="pandas")
+        .map_batches(rebucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_b2")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
+def cocitation(
+    edges: Dataset,
+    min_common: int = 2,
+    max_source_degree: int | None = None,
+    num_buckets: int = _B,
+) -> Dataset:
+    """(a, b, n_common) pairs of vertices co-cited by ≥ ``min_common``
+    common sources (a < b) — the related-page signal of Dean & Henzinger,
+    "Finding related pages in the World Wide Web" (1999).
+
+    Stage 1 groups each source's out-list into one hash(src) bucket and
+    expands its neighbor pairs fully vectorized (repeat/cumsum, the
+    triangles.py wedge pattern); stage 2 sums partial pair counts through a
+    hash(a,b) shuffle and filters. ``max_source_degree`` skips sources
+    with larger out-lists (the Σd² guard at web scale; None = no cap, used
+    where the oracle must see every pair)."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_b", pa.array((mix64(s) % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["src"].to_numpy()
+        d = g["dst"].to_numpy()
+        if s.size == 0:
+            return pd.DataFrame({"a": [], "b": [], "c": []})
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        new = np.empty(s.size, dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, s.size))
+        if max_source_degree is not None:
+            keep = lens <= max_source_degree
+            starts, lens = starts[keep], lens[keep]
+        npairs = lens * (lens - 1) // 2
+        total = int(npairs.sum())
+        if total == 0:
+            return pd.DataFrame({"a": [], "b": [], "c": []})
+        # vectorized pair expansion (the triangles.py wedge pattern): each
+        # row at within-run position p pairs with the L-1-p rows after it
+        rows = np.repeat(starts, lens) + (
+            np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        p = rows - np.repeat(starts, lens)
+        rep = np.repeat(lens, lens) - 1 - p  # pairs led by each row
+        i_glob = np.repeat(rows, rep)
+        j_off = np.arange(total) - np.repeat(np.cumsum(rep) - rep, rep)
+        j_glob = i_glob + j_off + 1
+        a = d[i_glob]
+        b = d[j_glob]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        # partial-aggregate within the bucket before the pair shuffle
+        key = np.stack([lo, hi], axis=1)
+        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        cnt = np.bincount(inv)
+        return pd.DataFrame({"a": uk[:, 0], "b": uk[:, 1], "c": cnt})
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        if not b.num_columns or len(b) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "_b2": pa.array([], pa.int64()),
+                }
+            )
+        b = b.cast(pa.schema([("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())]))
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return b.append_column("_b2", pa.array(_pair_bucket(a, bb, num_buckets)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b"], sort=False)["c"].sum().reset_index()
+        agg = agg[agg["c"] >= min_common]
+        return pd.DataFrame(
+            {"a": agg["a"], "b": agg["b"], "n_common": agg["c"]}
+        )
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("n_common", pa.int64())])
+    return (
+        edges.select_columns(["src", "dst"])
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(expand, batch_format="pandas")
+        .map_batches(rebucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_b2")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
+    )

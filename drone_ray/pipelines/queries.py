@@ -167,6 +167,33 @@ def q_lpa(sf_dir: str):
     ).to_table()
 
 
+COCITE_MIN_COMMON = 5  # ≥5 common citing sources at sf0.01 → ~14k pairs
+
+
+def q_degree_distribution(sf_dir: str):
+    from drone_ray.pipelines.graphstats import degree_distribution
+
+    return degree_distribution(lg_edges(sf_dir))
+
+
+def q_reciprocity(sf_dir: str):
+    from drone_ray.pipelines.graphstats import reciprocity
+
+    return reciprocity(lg_edges(sf_dir))
+
+
+def q_avg_neighbor_degree(sf_dir: str):
+    from drone_ray.pipelines.graphstats import avg_neighbor_degree
+
+    return avg_neighbor_degree(lg_edges(sf_dir))
+
+
+def q_cocitation(sf_dir: str):
+    from drone_ray.pipelines.graphstats import cocitation
+
+    return cocitation(lg_edges(sf_dir), min_common=COCITE_MIN_COMMON)
+
+
 def q_sssp(sf_dir: str):
     from drone_ray.pipelines.analytics import sssp
 
@@ -1055,6 +1082,31 @@ REGISTRY: dict[str, tuple] = {
         f"{_TRI_SQL} SELECT vid, count(*) AS triangles FROM "
         "(SELECT a AS vid FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) "
         "GROUP BY vid",
+    ),
+    "degree_distribution": (
+        q_degree_distribution,
+        f"SELECT out_degree, count(*) AS n_vertices FROM (SELECT src, count(*) AS "
+        f"out_degree FROM ({EDGES_SQL}) GROUP BY src) GROUP BY 1",
+    ),
+    "reciprocity": (
+        q_reciprocity,
+        f"WITH e AS ({EDGES_SQL}), r AS (SELECT count(*) AS n_reciprocal FROM e a "
+        "JOIN e b ON b.src = a.dst AND b.dst = a.src) "
+        "SELECT (SELECT count(*) FROM e) AS n_edges, n_reciprocal, "
+        "round(CAST(n_reciprocal AS DOUBLE) / (SELECT count(*) FROM e), 6) "
+        "AS reciprocity FROM r",
+    ),
+    "avg_neighbor_degree": (
+        q_avg_neighbor_degree,
+        f"WITH e AS ({EDGES_SQL}), d AS (SELECT src, count(*) AS od FROM e GROUP BY src) "
+        "SELECT e.src, round(avg(CAST(coalesce(d.od, 0) AS DOUBLE)), 6) AS "
+        "avg_nbr_degree FROM e LEFT JOIN d ON d.src = e.dst GROUP BY e.src",
+    ),
+    "cocitation": (
+        q_cocitation,
+        f"WITH e AS ({EDGES_SQL}) SELECT x.dst AS a, y.dst AS b, count(*) AS n_common "
+        "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
+        f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
     ),
     "pagerank": (q_pagerank, _PR_SQL),
     "wcc": (q_wcc, _WCC_SQL),

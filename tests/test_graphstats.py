@@ -1,0 +1,105 @@
+"""graphstats operators vs hand-computed oracles on planted graphs."""
+
+import numpy as np
+import pyarrow as pa
+
+from drone_ray.pipelines.graphstats import (
+    avg_neighbor_degree,
+    cocitation,
+    degree_distribution,
+    reciprocity,
+)
+
+
+def _ds(src, dst):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+    )
+
+
+def test_degree_distribution():
+    # out-degrees: 0→3, 1→1, 2→1, 5→1  ⇒  degree 1 × 3 vertices, 3 × 1
+    e = _ds([0, 0, 0, 1, 2, 5], [1, 2, 3, 0, 0, 9])
+    got = degree_distribution(e).to_pandas().sort_values("out_degree")
+    assert got["out_degree"].tolist() == [1, 3]
+    assert got["n_vertices"].tolist() == [3, 1]
+
+
+def test_reciprocity():
+    # edges: 0↔1 mutual (2 reciprocal edges), 0→2, 3→0  ⇒  2/4
+    e = _ds([0, 1, 0, 3], [1, 0, 2, 0])
+    got = reciprocity(e).to_pandas()
+    assert got["n_edges"].tolist() == [4]
+    assert got["n_reciprocal"].tolist() == [2]
+    assert got["reciprocity"].tolist() == [0.5]
+
+
+def test_reciprocity_none():
+    e = _ds([0, 1, 2], [1, 2, 0])  # directed cycle — no mutual edge
+    got = reciprocity(e).to_pandas()
+    assert got["n_reciprocal"].tolist() == [0]
+    assert got["reciprocity"].tolist() == [0.0]
+
+
+def test_avg_neighbor_degree():
+    # 0→{1,2}: deg(1)=1, deg(2)=0 → 0.5 ; 1→{0}: deg(0)=2 → 2.0
+    e = _ds([0, 0, 1], [1, 2, 0])
+    got = avg_neighbor_degree(e).to_pandas().sort_values("src")
+    assert got["src"].tolist() == [0, 1]
+    assert got["avg_nbr_degree"].tolist() == [0.5, 2.0]
+
+
+def test_cocitation_planted():
+    # sources 10,11,12 all cite {1,2}; 10 also cites 3
+    src = [10, 10, 10, 11, 11, 12, 12]
+    dst = [1, 2, 3, 1, 2, 1, 2]
+    got = cocitation(_ds(src, dst), min_common=2).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["a"] == 1 and got.iloc[0]["b"] == 2 and got.iloc[0]["n_common"] == 3
+    # threshold 1 also surfaces the (1,3) and (2,3) pairs from source 10
+    got1 = cocitation(_ds(src, dst), min_common=1).to_pandas()
+    assert len(got1) == 3
+
+
+def test_cocitation_matches_brute(sized_graph=None):
+    """Random graph vs O(n²) numpy oracle, including the degree cap."""
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 40, 600).astype(np.int64)
+    dst = rng.integers(0, 40, 600).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # dedup like lg_edges does
+    pairs = {(int(s), int(d)) for s, d in zip(src, dst)}
+    src = np.array([p[0] for p in sorted(pairs)], np.int64)
+    dst = np.array([p[1] for p in sorted(pairs)], np.int64)
+
+    def brute(cap):
+        from collections import Counter, defaultdict
+
+        outs = defaultdict(set)
+        for s, d in zip(src, dst):
+            outs[int(s)].add(int(d))
+        c = Counter()
+        for s, ns in outs.items():
+            if cap is not None and len(ns) > cap:
+                continue
+            ns = sorted(ns)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    c[(ns[i], ns[j])] += 1
+        return c
+
+    for cap in (None, 10):
+        got = cocitation(_ds(src, dst), min_common=3, max_source_degree=cap).to_pandas()
+        exp = {k: v for k, v in brute(cap).items() if v >= 3}
+        gmap = {
+            (int(r["a"]), int(r["b"])): int(r["n_common"]) for _, r in got.iterrows()
+        }
+        assert gmap == exp
