@@ -55,8 +55,12 @@ class GraphPartitionActor:
 
     def _load_graph(self, manifest: dict, p: int) -> PartitionGraph:
         hubs_path = manifest.get("hubs_path")
-        direction = manifest.get("direction")  # None | "fwd" | "rev" | "both"
+        # None | "fwd" | "rev" | "both" | "dualview" (both directions as two
+        # separate views in one actor — two-direction programs, e.g. HITS)
+        direction = manifest.get("direction")
         dual = bool(manifest.get("dual"))
+        if direction == "dualview":
+            return self._load_dualview(manifest, p)
         cached = self._try_cached_graph(manifest, p, direction)
         if cached is not None:
             return cached
@@ -113,6 +117,37 @@ class GraphPartitionActor:
             )
         self._save_cached_graph(manifest, p, direction, g)
         return g
+
+    def _load_dualview(self, manifest: dict, p: int) -> PartitionGraph:
+        """Both directions of a dual layout as two PartitionGraphs in one
+        actor: the primary (fwd) view plus ``g.rev_view`` over the same
+        owned set. Two-direction programs (HITS) push on either via the
+        generic route() path; the compact static-boundary channels are
+        registered for the primary view only, so such programs must declare
+        ``channels = ()``."""
+        if not manifest.get("dual"):
+            raise ValueError("direction='dualview' requires a dual graph layout")
+        if manifest.get("hubs_path"):
+            raise NotImplementedError(
+                "dualview does not support split hubs yet — rebuild the graph "
+                "with hub_threshold=None for two-direction programs"
+            )
+        gf = self._try_cached_graph(manifest, p, "dualf")
+        gr = self._try_cached_graph(manifest, p, "dualr")
+        if gf is None or gr is None:
+            ed = read_partition(manifest["edges_dir"], p, ["src", "dst", "dir"])
+            owned = np.unique(ed["src"])
+            fwd = ed["dir"] == 0
+            gf = PartitionGraph(
+                p, self.P, owned, ed["src"][fwd], ed["dst"][fwd], ownership=self.ownership
+            )
+            gr = PartitionGraph(
+                p, self.P, owned, ed["src"][~fwd], ed["dst"][~fwd], ownership=self.ownership
+            )
+            self._save_cached_graph(manifest, p, "dualf", gf)
+            self._save_cached_graph(manifest, p, "dualr", gr)
+        gf.rev_view = gr
+        return gf
 
     # ------------------------------------------------------------------
     # Per-(partition, view) CSR cache: the constructor's sort/dedup over the
@@ -253,11 +288,18 @@ class GraphPartitionActor:
         return out
 
     # ------------------------------------------------------------------
-    def superstep(self, step: int, *inbound):
+    def superstep(self, step: int, *inbound, feedback=None):
         """``inbound``: P regular message payloads followed by P hub
         broadcast payloads (or nothing for PEval / a resumed step). Returns
-        (metrics, msgs_for_0..P-1, hub_broadcast) via num_returns=P+2."""
+        (metrics, msgs_for_0..P-1, hub_broadcast) via num_returns=P+2.
+
+        ``feedback``: driver-reduced global scalars from the previous step
+        (programs with ``wants_feedback`` — the harness computes it via
+        ``program.reduce_feedback`` and serializes the barrier). Exposed to
+        the program as ``state["aux"]["feedback"]``."""
         t0 = time.perf_counter()
+        if feedback is not None:
+            self.state.setdefault("aux", {})["feedback"] = feedback
         if self._pending is not None:
             payloads = self._pending
             self._pending = None

@@ -192,6 +192,21 @@ def run_vertex_program(
     edges_total = 0
     t0 = time.perf_counter()
     step = start_step
+    # global-feedback programs (HITS): the driver reduces each step's
+    # per-partition partials and feeds the result into the NEXT superstep —
+    # a true global barrier, so the speculation window collapses to 1
+    # (launching s+1 before step s's metrics exist would ship stale scalars)
+    wants_feedback = bool(getattr(program_cls, "wants_feedback", False))
+    last_feedback = [None]  # boxed so launch() reads the current value
+    if wants_feedback:
+        pipeline_depth = 1
+        if checkpoint_dir and not getattr(program_cls, "checkpointable", True):
+            raise ValueError(
+                f"{program_cls.__name__} is not checkpointable: the driver-side "
+                "feedback scalar is not captured in checkpoint state, so a resumed "
+                "run would compute with a stale normalizer — run without "
+                "checkpoint_dir"
+            )
     # pipelining: the refs for step s+1 exist as soon as step s is SUBMITTED,
     # so up to ``pipeline_depth`` supersteps are queued on the actors before
     # the driver reads the oldest step's metrics — actors flow from step to
@@ -207,6 +222,7 @@ def run_vertex_program(
 
     def launch(s: int, prev: list | None):
         futs = []
+        kw = {"feedback": last_feedback[0]} if wants_feedback else {}
         for p, a in enumerate(actors):
             if prev is None:
                 args: tuple = ()
@@ -216,7 +232,7 @@ def run_vertex_program(
                 args = tuple(prev[q][1 + p] for q in range(P)) + tuple(
                     prev[q][P + 1] for q in range(P)
                 )
-            futs.append(a.superstep.options(num_returns=P + 2).remote(s, *args))
+            futs.append(a.superstep.options(num_returns=P + 2).remote(s, *args, **kw))
         return futs
 
     def submit_checkpoint(s: int, futs: list):
@@ -279,6 +295,8 @@ def run_vertex_program(
         metrics_log.extend(mets)
         edges_total += sum(m.get("edges", 0) for m in mets)
         step = s
+        if wants_feedback:
+            last_feedback[0] = program_cls.reduce_feedback(mets)
 
         if s in ck_pending:
             ray.get(ck_pending.pop(s))  # all state files durable before the manifest

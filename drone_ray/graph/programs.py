@@ -94,15 +94,26 @@ class PageRank(VertexProgram):
     default_direction = "fwd"
     channels = ("full",)
 
-    def __init__(self, eps: float = 1e-10, damping: float = 0.85):
+    def __init__(
+        self, eps: float = 1e-10, damping: float = 0.85, teleport_mod: int | None = None
+    ):
         self.eps = eps
         self.damping = damping
+        # personalized PageRank: restrict the additive teleport term to the
+        # deterministic source set {v : v % teleport_mod == 0} (SQL-expressible,
+        # so the oracle can mirror it). None = uniform teleport (classic PR).
+        self.teleport_mod = teleport_mod
 
     def init_state(self, g):
+        if self.teleport_mod is None:
+            base = np.full(g.n, 1.0 - self.damping)
+        else:
+            base = np.where(g.owned % self.teleport_mod == 0, 1.0 - self.damping, 0.0)
         return {
             "pr": np.ones(g.n),
             "acc": np.zeros(g.n),
             "last_sent": np.ones(g.n),
+            "base": base,
             "aux": {"dense_done": False},
         }
 
@@ -127,7 +138,7 @@ class PageRank(VertexProgram):
             targets = recv
         if targets.size == 0:
             return None, {"edges": 0, "max_delta": 0.0, "active": 0}
-        new_pr = self.damping * st["acc"][targets] + (1.0 - self.damping)
+        new_pr = self.damping * st["acc"][targets] + st["base"][targets]
         max_delta = float(np.abs(new_pr - st["pr"][targets]).max())
         st["pr"][targets] = new_pr
         delta = new_pr - st["last_sent"][targets]
@@ -455,5 +466,127 @@ class SSSP(VertexProgram):
             {
                 "vid": pa.array(g.owned[ok], pa.int64()),
                 "dist": pa.array(st["dist"][ok], pa.float64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+class HITS(VertexProgram):
+    """Hubs & authorities (Kleinberg's HITS), K synchronous iterations with
+    L1 normalization per phase:
+
+        auth_k = normalize1(Aᵀ · hub_{k-1});   hub_k = normalize1(A · auth_k)
+
+    A single iteration pushes along BOTH adjacency directions (hub scores
+    flow down out-edges, authority scores flow back up in-edges), so the
+    program runs on the dual layout with ``direction="dualview"`` — the
+    actor attaches the reversed view as ``g.rev_view`` and the program
+    alternates which view it pushes on. Both pushes use the generic
+    (vid, val) route() path (``channels = ()``), since the static compact
+    boundaries are registered for one view only.
+
+    The L1 normalizer is a *global* scalar, so the program declares
+    ``wants_feedback``: every superstep reports its partition-local sum in
+    ``part_sum``, the driver reduces the partials via ``reduce_feedback``
+    and feeds the total into the next superstep (``aux["feedback"]``).
+    Feedback serializes the BSP barrier — the harness forces
+    ``pipeline_depth=1`` — which is inherent to normalized HITS (every
+    implementation synchronizes on the norm), not an engine limitation.
+
+    Superstep schedule, 2K+2 steps total for ``iters`` = K:
+
+      step 0 (PEval)      every vertex pushes hub=1 along fwd edges
+      odd step s = 2k-1   finalize hub_{k-1} = raw/Σraw; raw auth sums
+                          arrive, divide by the same Σ; push raw auth
+                          along rev edges; report Σ_local auth
+      even step s = 2k    finalize auth_k; raw hub sums arrive, divide
+                          by Σauth; push raw hub along fwd (skipped on
+                          the last even step); report Σ_local hub
+      step 2K+1           apply the final hub normalizer; report done
+
+    Fixed-iteration semantics (no eps): the driver-gate oracle is a
+    recursive CTE running the identical K normalized iterations — see
+    queries._HITS_SQL. The reference engine has no HITS; this extends the
+    same (PEval, IncEval, Assemble) plugin surface its algorithms use
+    (/root/reference/src/protobuf/worker_service.proto:11-22).
+    """
+
+    default_direction = "dualview"
+    channels = ()  # generic route() on both views
+    sender_precombine = False  # scalar sums: owner-side bincount absorbs dups
+    wants_feedback = True
+    checkpointable = False  # feedback scalar is not part of checkpoint state
+
+    def __init__(self, iters: int = 40):
+        self.K = int(iters)
+
+    @classmethod
+    def reduce_feedback(cls, step_metrics: list[dict]) -> dict:
+        return {"norm": float(sum(m.get("part_sum", 0.0) for m in step_metrics))}
+
+    @classmethod
+    def should_stop(cls, step_metrics: list[dict], step: int) -> bool:
+        # unlike the message-driven programs, HITS's final step only applies
+        # the last normalizer (no messages in flight) — stop on its marker
+        return any(m.get("done") for m in step_metrics)
+
+    def init_state(self, g):
+        if not hasattr(g, "rev_view"):
+            raise ValueError(
+                "HITS needs both adjacency directions in one actor — run on a "
+                "dual layout with direction='dualview'"
+            )
+        return {
+            "auth": np.zeros(g.n),
+            "hub": np.ones(g.n),
+            "raw": np.zeros(g.n),  # unnormalized sums of the current phase
+            "aux": {"step": 0},
+        }
+
+    def peval(self, g, st):
+        rows = np.flatnonzero(g.out_degree > 0)
+        dsts, vals = g.push(rows, st["hub"][rows])
+        return _msgs(dsts, vals), {"edges": int(vals.size), "part_sum": 0.0}
+
+    def inceval(self, g, st, inbound):
+        st["aux"]["step"] += 1
+        s = st["aux"]["step"]
+        fb = st["aux"].get("feedback") or {}
+        norm = float(fb.get("norm", 1.0)) or 1.0
+        dense = np.zeros(g.n)
+        if inbound is not None:
+            li = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
+            dense[li] = inbound["val"] / norm
+        if s % 2 == 1:  # auth phase (iteration k = (s+1)//2)
+            if s > 1:  # s=1 receives exact hub=1 pushes — no normalizer yet
+                st["hub"] = st["raw"] / norm
+            if (s + 1) // 2 > self.K:  # step 2K+1: final normalizer only
+                return None, {"edges": 0, "part_sum": 0.0, "done": True}
+            st["raw"] = dense
+            rows = np.flatnonzero(dense)
+            dsts, vals = g.rev_view.push(rows, dense[rows])
+        else:  # hub phase
+            st["auth"] = st["raw"] / norm
+            st["raw"] = dense
+            if s == 2 * self.K:  # last hub phase: normalize next step, no push
+                return None, {
+                    "edges": 0,
+                    "part_sum": float(dense.sum()),
+                    "done": False,
+                }
+            rows = np.flatnonzero(dense)
+            dsts, vals = g.push(rows, dense[rows])
+        return _msgs(dsts, vals), {
+            "edges": int(vals.size),
+            "part_sum": float(dense.sum()),
+            "done": False,
+        }
+
+    def emit(self, g, st):
+        return pa.table(
+            {
+                "vid": pa.array(g.owned, pa.int64()),
+                "auth": pa.array(st["auth"], pa.float64()),
+                "hub": pa.array(st["hub"], pa.float64()),
             }
         )

@@ -158,3 +158,54 @@ def simulation_oracle(src, dst, pattern_attrs, pattern_targets, attr_mod=100):
                         changed = True
                         break
     return sorted((u, v) for v, s in sim.items() for u in s)
+
+
+def hits_oracle(src: np.ndarray, dst: np.ndarray, iters: int = 40):
+    """Dense HITS, K L1-normalized iterations (matches programs.HITS and
+    the queries._HITS_SQL recursive CTE). Returns (vids, auth, hub)."""
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    n = vids.size
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, d, hub[s])
+        sa = a.sum()
+        if sa:
+            a /= sa
+        h = np.zeros(n)
+        np.add.at(h, s, a[d])
+        sh = h.sum()
+        if sh:
+            h /= sh
+        auth, hub = a, h
+    return vids, auth, hub
+
+
+def ppr_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    teleport_mod: int,
+    damping: float = 0.85,
+    iters: int = 120,
+):
+    """Dense personalized PageRank: the reference recurrence with the
+    additive teleport restricted to {v : v % teleport_mod == 0}, init 1.0,
+    fixed synchronous iterations (matches queries._PPR_SQL)."""
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    n = vids.size
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    base = np.where(vids % teleport_mod == 0, 1.0 - damping, 0.0)
+    pr = np.ones(n)
+    share = np.zeros(n)
+    for _ in range(iters):
+        np.divide(pr, outdeg, out=share, where=outdeg > 0)
+        share[outdeg == 0] = 0.0
+        acc = np.zeros(n)
+        np.add.at(acc, d, share[s])
+        pr = damping * acc + base
+    return vids, pr

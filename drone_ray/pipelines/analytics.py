@@ -16,7 +16,7 @@ import os
 
 from drone_ray.graph.harness import ProgramResult, run_vertex_program
 from drone_ray.graph.partition import MANIFEST_NAME, GraphManifest, build_graph
-from drone_ray.graph.programs import SSSP, ConnectedComponents, LabelPropagation, PageRank
+from drone_ray.graph.programs import HITS, SSSP, ConnectedComponents, LabelPropagation, PageRank
 
 _CACHE_ROOT = os.environ.get("DRONE_RAY_CACHE", "/tmp/drone_ray/graphs")
 # bump when the on-disk partition layout or ownership hashing changes —
@@ -100,6 +100,39 @@ def pagerank(
                   ownership=ownership)
     return _run(m, PageRank, {"eps": eps, "damping": damping},
                 direction="fwd", **harness_kwargs)
+
+
+def personalized_pagerank(
+    edges_factory,
+    cache_key: str,
+    teleport_mod: int,
+    num_partitions: int = 8,
+    eps: float = 1e-10,
+    damping: float = 0.85,
+    hub_threshold: int | None = None,
+    ownership=None,
+    **harness_kwargs,
+) -> ProgramResult:
+    """PageRank with the teleport term restricted to the deterministic
+    source set {v : v % teleport_mod == 0} — same delta-propagation engine,
+    different additive base (programs.PageRank.teleport_mod)."""
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
+                  ownership=ownership)
+    return _run(m, PageRank, {"eps": eps, "damping": damping, "teleport_mod": teleport_mod},
+                direction="fwd", **harness_kwargs)
+
+
+def hits(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    iters: int = 40,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Hubs & authorities over both adjacency directions (dualview actors).
+    Split hubs are unsupported on dualview, so no hub_threshold knob."""
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    return _run(m, HITS, {"iters": iters}, direction="dualview", **harness_kwargs)
 
 
 def connected_components(

@@ -168,6 +168,56 @@ def q_lpa(sf_dir: str):
 
 
 COCITE_MIN_COMMON = 5  # ≥5 common citing sources at sf0.01 → ~14k pairs
+HITS_ITERS = 40  # fixed-iteration HITS: engine supersteps == oracle CTE rounds
+PPR_MOD = 97  # personalized-PR teleport set {v : v % 97 == 0} (SQL-expressible)
+
+
+def q_hits(sf_dir: str):
+    """Hubs & authorities, HITS_ITERS L1-normalized iterations on dualview
+    actors (both adjacency directions resident, driver-fed global
+    normalizer). Engine diff vs the CTE oracle measured ≤1e-17 at sf0.001,
+    so round(·, 9) leaves 8 orders of margin."""
+    from drone_ray.pipelines.analytics import hits
+
+    res = hits(
+        lambda: lg_edges(sf_dir),
+        _graph_key(sf_dir),
+        GRAPH_PARTITIONS,
+        iters=HITS_ITERS,
+        max_steps=2 * HITS_ITERS + 2,
+    )
+    t = res.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "auth": pa.array(np.round(t["auth"].to_numpy(), 9), pa.float64()),
+            "hub": pa.array(np.round(t["hub"].to_numpy(), 9), pa.float64()),
+        }
+    )
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank: teleport restricted to vid % PPR_MOD == 0 —
+    the same delta-propagation engine as q_pagerank with a per-vertex
+    additive base. eps=0 + fixed steps = exact synchronous power iteration,
+    matching the CTE oracle step for step (measured diff ≤1e-14)."""
+    from drone_ray.pipelines.analytics import personalized_pagerank
+
+    res = personalized_pagerank(
+        lambda: lg_edges(sf_dir),
+        _graph_key(sf_dir),
+        teleport_mod=PPR_MOD,
+        num_partitions=GRAPH_PARTITIONS,
+        eps=0.0,
+        max_steps=PR_ITERS + 1,
+    )
+    t = res.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
 
 
 def q_degree_distribution(sf_dir: str):
@@ -1031,6 +1081,68 @@ lp AS (
 SELECT vid, label FROM lp WHERE iter = 10
 """
 
+# HITS: K synchronous L1-normalized iterations. The recursive table carries
+# (iter, vid, auth, hub); each step computes auth from the previous hubs
+# (join on in-edges), normalizes via a window sum, computes hubs from the
+# NEW auth (join on out-edges), and normalizes again — exactly the
+# engine's two-superstep phase pair (programs.HITS). Zero-weight self-rows
+# keep every vertex present in both aggregations (vertices without
+# in-edges hold auth 0, without out-edges hub 0). The recursive member
+# references ``h`` exactly once (inside ``an``); ``hr`` re-reads ``an``,
+# which DuckDB allows via the nested WITH.
+_HITS_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+c AS (SELECT src, dst, 1.0 AS w FROM e UNION ALL SELECT vid, vid, 0.0 FROM vtx),
+h AS (
+  SELECT 0 AS iter, vid, CAST(0.0 AS DOUBLE) AS auth, CAST(1.0 AS DOUBLE) AS hub FROM vtx
+  UNION ALL
+  SELECT iter, vid, auth, hub / nullif(sum(hub) OVER (PARTITION BY iter), 0) AS hub
+  FROM (
+    WITH an AS (
+      SELECT ar.iter, ar.vid,
+             ar.a / nullif(sum(ar.a) OVER (PARTITION BY ar.iter), 0) AS auth
+      FROM (
+        SELECT p.iter + 1 AS iter, c.dst AS vid, sum(c.w * p.hub) AS a
+        FROM h p JOIN c ON c.src = p.vid
+        WHERE p.iter < {HITS_ITERS}
+        GROUP BY p.iter, c.dst
+      ) ar
+    )
+    SELECT an.iter, an.vid, an.auth, hr.hub
+    FROM an JOIN (
+      SELECT an2.iter, c2.src AS vid, sum(c2.w * an2.auth) AS hub
+      FROM an an2 JOIN c c2 ON c2.dst = an2.vid
+      GROUP BY an2.iter, c2.src
+    ) hr ON hr.vid = an.vid AND hr.iter = an.iter
+  )
+)
+SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
+"""
+
+# Personalized PageRank: q_pagerank's recurrence with the additive teleport
+# restricted to the deterministic source set vid % PPR_MOD == 0.
+_PPR_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+c AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS w FROM e JOIN deg d ON d.src = e.src
+      UNION ALL SELECT vid, vid, 0.0 FROM vtx),
+pr AS (
+  SELECT 0 AS iter, vid, CAST(1.0 AS DOUBLE) AS score FROM vtx
+  UNION ALL
+  SELECT p.iter + 1, c.dst AS vid,
+         (CASE WHEN c.dst % {PPR_MOD} = 0 THEN 0.15 ELSE 0.0 END)
+         + 0.85 * sum(c.w * p.score) AS score
+  FROM pr p JOIN c ON c.src = p.vid
+  WHERE p.iter < {PR_ITERS}
+  GROUP BY p.iter, c.dst
+)
+SELECT vid, round(score, 6) AS score FROM pr WHERE iter = {PR_ITERS}
+"""
+
 _EXTRACT_PAGES_SQL = (
     f"SELECT url, text FROM read_parquet('{EXTRACT_PAGES_DIR}/*.parquet')"
 )
@@ -1109,6 +1221,8 @@ REGISTRY: dict[str, tuple] = {
         f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
     ),
     "pagerank": (q_pagerank, _PR_SQL),
+    "ppr": (q_ppr, _PPR_SQL),
+    "hits": (q_hits, _HITS_SQL),
     "wcc": (q_wcc, _WCC_SQL),
     "wcc_star": (q_wcc_star, _WCC_SQL),
     "lpa": (q_lpa, _LPA_SQL),

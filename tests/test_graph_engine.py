@@ -138,3 +138,78 @@ def test_pipeline_depth_invariance():
             assert np.array_equal(scores, base)
             assert r.steps == base_steps
         assert r.converged
+
+
+# ---------------------------------------------------------------------------
+# HITS (dualview actors + driver-fed global normalizer) and personalized PR
+
+
+@pytest.mark.parametrize("name", ["chain", "cycle", "two_cliques", "star"])
+def test_hits_matches_oracle(name):
+    from drone_ray.oracles import hits_oracle
+    from drone_ray.pipelines.analytics import hits
+    from tests.graphs import NAMED as _N
+
+    src, dst = _N[name]()
+    res = hits(lambda: _edges_ds(src, dst), f"hits_{name}", num_partitions=2, iters=12)
+    t = res.to_table()
+    vids, auth = _sorted(t, "auth")
+    _, hub = _sorted(t, "hub")
+    ovids, oauth, ohub = hits_oracle(src, dst, iters=12)
+    assert np.array_equal(vids, ovids)
+    assert np.abs(auth - oauth).max() < 1e-12
+    assert np.abs(hub - ohub).max() < 1e-12
+    assert res.converged
+
+
+def test_hits_powerlaw_partition_invariance():
+    from drone_ray.oracles import hits_oracle
+    from drone_ray.pipelines.analytics import hits
+
+    src, dst = ba_powerlaw(n=800, m=3, seed=9)
+    ovids, oauth, ohub = hits_oracle(src, dst, iters=20)
+    for P in (1, 4):
+        res = hits(lambda: _edges_ds(src, dst), f"hits_pl_{P}", num_partitions=P, iters=20)
+        t = res.to_table()
+        vids, auth = _sorted(t, "auth")
+        _, hub = _sorted(t, "hub")
+        assert np.array_equal(vids, ovids)
+        assert np.abs(auth - oauth).max() < 1e-12
+        assert np.abs(hub - ohub).max() < 1e-12
+
+
+def test_hits_refuses_checkpointing():
+    from drone_ray.pipelines.analytics import hits
+
+    src, dst = ba_powerlaw(n=100, m=2, seed=3)
+    with pytest.raises(ValueError, match="not checkpointable"):
+        hits(
+            lambda: _edges_ds(src, dst),
+            "hits_ckpt_refuse",
+            num_partitions=2,
+            iters=4,
+            checkpoint_dir="/tmp/drone_ray_test/hits_ckpt",
+            checkpoint_every=2,
+        )
+
+
+def test_ppr_matches_oracle():
+    from drone_ray.oracles import ppr_oracle
+    from drone_ray.pipelines.analytics import personalized_pagerank
+
+    src, dst = ba_powerlaw(n=600, m=3, seed=5)
+    K, MOD = 60, 7
+    res = personalized_pagerank(
+        lambda: _edges_ds(src, dst),
+        "ppr_pl",
+        teleport_mod=MOD,
+        num_partitions=3,
+        eps=0.0,
+        max_steps=K + 1,
+    )
+    vids, scores = _sorted(res.to_table(), "score")
+    ovids, opr = ppr_oracle(src, dst, teleport_mod=MOD, iters=K)
+    assert np.array_equal(vids, ovids)
+    assert np.abs(scores - opr).max() < 1e-10
+    # teleport-set members anchor positive mass; far-away leaves can be 0
+    assert scores[vids % MOD == 0].min() > 0.1
