@@ -590,3 +590,92 @@ class HITS(VertexProgram):
                 "hub": pa.array(st["hub"], pa.float64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+class KCore(VertexProgram):
+    """k-core membership by synchronous peeling over the symmetrized view.
+
+    Round semantics: alive' = {v : |N(v) ∩ alive| ≥ k}, starting from all
+    vertices. Membership of v depends only on its NEIGHBORS' liveness (no
+    self-loops survive the loader dedup), so the set shrinks monotonically
+    and converges to the k-core — the same fixpoint as classic sequential
+    peeling, independent of removal order. The engine runs it as removal
+    cascades: a dying vertex pushes one decrement to each neighbor
+    (sum-combine on the compact full channel), and a vertex whose decremented
+    degree drops below k dies on the following superstep. Supersteps =
+    cascade depth; messages ∝ removed vertices' degrees, so quiet rounds
+    cost nothing. At the fixpoint ``deg`` equals |N(v) ∩ core| (each removed
+    neighbor decremented exactly once), emitted as ``core_deg``.
+
+    ``k`` may be fixed, or derived from the data as global_min_degree +
+    ``offset`` (SQL-expressible, so the oracle stays in lockstep at every
+    scale factor): PEval reports each partition's min degree, the driver
+    min-reduces them through the feedback channel, and peeling starts at
+    step 1 with the global k. Feedback forces pipeline_depth=1, which costs
+    nothing here — peeling converges in a handful of cascade rounds.
+
+    Matches queries._KCORE_SQL (fixed-round survivor recursion, same unique
+    fixpoint). Extends the reference's plugin surface
+    (/root/reference/src/protobuf/worker_service.proto:11-22) — it ships no
+    k-core algorithm.
+    """
+
+    combine_op = "sum"
+    needs_symmetrized = True
+    default_direction = "both"
+    channels = ("full",)
+    wants_feedback = True
+    checkpointable = False
+
+    def __init__(self, k: int | None = None, offset: int = 5):
+        self.k = None if k is None else int(k)
+        self.offset = int(offset)
+
+    @classmethod
+    def reduce_feedback(cls, step_metrics: list[dict]) -> dict:
+        mins = [m["part_min_deg"] for m in step_metrics if "part_min_deg" in m]
+        return {"min_deg": int(min(mins))} if mins else {}
+
+    @classmethod
+    def should_stop(cls, step_metrics: list[dict], step: int) -> bool:
+        # PEval only reports degrees (never pushes) — convergence means a
+        # peeling step that removed nothing anywhere
+        return step > 0 and not any(m.get("has_msgs") for m in step_metrics)
+
+    def init_state(self, g):
+        return {
+            "deg": g.out_degree.astype(np.int64).copy(),
+            "alive": np.ones(g.n, dtype=bool),
+            "aux": {"k": self.k},
+        }
+
+    def _die(self, g, st):
+        k = st["aux"]["k"]
+        dead = np.flatnonzero(st["alive"] & (st["deg"] < k))
+        if dead.size == 0:
+            return None, {"edges": 0, "removed": 0}
+        st["alive"][dead] = False
+        routed, edges = g.push_combined(dead, np.ones(dead.size, dtype=np.int64))
+        return routed, {"edges": edges, "removed": int(dead.size)}
+
+    def peval(self, g, st):
+        md = int(st["deg"].min()) if g.n else np.iinfo(np.int64).max
+        return None, {"edges": 0, "part_min_deg": md}
+
+    def inceval(self, g, st, inbound):
+        if st["aux"]["k"] is None:
+            st["aux"]["k"] = int(st["aux"]["feedback"]["min_deg"]) + self.offset
+        if inbound is not None:
+            li = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
+            st["deg"][li] -= inbound["val"].astype(np.int64)
+        return self._die(g, st)
+
+    def emit(self, g, st):
+        ok = st["alive"]
+        return pa.table(
+            {
+                "vid": pa.array(g.owned[ok], pa.int64()),
+                "core_deg": pa.array(st["deg"][ok], pa.int64()),
+            }
+        )

@@ -209,3 +209,29 @@ def ppr_oracle(
         np.add.at(acc, d, share[s])
         pr = damping * acc + base
     return vids, pr
+
+
+def kcore_oracle(src: np.ndarray, dst: np.ndarray, k: int):
+    """Sequential peeling on the symmetrized, deduped graph. Returns
+    (member_vids, core_deg) — the unique k-core and each member's surviving
+    in-core degree."""
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    # symmetrize + dedup + drop self-loops, matching the engine's both-view
+    s2 = np.concatenate([s, d])
+    d2 = np.concatenate([d, s])
+    keep = s2 != d2
+    pairs = np.unique(np.stack([s2[keep], d2[keep]], axis=1), axis=0)
+    s2, d2 = pairs[:, 0], pairs[:, 1]
+    n = vids.size
+    deg = np.bincount(s2, minlength=n)
+    alive = np.ones(n, dtype=bool)
+    while True:
+        dead = alive & (deg < k)
+        if not dead.any():
+            break
+        alive[dead] = False
+        removed = np.isin(s2, np.flatnonzero(dead))
+        np.subtract.at(deg, d2[removed], 1)
+        s2, d2 = s2[~removed], d2[~removed]
+    m = np.flatnonzero(alive)
+    return vids[m], deg[m]

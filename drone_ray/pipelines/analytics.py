@@ -16,7 +16,7 @@ import os
 
 from drone_ray.graph.harness import ProgramResult, run_vertex_program
 from drone_ray.graph.partition import MANIFEST_NAME, GraphManifest, build_graph
-from drone_ray.graph.programs import HITS, SSSP, ConnectedComponents, LabelPropagation, PageRank
+from drone_ray.graph.programs import HITS, SSSP, ConnectedComponents, KCore, LabelPropagation, PageRank
 
 _CACHE_ROOT = os.environ.get("DRONE_RAY_CACHE", "/tmp/drone_ray/graphs")
 # bump when the on-disk partition layout or ownership hashing changes —
@@ -133,6 +133,24 @@ def hits(
     Split hubs are unsupported on dualview, so no hub_threshold knob."""
     m = graph_for(edges_factory, cache_key, num_partitions)
     return _run(m, HITS, {"iters": iters}, direction="dualview", **harness_kwargs)
+
+
+def kcore(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    k: int | None = None,
+    offset: int = 5,
+    hub_threshold: int | None = None,
+    ownership=None,
+    **harness_kwargs,
+) -> ProgramResult:
+    """k-core membership by distributed peeling on the symmetrized view.
+    k=None derives k = global_min_degree + offset via the feedback channel
+    (one scalar reduce after PEval, no extra data pass)."""
+    m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
+                  ownership=ownership)
+    return _run(m, KCore, {"k": k, "offset": offset}, direction="both", **harness_kwargs)
 
 
 def connected_components(

@@ -220,6 +220,28 @@ def q_ppr(sf_dir: str):
     )
 
 
+KCORE_OFFSET = 5  # k = global min undirected degree + 5 (data-derived,
+# SQL-expressible; the interesting peeling band tracks the degree floor on
+# these near-regular graphs — fixed k is trivial at every other sf)
+KCORE_ROUNDS = 40  # sync-iteration cap in the oracle; measured convergence
+# is 2 (sf0.001) / 5 (sf0.01) rounds, so 40 is ~8× margin
+
+
+def q_kcore(sf_dir: str):
+    """k-core membership (k = min_degree + KCORE_OFFSET) with the surviving
+    in-core degree per member. Engine peels asynchronously (cascades), the
+    oracle iterates synchronously — the k-core is the unique greatest
+    fixpoint, so both land on the same set."""
+    from drone_ray.pipelines.analytics import kcore
+
+    return kcore(
+        lambda: lg_edges(sf_dir),
+        _graph_key(sf_dir),
+        GRAPH_PARTITIONS,
+        offset=KCORE_OFFSET,
+    ).to_table()
+
+
 def q_degree_distribution(sf_dir: str):
     from drone_ray.pipelines.graphstats import degree_distribution
 
@@ -1121,6 +1143,34 @@ h AS (
 SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
 """
 
+# k-core: fixed-round survivor recursion. alive_{r+1} = {v : #alive
+# neighbors of v ≥ k}, starting from all vertices — membership depends only
+# on the NEIGHBORS' liveness (no self-loops survive dedup), so the set
+# shrinks monotonically to the k-core and a removed vertex can never
+# re-qualify. KCORE_ROUNDS rounds ≫ measured convergence; the engine's
+# asynchronous peeling cascade reaches the identical greatest fixpoint.
+# core_deg (surviving in-core degree) is recomputed over the final set.
+_KCORE_SQL = f"""
+WITH RECURSIVE
+e0 AS ({EDGES_SQL}),
+ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+vtx AS (SELECT DISTINCT src AS vid FROM ue),
+kp AS (SELECT min(deg) + {KCORE_OFFSET} AS k FROM (SELECT count(*) AS deg FROM ue GROUP BY src)),
+kc AS (
+  SELECT 0 AS r, vid FROM vtx
+  UNION ALL
+  SELECT p.r + 1, ue.dst AS vid
+  FROM kc p JOIN ue ON ue.src = p.vid
+  WHERE p.r < {KCORE_ROUNDS}
+  GROUP BY p.r, ue.dst
+  HAVING count(*) >= (SELECT k FROM kp)
+),
+core AS (SELECT vid FROM kc WHERE r = {KCORE_ROUNDS})
+SELECT c.vid, count(*) AS core_deg
+FROM core c JOIN ue ON ue.src = c.vid JOIN core c2 ON c2.vid = ue.dst
+GROUP BY c.vid
+"""
+
 # Personalized PageRank: q_pagerank's recurrence with the additive teleport
 # restricted to the deterministic source set vid % PPR_MOD == 0.
 _PPR_SQL = f"""
@@ -1223,6 +1273,7 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, _PR_SQL),
     "ppr": (q_ppr, _PPR_SQL),
     "hits": (q_hits, _HITS_SQL),
+    "kcore": (q_kcore, _KCORE_SQL),
     "wcc": (q_wcc, _WCC_SQL),
     "wcc_star": (q_wcc_star, _WCC_SQL),
     "lpa": (q_lpa, _LPA_SQL),

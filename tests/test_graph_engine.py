@@ -213,3 +213,52 @@ def test_ppr_matches_oracle():
     assert np.abs(scores - opr).max() < 1e-10
     # teleport-set members anchor positive mass; far-away leaves can be 0
     assert scores[vids % MOD == 0].min() > 0.1
+
+
+def test_kcore_matches_peeling_oracle():
+    from drone_ray.oracles import kcore_oracle
+    from drone_ray.pipelines.analytics import kcore
+
+    src, dst = ba_powerlaw(n=700, m=4, seed=11)
+    for k in (3, 5, 8):
+        res = kcore(
+            lambda: _edges_ds(src, dst), f"kcore_pl_k{k}", num_partitions=3, k=k
+        )
+        t = res.to_table()
+        vids, cdeg = _sorted(t, "core_deg")
+        ovids, odeg = kcore_oracle(src, dst, k)
+        assert np.array_equal(vids, ovids), f"k={k} member mismatch"
+        assert np.array_equal(cdeg, odeg), f"k={k} core_deg mismatch"
+
+
+def test_kcore_derived_k():
+    """k=None derives k = global_min_degree + offset via driver feedback."""
+    from drone_ray.oracles import kcore_oracle
+    from drone_ray.pipelines.analytics import kcore
+
+    src, dst = ba_powerlaw(n=500, m=3, seed=13)
+    # brute min undirected degree
+    s2 = np.concatenate([src, dst]); d2 = np.concatenate([dst, src])
+    keep = s2 != d2
+    pairs = np.unique(np.stack([s2[keep], d2[keep]], axis=1), axis=0)
+    vids_all, counts = np.unique(pairs[:, 0], return_counts=True)
+    k_expected = int(counts.min()) + 2
+    res = kcore(
+        lambda: _edges_ds(src, dst), "kcore_pl_auto", num_partitions=2, offset=2
+    )
+    vids, cdeg = _sorted(res.to_table(), "core_deg")
+    ovids, odeg = kcore_oracle(src, dst, k_expected)
+    assert np.array_equal(vids, ovids)
+    assert np.array_equal(cdeg, odeg)
+
+
+def test_kcore_whole_graph_is_core():
+    """k below the degree floor: nothing peels, core = whole graph."""
+    from drone_ray.pipelines.analytics import kcore
+    from tests.graphs import NAMED as _N
+
+    src, dst = _N["two_cliques"]()
+    res = kcore(lambda: _edges_ds(src, dst), "kcore_clique_low", num_partitions=2, k=2)
+    t = res.to_table()
+    assert t.num_rows == np.unique(np.concatenate([src, dst])).size
+    assert res.converged
