@@ -147,6 +147,26 @@ def simhash64(text: str) -> int:
     return int((out_bits << np.arange(64, dtype=np.uint64)).sum())
 
 
+def simhash64_md5(text: str) -> int:
+    """Oracle-grade 64-bit SimHash: token hash = md5_lower64(token) (==
+    DuckDB ``md5_number_lower``), unit weight per token OCCURRENCE, bit j
+    set iff the ±1 votes over (h >> j) & 1 sum positive — regenerable as
+    plain SQL (queries._SIMHASH_SQL). ~3× slower than the siphash variant
+    (one md5 per token); at corpus scale swap in ``simhash64`` and trade
+    the SQL oracle for throughput."""
+    toks = text.split()
+    if not toks:
+        return 0
+    th = np.array([md5_lower64(t) for t in toks], dtype=np.uint64)
+    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1)  # (n, 64) LE bytes
+    # byte order: view(uint8) is little-endian per 8-byte word; unpackbits is
+    # MSB-first per byte — reorder to bit position 0..63
+    bits = bits.reshape(-1, 8, 8)[:, :, ::-1].reshape(-1, 64)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
+    out_bits = (votes > 0).astype(np.uint64)
+    return int((out_bits << np.arange(64, dtype=np.uint64)).sum())
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between uint64 arrays."""
     x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))

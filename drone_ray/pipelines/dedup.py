@@ -32,7 +32,7 @@ from drone_ray.functions.minhash import (
     hamming64,
     jaccard,
     shingle_strings,
-    simhash64,
+    simhash64_md5,
     simhash_bands,
     word_shingles,
 )
@@ -340,8 +340,13 @@ def minhash_near_dups(docs: Dataset, threshold: float = 0.7, **kw) -> Dataset:
 
 # --- SimHash ---------------------------------------------------------------
 def simhash_table(docs: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Oracle-grade hashing (md5 per token == DuckDB md5_number_lower) so
+    the full banded chain is driver-attested SQL — see queries._SIMHASH_SQL.
+    At corpus scale swap simhash64_md5 → simhash64 (vectorized siphash,
+    ~3× faster) and the query drops to pytest-only conformance."""
+
     def sh(b: pa.Table) -> pa.Table:
-        hs = [simhash64(t) for t in b[text_col].to_pylist()]
+        hs = [simhash64_md5(t) for t in b[text_col].to_pylist()]
         return pa.table(
             {id_col: b[id_col], "simhash": pa.array(np.array(hs, np.uint64).astype(np.int64))}
         )

@@ -1143,6 +1143,51 @@ h AS (
 SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
 """
 
+# SimHash near-dup chain in SQL: token hash = md5_number_lower(token)
+# (== functions.minhash.md5_lower64), one ±1 vote per token OCCURRENCE per
+# bit, simhash bit j set iff the votes sum positive, 4 × 16-bit bands,
+# candidate pairs on any shared band, exact Hamming via bit_count(xor) on
+# the two's-complement BIGINT (the same wrap the engine's
+# uint64→int64 astype performs). Empty docs hash to 0.
+_SIMHASH_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_NE_SQL} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+th AS (SELECT doc_id, md5_number_lower(w) AS h FROM tok),
+bits AS (
+  SELECT doc_id, j.j,
+         sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN range(64) j(j)
+  GROUP BY 1, 2
+),
+shu AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << CAST(j AS INT)
+                  ELSE CAST(0 AS HUGEINT) END) AS h
+  FROM bits GROUP BY 1
+  UNION ALL
+  SELECT doc_id, CAST(0 AS HUGEINT) FROM t WHERE len(tk) = 0
+),
+sh AS (
+  SELECT doc_id,
+         CAST(CASE WHEN h >= CAST(1 AS HUGEINT) << 63
+                   THEN h - (CAST(1 AS HUGEINT) << 64) ELSE h END AS BIGINT) AS hw,
+         h
+  FROM shu
+),
+b4 AS (
+  SELECT doc_id, hw, b.b AS band_id,
+         CAST((h >> CAST(b.b * 16 AS INT)) & 65535 AS BIGINT) AS key
+  FROM sh CROSS JOIN range(4) b(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.hw AS ha, y.hw AS hb
+  FROM b4 x JOIN b4 y
+    ON y.band_id = x.band_id AND y.key = x.key AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
 # k-core: fixed-round survivor recursion. alive_{r+1} = {v : #alive
 # neighbors of v ≥ k}, starting from all vertices — membership depends only
 # on the NEIGHBORS' liveness (no self-loops survive dedup), so the set
@@ -1319,7 +1364,7 @@ REGISTRY: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, _repetition_sql()),
     "chunk_dedup": (q_chunk_dedup, _chunk_dedup_sql()),
     "minhash_near_dup": (q_minhash_near_dup, _MINHASH_SQL),
-    "simhash_near_dup": (q_simhash_near_dup, None),
+    "simhash_near_dup": (q_simhash_near_dup, _SIMHASH_SQL),
     "ngram_jaccard_near_dup": (
         q_ngram_jaccard_near_dup,
         # exact 3-gram Jaccard in pure SQL: distinct shingles per doc, pair

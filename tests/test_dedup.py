@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 import pyarrow as pa
 
-from drone_ray.functions.minhash import MinHasher, hamming64, jaccard, simhash64, word_shingles
+from drone_ray.functions.minhash import MinHasher, hamming64, jaccard, simhash64_md5, word_shingles
 from drone_ray.functions.vectors import cosine_matrix
 from drone_ray.pipelines.dedup import (
     embedding_near_dups_exact,
@@ -100,7 +100,9 @@ def test_minhash_signature_similarity_estimate():
 def test_simhash_near_dups():
     ids, texts = _docs()
     out = simhash_near_dups(_ds(ids, texts), max_hamming=3).to_pandas()
-    hs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    # the pipeline hashes with the oracle-grade md5 variant (matches
+    # queries._SIMHASH_SQL); the brute-force expectation must too
+    hs = np.array([simhash64_md5(t) for t in texts], dtype=np.uint64)
     exp = {
         (a, b): int(hamming64(hs[a : a + 1], hs[b : b + 1])[0])
         for a, b in itertools.combinations(ids, 2)
