@@ -330,3 +330,51 @@ def cocitation(
         .map_groups(finish, batch_format="pandas")
         .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
     )
+
+
+def contract_edges(
+    edges: Dataset,
+    block: int,
+    drop_intra: bool = True,
+    num_buckets: int = _B,
+) -> Dataset:
+    """Graph coarsening: contract vertices into groups (group id = vid //
+    block) and aggregate the multi-edges between groups into one weighted
+    edge each — the page-graph → host-graph contraction a web pipeline runs
+    before site-level analytics (block plays the role of the host prefix in
+    the hash_url id layout; any monotone vid→group map would do).
+
+    One bucketed shuffle: per-batch vectorized partial counts per
+    (gsrc, gdst), hash-bucket groupby, per-bucket reduce. Output streams;
+    the contracted graph is |groups|², typically orders of magnitude
+    smaller than the input."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False) // block
+        d = b["dst"].to_numpy(zero_copy_only=False) // block
+        if drop_intra:
+            keep = s != d
+            s, d = s[keep], d[keep]
+        pairs = np.stack([s, d], axis=1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        gs, gd = uniq[:, 0], uniq[:, 1]
+        return pa.table(
+            {
+                "hsrc": pa.array(gs, pa.int64()),
+                "hdst": pa.array(gd, pa.int64()),
+                "_c": pa.array(cnt, pa.int64()),
+                "_b": pa.array(_pair_bucket(gs, gd, num_buckets)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["hsrc", "hdst"], as_index=False)["_c"].sum()
+        return out.rename(columns={"_c": "weight"})
+
+    schema = pa.schema([("hsrc", pa.int64()), ("hdst", pa.int64()), ("weight", pa.int64())])
+    return (
+        edges.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
+    )

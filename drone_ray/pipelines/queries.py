@@ -220,6 +220,48 @@ def q_ppr(sf_dir: str):
     )
 
 
+HOST_BLOCK = 16  # host id = vid // 16 — the page→site contraction granularity
+
+
+def q_host_graph(sf_dir: str):
+    """Page graph contracted to the host graph: one weighted edge per
+    (site, site) pair, intra-site links dropped. One bucketed shuffle."""
+    from drone_ray.pipelines.graphstats import contract_edges
+
+    return contract_edges(lg_edges(sf_dir), HOST_BLOCK)
+
+
+def q_host_pagerank(sf_dir: str):
+    """PageRank over the contracted host graph (distinct inter-host edges)
+    — the page→site coarsening composed with the superstep engine. Same
+    fixed-iteration oracle parity as q_pagerank."""
+    from drone_ray.pipelines.analytics import pagerank
+    from drone_ray.pipelines.graphstats import contract_edges
+
+    def factory():
+        he = contract_edges(lg_edges(sf_dir), HOST_BLOCK)
+        return he.map_batches(
+            lambda b: pa.table({"src": b["hsrc"], "dst": b["hdst"]}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    res = pagerank(
+        factory,
+        _graph_key(sf_dir) + f":host{HOST_BLOCK}",
+        GRAPH_PARTITIONS,
+        eps=0.0,
+        max_steps=PR_ITERS + 1,
+    )
+    t = res.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 KCORE_OFFSET = 5  # k = global min undirected degree + 5 (data-derived,
 # SQL-expressible; the interesting peeling band tracks the degree floor on
 # these near-regular graphs — fixed k is trivial at every other sf)
@@ -1143,6 +1185,16 @@ h AS (
 SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
 """
 
+_HOST_GRAPH_SQL = (
+    f"SELECT src // {HOST_BLOCK} AS hsrc, dst // {HOST_BLOCK} AS hdst, "
+    f"count(*) AS weight FROM ({EDGES_SQL}) "
+    f"WHERE src // {HOST_BLOCK} <> dst // {HOST_BLOCK} GROUP BY 1, 2"
+)
+_HOST_EDGES_SQL = (
+    f"SELECT DISTINCT src // {HOST_BLOCK} AS src, dst // {HOST_BLOCK} AS dst "
+    f"FROM ({EDGES_SQL}) WHERE src // {HOST_BLOCK} <> dst // {HOST_BLOCK}"
+)
+
 # SimHash near-dup chain in SQL: token hash = md5_number_lower(token)
 # (== functions.minhash.md5_lower64), one ±1 vote per token OCCURRENCE per
 # bit, simhash bit j set iff the votes sum positive, 4 × 16-bit bands,
@@ -1319,6 +1371,9 @@ REGISTRY: dict[str, tuple] = {
     "ppr": (q_ppr, _PPR_SQL),
     "hits": (q_hits, _HITS_SQL),
     "kcore": (q_kcore, _KCORE_SQL),
+    "host_graph": (q_host_graph, _HOST_GRAPH_SQL),
+    # q_pagerank's recursive CTE over the contracted distinct host edges
+    "host_pagerank": (q_host_pagerank, _PR_SQL.replace(EDGES_SQL, _HOST_EDGES_SQL)),
     "wcc": (q_wcc, _WCC_SQL),
     "wcc_star": (q_wcc_star, _WCC_SQL),
     "lpa": (q_lpa, _LPA_SQL),

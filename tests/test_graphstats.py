@@ -103,3 +103,28 @@ def test_cocitation_matches_brute(sized_graph=None):
             (int(r["a"]), int(r["b"])): int(r["n_common"]) for _, r in got.iterrows()
         }
         assert gmap == exp
+
+
+def test_contract_edges():
+    from collections import Counter
+
+    from drone_ray.pipelines.graphstats import contract_edges
+
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 200, 3000)
+    dst = rng.integers(0, 200, 3000)
+    B = 10
+    got = contract_edges(_ds(src, dst), B).to_pandas()
+    exp = Counter(
+        (int(s) // B, int(d) // B)
+        for s, d in zip(src, dst)
+        if s // B != d // B
+    )
+    gmap = {(int(r["hsrc"]), int(r["hdst"])): int(r["weight"]) for _, r in got.iterrows()}
+    assert gmap == dict(exp)
+
+    # keep_intra variant keeps the diagonal
+    got2 = contract_edges(_ds(src, dst), B, drop_intra=False).to_pandas()
+    exp2 = Counter((int(s) // B, int(d) // B) for s, d in zip(src, dst))
+    gmap2 = {(int(r["hsrc"]), int(r["hdst"])): int(r["weight"]) for _, r in got2.iterrows()}
+    assert gmap2 == dict(exp2)
