@@ -679,3 +679,115 @@ class KCore(VertexProgram):
                 "core_deg": pa.array(st["deg"][ok], pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+class Coreness(VertexProgram):
+    """Full k-core decomposition (coreness of every vertex) by distributed
+    h-index iteration (Montresor, De Pellegrini & Miorandi, "Distributed
+    k-core decomposition", 2011): init core(v) = degree(v) on the
+    symmetrized view, then repeat
+
+        core(v) ← H({core(u) : u ∈ N(v)})
+
+    where H is the h-index (max h with ≥h neighbors valued ≥h). The
+    operator is monotone and starts above the fixpoint, so chaotic
+    (delta-driven) iteration converges to the same unique result as the
+    synchronous oracle recursion (queries._CORENESS_SQL).
+
+    Unlike the scalar-combine programs, each receiver must know WHICH
+    neighbor's estimate changed — messages carry the sender id as the extra
+    key, and the actor keeps a per-adjacency-slot array of latest neighbor
+    estimates (O(local edges) memory, the same order as the CSR itself).
+    Slot lookup is one vectorized searchsorted against a composite
+    (local_row, neighbor_rank) key, exploiting the loader's (src, dst)
+    lexsort. Messages per round ∝ changed vertices × degree and the
+    estimates are non-increasing ints, so total traffic is bounded by the
+    initial degree sum.
+
+    PEval floods each vertex's degree to its neighbors (filling every
+    slot); each IncEval applies the deltas and recomputes the h-index of
+    touched vertices only, fully vectorized (per-segment descending sort +
+    min(rank, value) reduceat — the same identity the SQL oracle's window
+    expresses).
+    """
+
+    combine_op = "min"  # identity combine: (dst, sender) keys are unique per step
+    extra_key = "snd"
+    needs_symmetrized = True
+    default_direction = "both"
+    channels = ()  # generic route path (extra-key rows)
+    sender_precombine = False
+
+    def init_state(self, g):
+        if g.hub_vids.size:
+            raise NotImplementedError(
+                "Coreness messages carry sender identity, which the hub "
+                "broadcast channel collapses — rebuild with hub_threshold=None"
+            )
+        self._uniq = np.unique(g.adj)
+        U = int(self._uniq.size)
+        if U and g.n > (1 << 62) // max(U, 1):
+            raise OverflowError(
+                "composite slot key n_local × distinct_neighbors exceeds "
+                "int64 — shrink partitions (raise num_partitions)"
+            )
+        self._slot_key = g.adj_src_local * U + np.searchsorted(self._uniq, g.adj)
+        # loader lexsorts (src, dst), so slots are strictly increasing in
+        # (local row, neighbor vid) — required for direct positional lookup
+        if self._slot_key.size > 1:
+            assert bool(np.all(np.diff(self._slot_key) > 0))
+        self._nbrcore = np.zeros(g.adj.size, dtype=np.int64)
+        return {"core": g.out_degree.astype(np.int64).copy(), "aux": {}}
+
+    def _send(self, g, st, rows):
+        """(dst, value, sender) rows for every edge out of ``rows``."""
+        dsts, lens = g._gather_slices(g.indptr, g.adj, rows)
+        if dsts.size == 0:
+            return None, 0
+        vals = np.repeat(st["core"][rows], lens)
+        snds = np.repeat(g.owned[rows], lens)
+        return _msgs(dsts, vals, snd=snds), int(dsts.size)
+
+    def _h_index(self, g, rows):
+        vals, lens = g._gather_slices(g.indptr, self._nbrcore, rows)
+        seg = np.repeat(np.arange(rows.size), lens)
+        order = np.lexsort((-vals, seg))
+        sv = vals[order]
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        rn = np.arange(sv.size, dtype=np.int64) - np.repeat(starts, lens) + 1
+        return np.maximum.reduceat(np.minimum(rn, sv), starts)
+
+    def peval(self, g, st):
+        rows = np.flatnonzero(g.out_degree > 0)
+        msgs, edges = self._send(g, st, rows)
+        return msgs, {"edges": edges}
+
+    def inceval(self, g, st, inbound):
+        if inbound is None:
+            return None, {"edges": 0, "changed": 0}
+        l = g.local_index(inbound["vid"])
+        r = np.searchsorted(self._uniq, inbound["snd"])
+        comp = l * int(self._uniq.size) + r
+        pos = np.searchsorted(self._slot_key, comp)
+        if pos.size and not bool(
+            np.all((pos < self._slot_key.size) & (self._slot_key[np.minimum(pos, self._slot_key.size - 1)] == comp))
+        ):
+            raise ValueError("coreness message from a non-neighbor sender")
+        self._nbrcore[pos] = inbound["val"]
+        touched = np.unique(l)  # sorted — _gather_slices requires it
+        touched = touched[g.out_degree[touched] > 0]
+        hx = self._h_index(g, touched)
+        lower = hx < st["core"][touched]
+        changed = touched[lower]
+        st["core"][changed] = hx[lower]
+        msgs, edges = self._send(g, st, changed)
+        return msgs, {"edges": edges, "changed": int(changed.size)}
+
+    def emit(self, g, st):
+        return pa.table(
+            {
+                "vid": pa.array(g.owned, pa.int64()),
+                "coreness": pa.array(st["core"], pa.int64()),
+            }
+        )

@@ -16,7 +16,15 @@ import os
 
 from drone_ray.graph.harness import ProgramResult, run_vertex_program
 from drone_ray.graph.partition import MANIFEST_NAME, GraphManifest, build_graph
-from drone_ray.graph.programs import HITS, SSSP, ConnectedComponents, KCore, LabelPropagation, PageRank
+from drone_ray.graph.programs import (
+    HITS,
+    SSSP,
+    ConnectedComponents,
+    Coreness,
+    KCore,
+    LabelPropagation,
+    PageRank,
+)
 
 _CACHE_ROOT = os.environ.get("DRONE_RAY_CACHE", "/tmp/drone_ray/graphs")
 # bump when the on-disk partition layout or ownership hashing changes —
@@ -151,6 +159,20 @@ def kcore(
     m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
                   ownership=ownership)
     return _run(m, KCore, {"k": k, "offset": offset}, direction="both", **harness_kwargs)
+
+
+def coreness(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    ownership=None,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Full k-core decomposition (per-vertex coreness) by distributed
+    h-index iteration on the symmetrized view. No hub_threshold: coreness
+    messages carry sender identity, which hub broadcasts would collapse."""
+    m = graph_for(edges_factory, cache_key, num_partitions, ownership=ownership)
+    return _run(m, Coreness, {}, direction="both", **harness_kwargs)
 
 
 def connected_components(

@@ -220,6 +220,21 @@ def q_ppr(sf_dir: str):
     )
 
 
+CORENESS_ROUNDS = 64  # oracle sync-iteration cap; measured convergence is
+# 8 (sf0.001) / 23 (sf0.01) rounds
+
+
+def q_coreness(sf_dir: str):
+    """Per-vertex coreness by distributed h-index iteration (engine runs
+    delta-driven chaotic updates, the oracle CORENESS_ROUNDS synchronous
+    rounds — both reach the unique fixpoint of the monotone H operator)."""
+    from drone_ray.pipelines.analytics import coreness
+
+    return coreness(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS
+    ).to_table()
+
+
 HOST_BLOCK = 16  # host id = vid // 16 — the page→site contraction granularity
 
 
@@ -1185,6 +1200,30 @@ h AS (
 SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
 """
 
+# Coreness: synchronous h-index recursion. core_0 = degree; each round
+# every vertex takes the h-index of its neighbors' previous estimates,
+# expressed as max(least(row_number_desc, value)) — the standard h-index
+# identity. Monotone non-increasing from the degree init, so the fixed
+# round budget (≫ measured convergence) lands on the unique fixpoint the
+# engine's delta-driven iteration also reaches.
+_CORENESS_SQL = f"""
+WITH RECURSIVE
+e0 AS ({EDGES_SQL}),
+ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+hx AS (
+  SELECT 0 AS r, src AS vid, count(*) AS core FROM ue GROUP BY src
+  UNION ALL
+  SELECT r + 1, vid, max(least(rn, core)) AS core
+  FROM (
+    SELECT p.r AS r, ue.dst AS vid, p.core AS core,
+           row_number() OVER (PARTITION BY p.r, ue.dst ORDER BY p.core DESC) AS rn
+    FROM hx p JOIN ue ON ue.src = p.vid
+    WHERE p.r < {CORENESS_ROUNDS}
+  ) GROUP BY 1, 2
+)
+SELECT vid, core AS coreness FROM hx WHERE r = {CORENESS_ROUNDS}
+"""
+
 _HOST_GRAPH_SQL = (
     f"SELECT src // {HOST_BLOCK} AS hsrc, dst // {HOST_BLOCK} AS hdst, "
     f"count(*) AS weight FROM ({EDGES_SQL}) "
@@ -1371,6 +1410,7 @@ REGISTRY: dict[str, tuple] = {
     "ppr": (q_ppr, _PPR_SQL),
     "hits": (q_hits, _HITS_SQL),
     "kcore": (q_kcore, _KCORE_SQL),
+    "coreness": (q_coreness, _CORENESS_SQL),
     "host_graph": (q_host_graph, _HOST_GRAPH_SQL),
     # q_pagerank's recursive CTE over the contracted distinct host edges
     "host_pagerank": (q_host_pagerank, _PR_SQL.replace(EDGES_SQL, _HOST_EDGES_SQL)),

@@ -262,3 +262,54 @@ def test_kcore_whole_graph_is_core():
     t = res.to_table()
     assert t.num_rows == np.unique(np.concatenate([src, dst])).size
     assert res.converged
+
+
+def test_coreness_matches_brute_force():
+    from drone_ray.pipelines.analytics import coreness
+
+    src, dst = ba_powerlaw(n=900, m=4, seed=17)
+    res = coreness(lambda: _edges_ds(src, dst), "coreness_pl", num_partitions=3)
+    vids, core = _sorted(res.to_table(), "coreness")
+
+    # brute h-index fixpoint on the symmetrized deduped graph
+    s2 = np.concatenate([src, dst]); d2 = np.concatenate([dst, src])
+    keep = s2 != d2
+    pairs = np.unique(np.stack([s2[keep], d2[keep]], axis=1), axis=0)
+    s2, d2 = pairs[:, 0], pairs[:, 1]
+    ov = np.unique(s2)
+    si = np.searchsorted(ov, s2); di = np.searchsorted(ov, d2)
+    n = ov.size
+    indptr = np.searchsorted(si, np.arange(n + 1))
+    c = np.bincount(si, minlength=n).astype(np.int64)
+    while True:
+        new = np.empty(n, np.int64)
+        for v in range(n):
+            vals = np.sort(c[di[indptr[v]:indptr[v + 1]]])[::-1]
+            h = 0
+            for i, x in enumerate(vals, 1):
+                if x >= i:
+                    h = i
+                else:
+                    break
+            new[v] = h
+        if np.array_equal(new, c):
+            break
+        c = new
+    assert np.array_equal(vids, ov)
+    assert np.array_equal(core, c)
+    assert res.converged
+
+
+def test_coreness_partition_invariance():
+    from drone_ray.pipelines.analytics import coreness
+
+    src, dst = ba_powerlaw(n=400, m=3, seed=19)
+    base = None
+    for P in (1, 2, 5):
+        res = coreness(lambda: _edges_ds(src, dst), f"coreness_pi_{P}", num_partitions=P)
+        vids, core = _sorted(res.to_table(), "coreness")
+        if base is None:
+            base = (vids, core)
+        else:
+            assert np.array_equal(vids, base[0])
+            assert np.array_equal(core, base[1])
