@@ -687,3 +687,61 @@ def embedding_near_dups_lsh(
     )
     # a pair's cosine is table-independent, so distinct == min
     return _dedupe_pairs(pairs, schema)
+
+
+# --- near-dup clustering ---------------------------------------------------
+def dedup_clusters(
+    docs: Dataset,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """The production dedup composition: exact n-gram-Jaccard pairs →
+    connected components over the pair graph → every document labeled with
+    its cluster id (the component minimum) and an ``is_canonical`` flag
+    marking the one survivor per cluster. Unpaired docs are singleton
+    clusters of themselves.
+
+    Components come from the pointer-jumping contraction
+    (pipelines/cc_star.py) — O(log dup-chain) bucketed shuffle rounds, so
+    transitive near-dup chains (a≈b≈c with a≉c) collapse into one cluster
+    exactly like a sequential union-find would.
+
+    The label table holds only docs that HAVE a near-dup (∝ pair count),
+    broadcast once via ray.put and searchsorted per batch. At a 100 TB
+    corpus with a high dup rate, swap the broadcast for the bucketed
+    pair⋈docs join pattern of verify_jaccard (dedup.py) — the output
+    contract is unchanged.
+    """
+    from drone_ray.pipelines.cc_star import connected_components_star
+
+    pairs = ngram_jaccard_near_dups(docs, threshold=threshold, n=n,
+                                    id_col=id_col, text_col=text_col)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"src": b["a"], "dst": b["b"]}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    labels, _rounds = connected_components_star(edges)
+    lv = labels["vid"].to_numpy()
+    lc = labels["component"].to_numpy()
+    order = np.argsort(lv)
+    ref = ray.put((lv[order], lc[order]))
+
+    def tag(b: pa.Table) -> pa.Table:
+        vids, comps = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vids, ids)
+        safe = np.minimum(pos, max(vids.size - 1, 0))
+        found = (vids.size > 0) & (pos < vids.size) & (vids[safe] == ids)
+        cluster = np.where(found, comps[safe], ids)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "is_canonical": pa.array(cluster == ids),
+            }
+        )
+
+    return docs.map_batches(tag, batch_format="pyarrow", batch_size=None)

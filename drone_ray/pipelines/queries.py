@@ -86,6 +86,18 @@ def q_edges(sf_dir: str):
     return lg_edges(sf_dir)
 
 
+SAMPLE_PCT = 7  # deterministic-hash edge sample rate (percent)
+
+
+def q_edge_sample(sf_dir: str):
+    """Deterministic ~7% edge sample via 31-bit modular hashing — stateless,
+    shuffle-free, reproducible at any parallelism and in plain SQL (seeded
+    per-block RNG would not survive a repartition)."""
+    from drone_ray.stages.edges import sample_edges
+
+    return sample_edges(lg_edges(sf_dir), SAMPLE_PCT)
+
+
 def q_out_degrees(sf_dir: str):
     return out_degrees(lg_edges(sf_dir))
 
@@ -522,6 +534,31 @@ def q_ngram_jaccard_near_dup(sf_dir: str):
     )
 
 
+
+
+TFIDF_K = 3
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 tf·idf terms (idf = ln((N+1)/(df+1)), ranked on
+    the 6-decimal-rounded score with token tiebreak so engine and oracle
+    orderings agree exactly)."""
+    from drone_ray.pipelines.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=TFIDF_K
+    )
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs → connected components → cluster id + canonical flag
+    per document (the full production dedup decision, not just the pair
+    list)."""
+    from drone_ray.pipelines.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=NGRAM_JACCARD_T, n=3
+    )
 
 
 def q_bpe_token_stats(sf_dir: str):
@@ -1329,6 +1366,51 @@ pr AS (
 SELECT vid, round(score, 6) AS score FROM pr WHERE iter = {PR_ITERS}
 """
 
+# exact 3-gram Jaccard in pure SQL: distinct shingles per doc, pair
+# intersection counts via self-join on shared shingles, sizes join
+_NGRAMJ_SQL = f"""WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents WHERE trim(text) <> ''),
+i AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 2)) AS p, tk FROM t WHERE len(tk) >= 3),
+s AS (SELECT DISTINCT doc_id, tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] AS sh FROM i),
+z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1),
+c AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM s x
+      JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a, b, round(CAST(c AS DOUBLE) / (za.nsh + zb.nsh - c), 6) AS jaccard
+FROM c JOIN z za ON za.doc_id = a JOIN z zb ON zb.doc_id = b
+WHERE CAST(c AS DOUBLE) / (za.nsh + zb.nsh - c) >= {NGRAM_JACCARD_T}"""
+
+# tf-idf: document frequencies + per-doc top-K by the ROUNDED score
+# (round-then-rank on both sides — raw float ordering would let a
+# last-ulp ln() difference between numpy and DuckDB swap two ranks).
+_TFIDF_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_NE_SQL} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+tf AS (SELECT doc_id, w AS token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, w AS token FROM tok) GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM s)
+SELECT doc_id, token, tf, score FROM r WHERE rn <= {TFIDF_K}
+"""
+
+# Dedup clustering: the exact-Jaccard pair graph contracted to components
+# (pruned min-label walk, the _WCC_SQL trick) and every document labeled
+# with its cluster minimum; unpaired docs are their own singleton cluster
+# and the cluster minimum is the canonical survivor.
+_DEDUP_CLUSTERS_SQL = f"""WITH RECURSIVE
+pairs AS ({{NGRAMJ}}),
+ue AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs),
+walk(vid, label) AS (
+  SELECT DISTINCT src, src FROM ue
+  UNION
+  SELECT ue.dst, w.label FROM walk w JOIN ue ON ue.src = w.vid WHERE w.label < ue.dst
+),
+lbl AS (SELECT vid, min(label) AS cluster FROM walk GROUP BY vid)
+SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster_id,
+       (COALESCE(l.cluster, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN lbl l ON l.vid = d.doc_id"""
+
 _EXTRACT_PAGES_SQL = (
     f"SELECT url, text FROM read_parquet('{EXTRACT_PAGES_DIR}/*.parquet')"
 )
@@ -1362,6 +1444,12 @@ _ASOF_SQL = (
 
 REGISTRY: dict[str, tuple] = {
     "edges": (q_edges, EDGES_SQL),
+    "edge_sample": (
+        q_edge_sample,
+        f"SELECT src, dst FROM ({EDGES_SQL}) WHERE "
+        f"((src % 2147483647) * 1103515245 + (dst % 2147483647) * 12345) "
+        f"% 2147483647 % 100 < {SAMPLE_PCT}",
+    ),
     "out_degrees": (
         q_out_degrees,
         f"SELECT src, count(*) AS out_degree FROM ({EDGES_SQL}) GROUP BY src",
@@ -1460,19 +1548,11 @@ REGISTRY: dict[str, tuple] = {
     "chunk_dedup": (q_chunk_dedup, _chunk_dedup_sql()),
     "minhash_near_dup": (q_minhash_near_dup, _MINHASH_SQL),
     "simhash_near_dup": (q_simhash_near_dup, _SIMHASH_SQL),
-    "ngram_jaccard_near_dup": (
-        q_ngram_jaccard_near_dup,
-        # exact 3-gram Jaccard in pure SQL: distinct shingles per doc, pair
-        # intersection counts via self-join on shared shingles, sizes join
-        f"""WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents WHERE trim(text) <> ''),
-i AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 2)) AS p, tk FROM t WHERE len(tk) >= 3),
-s AS (SELECT DISTINCT doc_id, tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] AS sh FROM i),
-z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1),
-c AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM s x
-      JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
-SELECT a, b, round(CAST(c AS DOUBLE) / (za.nsh + zb.nsh - c), 6) AS jaccard
-FROM c JOIN z za ON za.doc_id = a JOIN z zb ON zb.doc_id = b
-WHERE CAST(c AS DOUBLE) / (za.nsh + zb.nsh - c) >= {NGRAM_JACCARD_T}""",
+    "ngram_jaccard_near_dup": (q_ngram_jaccard_near_dup, _NGRAMJ_SQL),
+    "tfidf_top_terms": (q_tfidf_top_terms, _TFIDF_SQL),
+    "dedup_clusters": (
+        q_dedup_clusters,
+        _DEDUP_CLUSTERS_SQL.format(NGRAMJ=_NGRAMJ_SQL),
     ),
     "vocabulary": (
         q_vocabulary,

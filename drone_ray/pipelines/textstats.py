@@ -76,3 +76,125 @@ def top_tokens(docs: Dataset, k: int = 50, text_col: str = "text") -> Dataset:
     return term_frequencies(docs, text_col).sort(
         ["n_occurrences", "token"], descending=[True, False]
     ).limit(k)
+
+
+def document_frequencies(docs: Dataset, text_col: str = "text") -> Dataset:
+    """(token, df) — number of documents containing each token. Same
+    bucketed shuffle as term_frequencies, but per-batch partials count
+    each (doc, token) once."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in b[text_col].to_pylist():
+            for w in set(t.split()):
+                counts[w] = counts.get(w, 0) + 1
+        toks = list(counts)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "_c": pa.array([counts[t] for t in toks], pa.int64()),
+                "_b": pa.array(_token_hash_bucket(toks, _NUM_BUCKETS)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", sort=False)["_c"].sum().reset_index()
+        return out.rename(columns={"_c": "df"})
+
+    schema = pa.schema([("token", pa.string()), ("df", pa.int64())])
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(
+            lambda b: b.cast(schema) if b.num_columns else schema.empty_table(),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: Dataset,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-document top-k terms by tf·idf, idf = ln((N+1)/(df+1)).
+
+    Two passes: a bucketed document-frequency reduce, then the (token, idf)
+    table broadcast once via ray.put and joined per batch with a
+    searchsorted (sorted token array, no Python dict). Ranking is on the
+    ROUNDED score (6 decimals) with token-string tiebreak, so the DuckDB
+    oracle's window ordering agrees bit-for-bit — raw float ordering would
+    let a last-ulp ln() difference swap two ranks.
+
+    Scale note (100 TB): the broadcast vocabulary is the whole corpus
+    vocab; cap it (min-df filter) or switch to the bucketed pair⋈docs join
+    pattern when vocab ≫ worker heap. N (total docs) is a driver-side
+    count() — one metadata pass.
+    """
+    import math
+
+    import ray
+
+    n_docs = docs.count()
+    dft = document_frequencies(docs, text_col).to_pandas()
+    toks = dft["token"].to_numpy()
+    order = np.argsort(toks)
+    toks_sorted = toks[order]
+    idf = np.log((n_docs + 1.0) / (dft["df"].to_numpy()[order] + 1.0))
+    ref = ray.put((toks_sorted, idf))
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        vt, vidf = ray.get(ref)
+        ids_out, tok_out, tf_out, sc_out = [], [], [], []
+        doc_rep, words = [], []
+        ids = b[id_col].to_pylist()
+        for i, t in zip(ids, b[text_col].to_pylist()):
+            ws = t.split()
+            words.extend(ws)
+            doc_rep.extend([i] * len(ws))
+        if not words:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        wa = np.asarray(words, dtype=object)
+        da = np.asarray(doc_rep, dtype=np.int64)
+        # (doc, token) tf counts in one lexsort pass
+        okey = np.lexsort((wa, da))
+        da, wa = da[okey], wa[okey]
+        new = np.empty(da.size, dtype=bool)
+        new[0] = True
+        new[1:] = (da[1:] != da[:-1]) | (wa[1:] != wa[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, da.size))
+        gd, gw = da[starts], wa[starts]
+        pos = np.searchsorted(vt, gw)
+        safe = np.minimum(pos, max(vt.size - 1, 0))
+        found = (pos < vt.size) & (vt[safe] == gw)
+        score = np.round(tf * np.where(found, vidf[safe], 0.0), 6)
+        # per-doc top-k on (rounded score desc, token asc)
+        okey2 = np.lexsort((gw, -score, gd))
+        gd2, gw2, tf2, sc2 = gd[okey2], gw[okey2], tf[okey2], score[okey2]
+        gstart = np.flatnonzero(np.concatenate(([True], gd2[1:] != gd2[:-1])))
+        rank = np.arange(gd2.size) - np.repeat(gstart, np.diff(np.append(gstart, gd2.size)))
+        keep = rank < k
+        return pa.table(
+            {
+                id_col: pa.array(gd2[keep], pa.int64()),
+                "token": pa.array(list(gw2[keep]), pa.string()),
+                "tf": pa.array(tf2[keep], pa.int64()),
+                "score": pa.array(sc2[keep], pa.float64()),
+            }
+        )
+
+    schema = pa.schema(
+        [(id_col, pa.int64()), ("token", pa.string()), ("tf", pa.int64()), ("score", pa.float64())]
+    )
+    return docs.map_batches(per_doc, batch_format="pyarrow", batch_size=None)

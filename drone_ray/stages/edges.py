@@ -297,3 +297,27 @@ def symmetrize(edges: Dataset) -> Dataset:
         batch_size=None,
     )
     return edges.union(rev)
+
+
+_SAMPLE_P31 = np.uint64((1 << 31) - 1)
+_SAMPLE_A = np.uint64(1_103_515_245)  # < 2^31: products of 31-bit values fit uint64/BIGINT
+_SAMPLE_B = np.uint64(12_345)
+
+
+def sample_edges(edges: Dataset, percent: int, num_buckets: int = 100) -> Dataset:
+    """Deterministic hash sampling: keep an edge iff
+    ``((src % p)·A + (dst % p)·B) % p % num_buckets < percent`` with
+    p = 2^31−1 — pure 31-bit modular arithmetic, so every product fits both
+    uint64 (numpy, no wraparound) and BIGINT (DuckDB, no overflow error)
+    and the sample is reproducible as plain SQL at any parallelism. A
+    stateless vectorized filter: no shuffle, no RNG state, restart-safe —
+    the sampling style a 100 TB pipeline needs (seeded RNG per block is NOT
+    reproducible across repartitions)."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64) % _SAMPLE_P31
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64) % _SAMPLE_P31
+        h = (s * _SAMPLE_A + d * _SAMPLE_B) % _SAMPLE_P31 % np.uint64(num_buckets)
+        return b.filter(pa.array(h < np.uint64(percent)))
+
+    return edges.map_batches(keep, batch_format="pyarrow", batch_size=None)

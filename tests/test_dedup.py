@@ -172,3 +172,26 @@ def test_ngram_jaccard_exact_matches_sql_oracle():
     assert got["a"].tolist() == want["a"].tolist()
     assert got["b"].tolist() == want["b"].tolist()
     assert got["jaccard"].tolist() == want["jaccard"].tolist()
+
+
+def test_dedup_clusters_transitive():
+    """a≈b and b≈c (but a≉c) must land in ONE cluster with min-id canonical;
+    unpaired docs are singleton clusters."""
+    from drone_ray.pipelines.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    texts = [
+        base,                                     # 0: chains with 1
+        base + " extra tail words here",          # 1: chains with 0 and 2
+        base + " extra tail words here now ok",   # 2: chains with 1
+        "completely different text about nothing at all in particular",  # 3
+        "",                                        # 4: empty → singleton
+    ]
+    ids = list(range(len(texts)))
+    out = dedup_clusters(_ds(ids, texts), threshold=0.5).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out.doc_id.tolist() == ids
+    # 0,1,2 share one cluster rooted at 0
+    assert out.cluster_id[0] == out.cluster_id[1] == out.cluster_id[2] == 0
+    assert out.cluster_id[3] == 3 and out.cluster_id[4] == 4
+    assert out.is_canonical.tolist() == [True, False, False, True, True]

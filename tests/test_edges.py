@@ -57,3 +57,34 @@ def test_symmetrize():
         {"src": [1, 2, 2, 3], "dst": [2, 1, 3, 2]}, dtype=np.int64
     ).sort_values(["src", "dst"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sample_edges_deterministic():
+    import numpy as np
+    import pyarrow as pa
+
+    from drone_ray.stages.edges import sample_edges
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 5000, 20000).astype(np.int64)
+    dst = rng.integers(0, 5000, 20000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = sample_edges(ds, 7).to_pandas()
+    # brute force the keep predicate
+    P = np.uint64(2**31 - 1)
+    h = (
+        (src.astype(np.uint64) % P) * np.uint64(1103515245)
+        + (dst.astype(np.uint64) % P) * np.uint64(12345)
+    ) % P % np.uint64(100)
+    keep = h < 7
+    assert len(out) == int(keep.sum())
+    exp = set(zip(src[keep].tolist(), dst[keep].tolist()))
+    got = set(zip(out.src.tolist(), out.dst.tolist()))
+    assert got == exp
+    # rate is in the right ballpark
+    assert 0.04 < len(out) / len(src) < 0.10
+    # repartitioned input yields the identical sample (statelessness)
+    out2 = sample_edges(ds.repartition(13), 7).to_pandas()
+    assert set(zip(out2.src.tolist(), out2.dst.tolist())) == exp

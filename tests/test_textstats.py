@@ -76,3 +76,45 @@ def test_bpe_tokens_semantics():
     assert bpe_tokens("ab12, c-d!") == ["ab", "1", "2", ",", "c", "-", "d", "!"]
     assert bpe_tokens("") == []
     assert bpe_tokens("   ") == []
+
+
+def test_tfidf_top_terms():
+    import math
+
+    from drone_ray.pipelines.textstats import tfidf_top_terms
+
+    def _ds(ids, texts):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    ids = [0, 1, 2, 3]
+    texts = [
+        "apple apple banana cherry",
+        "banana cherry cherry date",
+        "apple date date date",
+        "",
+    ]
+    out = tfidf_top_terms(_ds(ids, texts), k=2).to_pandas()
+    # brute force
+    N = len(texts)
+    df = {}
+    for t in texts:
+        for w in set(t.split()):
+            df[w] = df.get(w, 0) + 1
+    exp_rows = []
+    for i, t in zip(ids, texts):
+        tf = {}
+        for w in t.split():
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            ((round(c * math.log((N + 1) / (df[w] + 1)), 6), w, c) for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for s, w, c in scored:
+            exp_rows.append((i, w, c, s))
+    got = [
+        (int(r.doc_id), r.token, int(r.tf), float(r.score))
+        for r in out.sort_values(["doc_id", "score", "token"], ascending=[True, False, True]).itertuples()
+    ]
+    assert got == exp_rows
