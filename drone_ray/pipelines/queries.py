@@ -311,6 +311,61 @@ def q_kcore(sf_dir: str):
     ).to_table()
 
 
+def q_component_sizes(sf_dir: str):
+    """(component, n_vertices) — the WCC labels reduced to a size
+    histogram (a few rows; the groupby key cardinality is the component
+    count, so the shuffle is near-free)."""
+    from drone_ray.pipelines.analytics import connected_components
+
+    res = connected_components(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS
+    )
+    from ray.data.aggregate import Count
+
+    return (
+        res.dataset()
+        .groupby("component")
+        .aggregate(Count(alias_name="n_vertices"))
+    )
+
+
+def q_clustering_coefficient(sf_dir: str):
+    """Per-vertex local clustering coefficient 2T/(d(d−1)) on the
+    undirected simple graph (T from the oriented-wedge triangle pipeline,
+    d = distinct-neighbor degree), joined with Ray's hash-shuffle join."""
+    from drone_ray.pipelines.triangles import triangles_per_vertex
+    from drone_ray.stages.edges import dedup_edges, out_degrees, symmetrize
+
+    tri = triangles_per_vertex(lg_edges(sf_dir), num_partitions=GRAPH_PARTITIONS)
+    deg = out_degrees(dedup_edges(symmetrize(lg_edges(sf_dir)))).map_batches(
+        lambda b: pa.table(
+            {"vid": b["src"], "degree": b["out_degree"]}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    # left-outer from the degree side: triangles_per_vertex emits only
+    # triangle corners, but every graph vertex owns a coefficient row
+    joined = deg.join(tri, join_type="left_outer", num_partitions=GRAPH_PARTITIONS, on=("vid",))
+
+    def score(b: pa.Table) -> pa.Table:
+        t = np.nan_to_num(
+            b["triangles"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+        )
+        d = b["degree"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cc = np.where(d >= 2, 2.0 * t / np.maximum(d * (d - 1.0), 1.0), 0.0)
+        return pa.table(
+            {
+                "vid": b["vid"],
+                "triangles": pa.array(t.astype(np.int64), pa.int64()),
+                "degree": b["degree"],
+                "clustering": pa.array(np.round(cc, 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 def q_degree_distribution(sf_dir: str):
     from drone_ray.pipelines.graphstats import degree_distribution
 
@@ -1493,6 +1548,28 @@ REGISTRY: dict[str, tuple] = {
         f"WITH e AS ({EDGES_SQL}) SELECT x.dst AS a, y.dst AS b, count(*) AS n_common "
         "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
         f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
+    ),
+    "component_sizes": (
+        q_component_sizes,
+        f"{_WCC_SQL.rstrip()[:-len('SELECT vid, min(label) AS component FROM walk GROUP BY vid')]}"
+        "SELECT component, CAST(count(*) AS BIGINT) AS n_vertices FROM "
+        "(SELECT vid, min(label) AS component FROM walk GROUP BY vid) GROUP BY 1",
+    ),
+    "clustering_coefficient": (
+        q_clustering_coefficient,
+        f"""WITH e AS ({_UND_SQL}),
+t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+      JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tc AS (SELECT vid, count(*) AS triangles FROM
+       (SELECT a AS vid FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+       GROUP BY vid),
+ue AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT src AS vid, count(*) AS degree FROM ue GROUP BY 1)
+SELECT d.vid, CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles, d.degree,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(tc.triangles, 0) / (d.degree * (d.degree - 1.0))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     ),
     "pagerank": (q_pagerank, _PR_SQL),
     "ppr": (q_ppr, _PPR_SQL),
