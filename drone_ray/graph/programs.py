@@ -791,3 +791,148 @@ class Coreness(VertexProgram):
                 "coreness": pa.array(st["core"], pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+class SCC(VertexProgram):
+    """Strongly connected components by iterative forward-max coloring +
+    backward marking (Orzan's coloring algorithm, the classic
+    distributed-memory SCC scheme):
+
+      outer round:
+        color phase  unassigned vertices start at color = own vid and
+                     propagate the MAX color along forward edges to a
+                     fixpoint — color(v) = max vid reaching v in the
+                     residual graph
+        mark phase   roots (color == own vid) claim scc = vid and the mark
+                     flows along REVERSE edges, accepted only by unassigned
+                     vertices of the SAME color — exactly the vertices that
+                     both reach the root and are reached by it, i.e. its
+                     SCC; the label is therefore the MAX member vid
+      assigned vertices drop out of the residual graph; repeat until none
+      remain. Each round assigns at least one whole SCC per color class,
+      so rounds ≤ #SCCs (few, on web graphs with a giant SCC).
+
+    Runs on dualview actors (forward pushes on the primary view, marks on
+    ``g.rev_view``). Phase transitions are driven by the feedback channel:
+    the driver sums each step's sent-message and unassigned counters, and
+    every actor applies the same deterministic transition when the current
+    phase's global message count hits zero — with pipeline_depth forced to
+    1, a zero-send step also means no inbound is in flight, so transitions
+    are clean. Messages carry their value as the extra combine key, so the
+    owner-side (vid, value) grouping can never max-merge two DIFFERENT
+    mark colors into a lost update; receivers reduce multiplicity
+    themselves (vectorized maximum.at for colors, equality filter for
+    marks).
+
+    Oracle: queries._SCC_SQL computes min/max mutual reachability from the
+    transitive closure — feasible at driver-gate scale, which is the point
+    of the fixed small-sf gate. Extends the reference's plugin surface
+    (/root/reference/src/protobuf/worker_service.proto:11-22).
+    """
+
+    combine_op = "max"
+    extra_key = "k"
+    default_direction = "dualview"
+    channels = ()
+    sender_precombine = True  # dedup (dst, color) rows before the exchange
+    wants_feedback = True
+    checkpointable = False
+
+    @classmethod
+    def reduce_feedback(cls, step_metrics: list[dict]) -> dict:
+        return {
+            "msgs": int(sum(m.get("sent", 0) for m in step_metrics)),
+            "unassigned": int(sum(m.get("unassigned", 0) for m in step_metrics)),
+        }
+
+    @classmethod
+    def should_stop(cls, step_metrics: list[dict], step: int) -> bool:
+        return any(m.get("done") for m in step_metrics)
+
+    def init_state(self, g):
+        if not hasattr(g, "rev_view"):
+            raise ValueError(
+                "SCC needs both adjacency directions in one actor — run on a "
+                "dual layout with direction='dualview'"
+            )
+        return {
+            "scc": np.full(g.n, -1, dtype=np.int64),
+            "color": g.owned.copy(),
+            "aux": {"phase": "color"},
+        }
+
+    @staticmethod
+    def _push(view, rows, vals):
+        dsts, lens = view._gather_slices(view.indptr, view.adj, rows)
+        rep = np.repeat(vals, lens)
+        return dsts, rep
+
+    def _info(self, st, sent):
+        return {
+            "edges": int(sent),
+            "sent": int(sent),
+            "unassigned": int((st["scc"] < 0).sum()),
+            "done": False,
+        }
+
+    def peval(self, g, st):
+        rows = np.flatnonzero(g.out_degree > 0)
+        dsts, vals = self._push(g, rows, st["color"][rows])
+        return _msgs(dsts, vals, k=vals), self._info(st, dsts.size)
+
+    def _seed_marks(self, g, st):
+        """Roots claim their SCC and seed the backward marks."""
+        un = st["scc"] < 0
+        roots = np.flatnonzero(un & (st["color"] == g.owned))
+        st["scc"][roots] = g.owned[roots]
+        dsts, vals = self._push(g.rev_view, roots, g.owned[roots])
+        return dsts, vals
+
+    def inceval(self, g, st, inbound):
+        fb = st["aux"].get("feedback") or {}
+        phase = st["aux"]["phase"]
+        if fb.get("msgs", 1) == 0:
+            # global phase fixpoint — deterministic transition on every actor
+            if phase == "color":
+                st["aux"]["phase"] = "mark"
+                dsts, vals = self._seed_marks(g, st)
+                return _msgs(dsts, vals, k=vals), self._info(st, dsts.size)
+            # mark phase drained: done, or start the next outer round
+            if fb.get("unassigned", 0) == 0:
+                return None, {**self._info(st, 0), "done": True}
+            st["aux"]["phase"] = "color"
+            un = np.flatnonzero(st["scc"] < 0)
+            st["color"][un] = g.owned[un]
+            rows = un[g.out_degree[un] > 0]
+            dsts, vals = self._push(g, rows, st["color"][rows])
+            return _msgs(dsts, vals, k=vals), self._info(st, dsts.size)
+
+        if inbound is None:
+            return None, self._info(st, 0)
+        l = g.local_index(inbound["vid"])
+        val = inbound["val"]
+        un = st["scc"] < 0
+        if phase == "color":
+            # per-vid max over the (vid, color) rows, unassigned only
+            acc = np.full(g.n, np.iinfo(np.int64).min, dtype=np.int64)
+            np.maximum.at(acc, l, val)
+            cand = np.flatnonzero(un & (acc > st["color"]))
+            st["color"][cand] = acc[cand]
+            rows = cand[g.out_degree[cand] > 0]
+            dsts, vals = self._push(g, rows, st["color"][rows])
+            return _msgs(dsts, vals, k=vals), self._info(st, dsts.size)
+        # mark phase: accept marks matching our color, then forward them
+        ok = un[l] & (st["color"][l] == val)
+        newly = np.unique(l[ok])
+        st["scc"][newly] = st["color"][newly]
+        dsts, vals = self._push(g.rev_view, newly, st["scc"][newly])
+        return _msgs(dsts, vals, k=vals), self._info(st, dsts.size)
+
+    def emit(self, g, st):
+        return pa.table(
+            {
+                "vid": pa.array(g.owned, pa.int64()),
+                "scc": pa.array(st["scc"], pa.int64()),
+            }
+        )

@@ -18,6 +18,7 @@ from drone_ray.graph.harness import ProgramResult, run_vertex_program
 from drone_ray.graph.partition import MANIFEST_NAME, GraphManifest, build_graph
 from drone_ray.graph.programs import (
     HITS,
+    SCC,
     SSSP,
     ConnectedComponents,
     Coreness,
@@ -159,6 +160,19 @@ def kcore(
     m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
                   ownership=ownership)
     return _run(m, KCore, {"k": k, "offset": offset}, direction="both", **harness_kwargs)
+
+
+def scc(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Strongly connected components (forward-max coloring + backward
+    marking on dualview actors). Labels are the max member vid. No
+    hub_threshold: dualview rejects split hubs."""
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    return _run(m, SCC, {}, direction="dualview", **harness_kwargs)
 
 
 def coreness(

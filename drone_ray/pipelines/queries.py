@@ -232,6 +232,17 @@ def q_ppr(sf_dir: str):
     )
 
 
+def q_scc(sf_dir: str):
+    """Strongly connected components (label = max member vid) — iterative
+    forward-max coloring + backward marking on dualview actors; singleton
+    vertices are their own SCC."""
+    from drone_ray.pipelines.analytics import scc
+
+    return scc(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS, max_steps=500
+    ).to_table()
+
+
 CORENESS_ROUNDS = 64  # oracle sync-iteration cap; measured convergence is
 # 8 (sf0.001) / 23 (sf0.01) rounds
 
@@ -1292,6 +1303,26 @@ h AS (
 SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
 """
 
+# SCC from the transitive closure: reach(a, b) grows by one forward hop
+# per recursion (UNION dedups, so it terminates at the closure); the SCC
+# label of a is the MAX b with mutual reachability — matching the engine's
+# coloring algorithm, whose root is provably the max member vid. Closure
+# size is O(n·reachable) — fine at driver-gate scale, which is what the
+# fixed small-sf gate is for.
+_SCC_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+reach(a, b) AS (
+  SELECT vid, vid FROM vtx
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+)
+SELECT r1.a AS vid, max(r1.b) AS scc
+FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY 1
+"""
+
 # Coreness: synchronous h-index recursion. core_0 = degree; each round
 # every vertex takes the h-index of its neighbors' previous estimates,
 # expressed as max(least(row_number_desc, value)) — the standard h-index
@@ -1576,6 +1607,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "hits": (q_hits, _HITS_SQL),
     "kcore": (q_kcore, _KCORE_SQL),
     "coreness": (q_coreness, _CORENESS_SQL),
+    "scc": (q_scc, _SCC_SQL),
     "host_graph": (q_host_graph, _HOST_GRAPH_SQL),
     # q_pagerank's recursive CTE over the contracted distinct host edges
     "host_pagerank": (q_host_pagerank, _PR_SQL.replace(EDGES_SQL, _HOST_EDGES_SQL)),

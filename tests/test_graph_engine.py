@@ -313,3 +313,55 @@ def test_coreness_partition_invariance():
         else:
             assert np.array_equal(vids, base[0])
             assert np.array_equal(core, base[1])
+
+
+# ---------------------------------------------------------------------------
+# SCC (forward-max coloring + backward marking on dualview actors)
+
+
+def _scc_brute(src, dst):
+    """Closure-based SCC labels (max member vid) for small graphs."""
+    vids = np.unique(np.concatenate([src, dst]))
+    n = vids.size
+    si = np.searchsorted(vids, src)
+    di = np.searchsorted(vids, dst)
+    R = np.eye(n, dtype=bool)
+    A = np.zeros((n, n), dtype=bool)
+    A[si, di] = True
+    while True:
+        R2 = R | (R @ A)
+        if (R2 == R).all():
+            break
+        R = R2
+    M = R & R.T
+    return vids, np.array([vids[np.flatnonzero(M[i])].max() for i in range(n)])
+
+
+@pytest.mark.parametrize("name", ["chain", "cycle", "two_cliques", "star", "dangling"])
+def test_scc_matches_closure_oracle(name):
+    from drone_ray.pipelines.analytics import scc
+    from tests.graphs import NAMED as _N
+
+    src, dst = _N[name]()
+    res = scc(lambda: _edges_ds(src, dst), f"scc_{name}", num_partitions=2, max_steps=400)
+    vids, lab = _sorted(res.to_table(), "scc")
+    ovids, olab = _scc_brute(src, dst)
+    assert np.array_equal(vids, ovids)
+    assert np.array_equal(lab, olab)
+    assert res.converged
+
+
+def test_scc_random_partition_invariance():
+    from drone_ray.pipelines.analytics import scc
+
+    rng = np.random.default_rng(23)
+    s = rng.integers(0, 120, 700)
+    d = rng.integers(0, 120, 700)
+    keep = s != d
+    src, dst = s[keep].astype(np.int64), d[keep].astype(np.int64)
+    ovids, olab = _scc_brute(src, dst)
+    for P in (1, 4):
+        res = scc(lambda: _edges_ds(src, dst), f"scc_rand_{P}", num_partitions=P, max_steps=400)
+        vids, lab = _sorted(res.to_table(), "scc")
+        assert np.array_equal(vids, ovids)
+        assert np.array_equal(lab, olab)
