@@ -602,6 +602,20 @@ def q_ngram_jaccard_near_dup(sf_dir: str):
 
 
 
+DECONTAM_MOD = 50  # benchmark stand-in: docs with doc_id % 50 == 0
+
+
+def q_decontaminate(sf_dir: str):
+    """3-gram overlap of every document against the deterministic
+    benchmark subset — the eval-decontamination pass of an LLM data
+    pipeline (broadcast benchmark shingle hashes, streaming corpus map)."""
+    from drone_ray.pipelines.webtext import decontaminate
+
+    return decontaminate(
+        _read(sf_dir, "documents", ["doc_id", "text"]), bench_mod=DECONTAM_MOD
+    )
+
+
 TFIDF_K = 3
 
 
@@ -1464,6 +1478,37 @@ SELECT a, b, round(CAST(c AS DOUBLE) / (za.nsh + zb.nsh - c), 6) AS jaccard
 FROM c JOIN z za ON za.doc_id = a JOIN z zb ON zb.doc_id = b
 WHERE CAST(c AS DOUBLE) / (za.nsh + zb.nsh - c) >= {NGRAM_JACCARD_T}"""
 
+# Decontamination: distinct 3-gram shingles per doc (same shingle CTE
+# shape as _MINHASH_SQL: k-grams for >=3 tokens, one all-token shingle for
+# 1-2, none for 0), benchmark = docs with doc_id % MOD == 0, overlap via a
+# semi-join on the shingle string (the engine hashes the same strings with
+# md5_lower64 == md5_number_lower, so counts agree exactly).
+_DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_NE_SQL} AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] AS sh
+    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+          FROM t WHERE len(tk) >= 3)
+    UNION ALL
+    SELECT doc_id, array_to_string(tk, ' ') FROM t WHERE len(tk) BETWEEN 1 AND 2
+  )
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {DECONTAM_MOD} = 0),
+z AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+o AS (SELECT s.doc_id, count(*) AS nov FROM sh s JOIN bench b ON b.sh = s.sh GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(z.nsh, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(o.nov, 0) AS BIGINT) AS n_overlap,
+       round(CASE WHEN coalesce(z.nsh, 0) > 0
+                  THEN CAST(coalesce(o.nov, 0) AS DOUBLE) / z.nsh ELSE 0.0 END, 6)
+           AS contamination,
+       (d.doc_id % {DECONTAM_MOD} = 0) AS is_benchmark
+FROM documents d
+LEFT JOIN z ON z.doc_id = d.doc_id
+LEFT JOIN o ON o.doc_id = d.doc_id
+"""
+
 # tf-idf: document frequencies + per-doc top-K by the ROUNDED score
 # (round-then-rank on both sides — raw float ordering would let a
 # last-ulp ln() difference between numpy and DuckDB swap two ranks).
@@ -1658,6 +1703,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "minhash_near_dup": (q_minhash_near_dup, _MINHASH_SQL),
     "simhash_near_dup": (q_simhash_near_dup, _SIMHASH_SQL),
     "ngram_jaccard_near_dup": (q_ngram_jaccard_near_dup, _NGRAMJ_SQL),
+    "decontaminate": (q_decontaminate, _DECONTAM_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, _TFIDF_SQL),
     "dedup_clusters": (
         q_dedup_clusters,

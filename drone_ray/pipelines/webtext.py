@@ -263,3 +263,80 @@ def chunk_dedup(
 
     empty_docs = docs.map_batches(empties, batch_format="pyarrow", batch_size=None)
     return deduped.union(empty_docs)
+
+
+def decontaminate(
+    docs,
+    bench_mod: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Benchmark decontamination: score every document's 3-gram overlap
+    against a benchmark set (here the deterministic subset doc_id %
+    bench_mod == 0, standing in for an eval suite). The benchmark's
+    distinct shingle hashes are collected once and broadcast via ray.put —
+    benchmark suites are small by nature (thousands of documents), which
+    is what makes the broadcast the right shape even at a 100 TB corpus;
+    the corpus side stays a stateless streaming map.
+
+    Shingles are the oracle-grade md5 of the shingle STRING
+    (functions.minhash.md5_lower64 == DuckDB md5_number_lower), so the
+    whole scoring chain is driver-attested SQL (queries._DECONTAM_SQL).
+    Output: (doc_id, n_shingles, n_overlap, contamination, is_benchmark).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from drone_ray.functions.minhash import md5_lower64, shingle_strings
+
+    def bench_part(b: pa.Table) -> pa.Table:
+        out = set()
+        ids = b[id_col].to_pylist()
+        for i, t in zip(ids, b[text_col].to_pylist()):
+            if i % bench_mod == 0:
+                for s in shingle_strings(t, 3):
+                    out.add(md5_lower64(s))
+        return pa.table({"h": pa.array(sorted(out), pa.uint64())})
+
+    bench_hashes = np.unique(
+        docs.map_batches(bench_part, batch_format="pyarrow", batch_size=None)
+        .to_pandas()["h"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    ref = ray.put(bench_hashes)
+
+    def score(b: pa.Table) -> pa.Table:
+        bh = ray.get(ref)
+        ids = b[id_col].to_pylist()
+        nsh, nov = [], []
+        for t in b[text_col].to_pylist():
+            hs = np.unique(
+                np.array(
+                    [md5_lower64(s) for s in shingle_strings(t, 3)], dtype=np.uint64
+                )
+            )
+            nsh.append(int(hs.size))
+            if hs.size and bh.size:
+                pos = np.searchsorted(bh, hs)
+                safe = np.minimum(pos, bh.size - 1)
+                nov.append(int(((pos < bh.size) & (bh[safe] == hs)).sum()))
+            else:
+                nov.append(0)
+        ids_np = np.asarray(ids, dtype=np.int64)
+        nsh_np = np.asarray(nsh, dtype=np.int64)
+        nov_np = np.asarray(nov, dtype=np.int64)
+        frac = np.where(nsh_np > 0, nov_np / np.maximum(nsh_np, 1), 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(ids_np, pa.int64()),
+                "n_shingles": pa.array(nsh_np, pa.int64()),
+                "n_overlap": pa.array(nov_np, pa.int64()),
+                "contamination": pa.array(np.round(frac, 6), pa.float64()),
+                "is_benchmark": pa.array(ids_np % bench_mod == 0),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -135,3 +135,37 @@ def test_repetition_stats_dataset():
         rd.from_arrow(_docs_table(["a b c d e f g h i j k l", "a a"]))
     ).to_pandas()
     assert set(out["keep"]) == {0, 1}
+
+
+def test_decontaminate_planted():
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from drone_ray.pipelines.webtext import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {
+        0: bench_text,                                   # benchmark doc (mod 10)
+        1: bench_text,                                   # full copy → contamination 1.0
+        2: "alpha beta gamma delta unrelated words here",# partial overlap
+        3: "totally different content with no overlap at all",
+        4: "",                                           # empty → 0 shingles
+        10: "second benchmark doc about other things entirely",  # benchmark
+    }
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = (
+        decontaminate(ds, bench_mod=10)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "is_benchmark"]) and bool(out.loc[10, "is_benchmark"])
+    assert out.loc[1, "contamination"] == 1.0
+    # doc 2: shingles = 5, overlapping = 2 ("alpha beta gamma","beta gamma delta")
+    assert out.loc[2, "n_shingles"] == 5 and out.loc[2, "n_overlap"] == 2
+    assert out.loc[3, "n_overlap"] == 0
+    assert out.loc[4, "n_shingles"] == 0 and out.loc[4, "contamination"] == 0.0
