@@ -224,11 +224,63 @@ def sssp(
     num_partitions: int = 8,
     hub_threshold: int | None = None,
     ownership=None,
+    direction: str = "fwd",
     **harness_kwargs,
 ) -> ProgramResult:
+    """``direction``: "fwd" (directed hop counts, the reference semantics)
+    or "both" (undirected BFS — what eccentricity/diameter sweeps want)."""
     m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
                   ownership=ownership)
-    return _run(m, SSSP, {"source": source}, direction="fwd", **harness_kwargs)
+    return _run(m, SSSP, {"source": source}, direction=direction, **harness_kwargs)
+
+
+def pseudo_diameter(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    **harness_kwargs,
+):
+    """Double-BFS sweep (the standard pseudo-diameter lower bound): BFS on
+    the symmetrized view from the min vid, hop to the farthest vertex
+    (ties to the smallest vid), BFS again — the second eccentricity is the
+    bound. Two superstep runs + two one-row sort/limit reads; covers the
+    source's component (disconnected remainders don't constrain it).
+    Returns (source, peak, ecc_source, pseudo_diameter) as one-row data."""
+    import pyarrow as pa
+
+    def far(res):
+        t = (
+            res.dataset()
+            .sort(["dist", "vid"], descending=[True, False])
+            .limit(1)
+            .take_all()[0]
+        )
+        return int(t["vid"]), int(t["dist"])
+
+    # deterministic start: the smallest vertex id (derive-only scan)
+    import numpy as np
+
+    src0 = None
+    for b in edges_factory().iter_batches(batch_format="pyarrow"):
+        m = min(
+            int(np.min(b["src"].to_numpy(zero_copy_only=False))),
+            int(np.min(b["dst"].to_numpy(zero_copy_only=False))),
+        )
+        src0 = m if src0 is None else min(src0, m)
+    r1 = sssp(edges_factory, cache_key, src0, num_partitions, direction="both",
+              **harness_kwargs)
+    peak, ecc0 = far(r1)
+    r2 = sssp(edges_factory, cache_key, peak, num_partitions, direction="both",
+              **harness_kwargs)
+    _, diam = far(r2)
+    return pa.table(
+        {
+            "source": pa.array([src0], pa.int64()),
+            "peak": pa.array([peak], pa.int64()),
+            "ecc_source": pa.array([ecc0], pa.int64()),
+            "pseudo_diameter": pa.array([diam], pa.int64()),
+        }
+    )
 
 
 def graph_simulation(

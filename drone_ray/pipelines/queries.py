@@ -243,6 +243,16 @@ def q_scc(sf_dir: str):
     ).to_table()
 
 
+def q_pseudo_diameter(sf_dir: str):
+    """Double-BFS pseudo-diameter on the undirected view (source = min vid,
+    peak = farthest with min-vid tiebreak)."""
+    from drone_ray.pipelines.analytics import pseudo_diameter
+
+    return pseudo_diameter(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS
+    )
+
+
 CORENESS_ROUNDS = 64  # oracle sync-iteration cap; measured convergence is
 # 8 (sf0.001) / 23 (sf0.01) rounds
 
@@ -1317,6 +1327,31 @@ h AS (
 SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
 """
 
+# Pseudo-diameter: two nested BFS recursions over the symmetrized edges;
+# peak = farthest vertex from the min-vid source (ties to min vid).
+_PSEUDO_DIAM_SQL = f"""
+WITH RECURSIVE
+e0 AS ({EDGES_SQL}),
+ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+s0 AS (SELECT min(src) AS v FROM ue),
+b1(vid, dist) AS (
+  SELECT (SELECT v FROM s0), 0
+  UNION
+  SELECT ue.dst, b.dist + 1 FROM b1 b JOIN ue ON ue.src = b.vid WHERE b.dist < {M}
+),
+d1 AS (SELECT vid, min(dist) AS dist FROM b1 GROUP BY vid),
+peak AS (SELECT vid, dist FROM d1 ORDER BY dist DESC, vid LIMIT 1),
+b2(vid, dist) AS (
+  SELECT (SELECT vid FROM peak), 0
+  UNION
+  SELECT ue.dst, b.dist + 1 FROM b2 b JOIN ue ON ue.src = b.vid WHERE b.dist < {M}
+),
+d2 AS (SELECT vid, min(dist) AS dist FROM b2 GROUP BY vid)
+SELECT (SELECT v FROM s0) AS source, (SELECT vid FROM peak) AS peak,
+       CAST((SELECT dist FROM peak) AS BIGINT) AS ecc_source,
+       CAST((SELECT max(dist) FROM d2) AS BIGINT) AS pseudo_diameter
+"""
+
 # SCC from the transitive closure: reach(a, b) grows by one forward hop
 # per recursion (UNION dedups, so it terminates at the closure); the SCC
 # label of a is the MAX b with mutual reachability — matching the engine's
@@ -1653,6 +1688,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "kcore": (q_kcore, _KCORE_SQL),
     "coreness": (q_coreness, _CORENESS_SQL),
     "scc": (q_scc, _SCC_SQL),
+    "pseudo_diameter": (q_pseudo_diameter, _PSEUDO_DIAM_SQL),
     "host_graph": (q_host_graph, _HOST_GRAPH_SQL),
     # q_pagerank's recursive CTE over the contracted distinct host edges
     "host_pagerank": (q_host_pagerank, _PR_SQL.replace(EDGES_SQL, _HOST_EDGES_SQL)),
