@@ -243,6 +243,85 @@ def q_scc(sf_dir: str):
     ).to_table()
 
 
+def q_modularity(sf_dir: str):
+    """Newman modularity of the 10-round LPA communities on the undirected
+    simple graph: Q = Σ_c (m_c/m − (d_c/2m)²). Labels from the oracle-backed
+    LPA run; per-community tallies via two hash joins of the label table
+    onto the edge endpoints plus a degree join — all distributed, with one
+    final few-row aggregate."""
+    from drone_ray.pipelines.analytics import label_propagation
+    from drone_ray.stages.edges import dedup_edges, out_degrees, symmetrize
+
+    res = label_propagation(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS, max_rounds=10
+    )
+    labels = res.dataset()
+
+    und = dedup_edges(symmetrize(lg_edges(sf_dir))).map_batches(
+        lambda b: pa.table(
+            {
+                "u": pa.compute.min_element_wise(b["src"], b["dst"]),
+                "v": pa.compute.max_element_wise(b["src"], b["dst"]),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    # (u, v) deduped pairs, u < v, self-loops excluded upstream
+    und = dedup_edges(
+        und.map_batches(
+            lambda b: pa.table({"src": b["u"], "dst": b["v"]}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    lu = labels.map_batches(
+        lambda b: pa.table({"src": b["vid"], "lu": b["label"]}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    lv = labels.map_batches(
+        lambda b: pa.table({"dst": b["vid"], "lv": b["label"]}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    tagged = und.join(lu, join_type="inner", num_partitions=GRAPH_PARTITIONS, on=("src",)).join(
+        lv, join_type="inner", num_partitions=GRAPH_PARTITIONS, on=("dst",)
+    )
+    # per-community intra-edge counts (few distinct labels → near-free)
+    from ray.data.aggregate import Count, Sum
+
+    mc = (
+        tagged.filter(lambda r: r["lu"] == r["lv"])
+        .groupby("lu")
+        .aggregate(Count(alias_name="m_c"))
+        .to_pandas()
+    )
+    deg = out_degrees(
+        dedup_edges(symmetrize(lg_edges(sf_dir)))
+    ).map_batches(
+        lambda b: pa.table({"vid": b["src"], "degree": b["out_degree"]}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    dc = (
+        labels.join(deg, join_type="inner", num_partitions=GRAPH_PARTITIONS, on=("vid",))
+        .groupby("label")
+        .aggregate(Sum(on="degree", alias_name="d_c"))
+        .to_pandas()
+    )
+    m = und.count()
+    merged = dc.merge(mc.rename(columns={"lu": "label"}), on="label", how="left").fillna(0)
+    q = float((merged["m_c"] / m - (merged["d_c"] / (2.0 * m)) ** 2).sum())
+    return pa.table(
+        {
+            "n_communities": pa.array([len(merged)], pa.int64()),
+            "m_edges": pa.array([int(m)], pa.int64()),
+            "modularity": pa.array([round(q, 6)], pa.float64()),
+        }
+    )
+
+
 def q_pseudo_diameter(sf_dir: str):
     """Double-BFS pseudo-diameter on the undirected view (source = min vid,
     peak = farthest with min-vid tiebreak)."""
@@ -1327,6 +1406,41 @@ h AS (
 SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
 """
 
+# Modularity of the 10-round LPA communities (same labels CTE as _LPA_SQL)
+# over the undirected simple graph: Q = sum_c (m_c/m - (d_c/2m)^2).
+_MODULARITY_SQL = f"""
+WITH RECURSIVE
+e0 AS ({EDGES_SQL}),
+ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM ue),
+vtx AS (SELECT DISTINCT src AS vid FROM ue),
+lp AS (
+  SELECT 0 AS iter, vid, vid AS label FROM vtx
+  UNION ALL
+  SELECT iter + 1, vid, label FROM (
+    SELECT l.iter AS iter, ue.dst AS vid, l.label AS label,
+           row_number() OVER (PARTITION BY l.iter, ue.dst
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM lp l JOIN ue ON ue.src = l.vid
+    WHERE l.iter < 10
+    GROUP BY l.iter, ue.dst, l.label
+  ) WHERE rn = 1
+),
+lbl AS (SELECT vid, label FROM lp WHERE iter = 10),
+deg AS (SELECT src AS vid, count(*) AS degree FROM ue GROUP BY 1),
+dc AS (SELECT l.label, sum(d.degree) AS d_c FROM lbl l JOIN deg d ON d.vid = l.vid GROUP BY 1),
+mc AS (SELECT la.label, count(*) AS m_c FROM und
+       JOIN lbl la ON la.vid = und.u JOIN lbl lb ON lb.vid = und.v
+       WHERE la.label = lb.label GROUP BY 1),
+m AS (SELECT count(*) AS m FROM und)
+SELECT (SELECT count(*) FROM dc) AS n_communities,
+       CAST((SELECT m FROM m) AS BIGINT) AS m_edges,
+       round(sum(CAST(coalesce(mc.m_c, 0) AS DOUBLE) / (SELECT m FROM m)
+                 - pow(CAST(dc.d_c AS DOUBLE) / (2.0 * (SELECT m FROM m)), 2)), 6)
+           AS modularity
+FROM dc LEFT JOIN mc ON mc.label = dc.label
+"""
+
 # Pseudo-diameter: two nested BFS recursions over the symmetrized edges;
 # peak = farthest vertex from the min-vid source (ties to min vid).
 _PSEUDO_DIAM_SQL = f"""
@@ -1689,6 +1803,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "coreness": (q_coreness, _CORENESS_SQL),
     "scc": (q_scc, _SCC_SQL),
     "pseudo_diameter": (q_pseudo_diameter, _PSEUDO_DIAM_SQL),
+    "modularity": (q_modularity, _MODULARITY_SQL),
     "host_graph": (q_host_graph, _HOST_GRAPH_SQL),
     # q_pagerank's recursive CTE over the contracted distinct host edges
     "host_pagerank": (q_host_pagerank, _PR_SQL.replace(EDGES_SQL, _HOST_EDGES_SQL)),
