@@ -365,3 +365,18 @@ def test_scc_random_partition_invariance():
         vids, lab = _sorted(res.to_table(), "scc")
         assert np.array_equal(vids, ovids)
         assert np.array_equal(lab, olab)
+
+
+def test_scc_converges_on_dag_like_graph():
+    """Preferential-attachment graphs are DAGs (every SCC a singleton) —
+    the coloring algorithm without trimming degenerates to O(n) rounds
+    here; with the trim phase it must converge quickly and exactly."""
+    from drone_ray.pipelines.analytics import scc
+
+    src, dst = ba_powerlaw(n=1500, m=3, seed=29)
+    res = scc(lambda: _edges_ds(src, dst), "scc_dag", num_partitions=3, max_steps=120)
+    assert res.converged
+    assert res.steps < 100
+    vids, lab = _sorted(res.to_table(), "scc")
+    # a DAG: every vertex is its own SCC
+    assert np.array_equal(lab, vids)
