@@ -996,3 +996,129 @@ class SCC(VertexProgram):
                 "scc": pa.array(st["scc"], pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+class IncrementalPageRank(PageRank):
+    """Incremental re-evaluation after edge ADDITIONS — the reference's
+    namesake capability (IncEval over a changed graph,
+    /root/reference/src/protobuf/worker_service.proto:11-22): instead of
+    recomputing from scratch, warm-start from the converged base scores
+    and push only the flow CORRECTIONS the new edges cause; the
+    delta-propagation engine then converges in a fraction of the
+    supersteps/messages of a cold run (fixpoint is unique, so results
+    match the cold run on the updated graph).
+
+    Warm state: each actor reads the base run's per-partition Assemble
+    file (``warm_dir/part-<p>.parquet`` — ownership and P must match, so
+    slot p's vids are a subset of slot p's owned set on the updated
+    graph); vertices absent from the base (introduced by the new edges)
+    start cold at pr = base term. ``acc`` is reconstructed as
+    (pr − base)/damping so the inherited IncEval recurrence is consistent,
+    and the dense first pass is skipped.
+
+    PEval pushes corrections from each changed source u (old out-degree
+    d1, new d2):
+      * pr_u·(1/d2 − 1/d1) along ALL current out-edges (the old neighbors'
+        share shrank; added neighbors get the same base amount), and
+      * pr_u/d1 extra along each ADDED edge (total pr_u/d2 for new
+        neighbors);
+      * d1 = 0 (u had no out-edges / is new): just pr_u/d2 along the
+        added edges.
+    Receivers fold these through the ordinary sum-combine + recurrence.
+    """
+
+    def __init__(
+        self,
+        warm_dir: str,
+        added_src,
+        added_dst,
+        old_deg_vid,
+        old_deg,
+        eps: float = 1e-12,
+        damping: float = 0.85,
+    ):
+        super().__init__(eps=eps, damping=damping)
+        self.warm_dir = warm_dir
+        self.added_src = np.asarray(added_src, dtype=np.int64)
+        self.added_dst = np.asarray(added_dst, dtype=np.int64)
+        order = np.argsort(self.added_src, kind="stable")
+        self.added_src = self.added_src[order]
+        self.added_dst = self.added_dst[order]
+        ov = np.asarray(old_deg_vid, dtype=np.int64)
+        od = np.asarray(old_deg, dtype=np.int64)
+        oo = np.argsort(ov)
+        self._odv, self._odd = ov[oo], od[oo]
+
+    def _old_deg(self, vids: np.ndarray) -> np.ndarray:
+        if self._odv.size == 0:
+            return np.zeros(vids.size, dtype=np.int64)
+        pos = np.searchsorted(self._odv, vids)
+        safe = np.minimum(pos, self._odv.size - 1)
+        found = (pos < self._odv.size) & (self._odv[safe] == vids)
+        return np.where(found, self._odd[safe], 0)
+
+    def init_state(self, g):
+        if g.hub_vids.size:
+            raise NotImplementedError(
+                "IncrementalPageRank correction rows bypass the hub broadcast "
+                "channel — rebuild with hub_threshold=None"
+            )
+        st = super().init_state(g)
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.warm_dir, f"part-{g.p}.parquet")
+        # vertices not in the base run stay at the cold default, then the
+        # whole vector is made recurrence-consistent
+        st["pr"][:] = st["base"]
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            wv = t["vid"].to_numpy(zero_copy_only=False)
+            ws = t["score"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(g.owned, wv)
+            ok = (pos < g.n) & (g.owned[np.minimum(pos, max(g.n - 1, 0))] == wv)
+            if not bool(ok.all()):
+                raise ValueError(
+                    "warm-start partition file contains vids not owned by this "
+                    "partition — base and updated graphs must share ownership "
+                    "mode and partition count"
+                )
+            st["pr"][pos] = ws
+        st["last_sent"] = st["pr"].copy()
+        st["acc"] = (st["pr"] - st["base"]) / self.damping
+        st["aux"]["dense_done"] = True  # warm state is already consistent
+        return st
+
+    def peval(self, g, st):
+        changed = np.unique(self.added_src)
+        if g.n == 0 or changed.size == 0:
+            return None, {"edges": 0, "max_delta": 0.0}
+        pos = np.searchsorted(g.owned, changed)
+        safe = np.minimum(pos, g.n - 1)
+        mine = changed[(pos < g.n) & (g.owned[safe] == changed)]
+        if mine.size == 0:
+            return None, {"edges": 0, "max_delta": 0.0}
+        l = g.local_index(mine)
+        d2 = g.out_degree[l].astype(np.float64)
+        d1 = self._old_deg(mine).astype(np.float64)
+        pr = st["pr"][l]
+        # uniform correction along the full current adjacency (d1 > 0 only)
+        hasold = d1 > 0
+        rows = l[hasold]
+        dsts_u, lens = g._gather_slices(g.indptr, g.adj, rows)
+        vals_u = np.repeat(pr[hasold] * (1.0 / d2[hasold] - 1.0 / d1[hasold]), lens)
+        # extra along the added edges whose source is owned here
+        lo = np.searchsorted(self.added_src, mine)
+        hi = np.searchsorted(self.added_src, mine, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(mine.size), cnt)
+        offs = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        dsts_a = self.added_dst[offs]
+        share = np.where(d1 > 0, 1.0 / np.maximum(d1, 1.0), 1.0 / d2)
+        vals_a = pr[rep] * share[rep]
+        vid = np.concatenate([dsts_u, dsts_a])
+        val = np.concatenate([vals_u, vals_a])
+        return _msgs(vid, val), {"edges": int(vid.size), "max_delta": 1.0}

@@ -20,6 +20,7 @@ from drone_ray.graph.programs import (
     HITS,
     SCC,
     SSSP,
+    IncrementalPageRank,
     ConnectedComponents,
     Coreness,
     KCore,
@@ -109,6 +110,84 @@ def pagerank(
                   ownership=ownership)
     return _run(m, PageRank, {"eps": eps, "damping": damping},
                 direction="fwd", **harness_kwargs)
+
+
+def pagerank_incremental(
+    base_factory,
+    updated_factory,
+    added_src,
+    added_dst,
+    base_key: str,
+    updated_key: str,
+    num_partitions: int = 8,
+    eps: float = 1e-12,
+    damping: float = 0.85,
+    warm_dir: str | None = None,
+    **harness_kwargs,
+):
+    """The reference's namesake incremental evaluation: converge PageRank
+    on the base graph once (writing the per-partition Assemble files),
+    then re-evaluate on base+added edges by warm-starting from those files
+    and pushing only the corrections the added edges cause
+    (programs.IncrementalPageRank). Returns (cold_base_result,
+    warm_updated_result); warm scores equal a cold run on the updated
+    graph (unique fixpoint), at a fraction of the supersteps/messages.
+
+    ``added_src/added_dst`` must be genuinely NEW edges (not present in
+    the base set) — the correction algebra assumes the old share was
+    pr/d1 along exactly the old adjacency. Both graphs must use the same
+    ownership mode and partition count (the warm files align by slot).
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+
+    m1 = graph_for(base_factory, base_key, num_partitions)
+    warm = warm_dir or tempfile.mkdtemp(prefix="drone_ray_warm_", dir="/tmp")
+    r1 = _run(m1, PageRank, {"eps": eps, "damping": damping}, direction="fwd",
+              output_dir=warm, **harness_kwargs)
+
+    # old out-degrees of the changed sources, from the base edge table —
+    # a distributed filtered count; only the (small) changed set reaches
+    # the driver
+    changed = np.unique(np.asarray(added_src, dtype=np.int64))
+    import pyarrow as pa
+
+    def count_changed(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        s_ = b["src"].to_numpy(zero_copy_only=False)
+        pos = _np.searchsorted(changed, s_)
+        safe = _np.minimum(pos, max(changed.size - 1, 0))
+        keep = (changed.size > 0) & (pos < changed.size) & (changed[safe] == s_)
+        u, c = _np.unique(s_[keep], return_counts=True)
+        return pa.table({"vid": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
+
+    oc = (
+        base_factory()
+        .map_batches(count_changed, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("vid", as_index=False)["c"]
+        .sum()
+    )
+    m2 = graph_for(updated_factory, updated_key, num_partitions)
+    r2 = _run(
+        m2,
+        IncrementalPageRank,
+        {
+            "warm_dir": warm,
+            "added_src": np.asarray(added_src, dtype=np.int64),
+            "added_dst": np.asarray(added_dst, dtype=np.int64),
+            "old_deg_vid": oc["vid"].to_numpy(),
+            "old_deg": oc["c"].to_numpy(),
+            "eps": eps,
+            "damping": damping,
+        },
+        direction="fwd",
+        **harness_kwargs,
+    )
+    return r1, r2
 
 
 def personalized_pagerank(

@@ -466,6 +466,39 @@ def q_clustering_coefficient(sf_dir: str):
     return joined.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+INC_PCT = 2  # incremental-PR update batch: the 2% hash-sample of edges
+
+
+def q_pagerank_incremental(sf_dir: str):
+    """The reference's namesake IncEval capability: converge PageRank on
+    98% of the edges, then warm-start on the full graph pushing only the
+    corrections the remaining 2% cause — scores equal a cold run on the
+    full graph (unique fixpoint; pytest asserts allclose(1e-8) and a
+    fraction of the edge traversals). No SQL oracle: a warm-started
+    trajectory has no fixed iteration count for a CTE to mirror; the
+    driver records rows+schema and the conformance gate is the pytest."""
+    from drone_ray.pipelines.analytics import pagerank_incremental
+    from drone_ray.stages.edges import sample_edges
+
+    added = sample_edges(lg_edges(sf_dir), INC_PCT).to_pandas()
+    _, r2 = pagerank_incremental(
+        lambda: sample_edges(lg_edges(sf_dir), INC_PCT, invert=True),
+        lambda: lg_edges(sf_dir),
+        added["src"].to_numpy(),
+        added["dst"].to_numpy(),
+        _graph_key(sf_dir) + f":incbase{INC_PCT}",
+        _graph_key(sf_dir),
+        GRAPH_PARTITIONS,
+    )
+    t = r2.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def q_degree_distribution(sf_dir: str):
     from drone_ray.pipelines.graphstats import degree_distribution
 
@@ -1798,6 +1831,8 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     ),
     "pagerank": (q_pagerank, _PR_SQL),
     "ppr": (q_ppr, _PPR_SQL),
+    # warm-start trajectory has no fixed-iteration CTE twin — pytest-gated
+    "pagerank_incremental": (q_pagerank_incremental, None),
     "hits": (q_hits, _HITS_SQL),
     "kcore": (q_kcore, _KCORE_SQL),
     "coreness": (q_coreness, _CORENESS_SQL),

@@ -304,7 +304,9 @@ _SAMPLE_A = np.uint64(1_103_515_245)  # < 2^31: products of 31-bit values fit ui
 _SAMPLE_B = np.uint64(12_345)
 
 
-def sample_edges(edges: Dataset, percent: int, num_buckets: int = 100) -> Dataset:
+def sample_edges(
+    edges: Dataset, percent: int, num_buckets: int = 100, invert: bool = False
+) -> Dataset:
     """Deterministic hash sampling: keep an edge iff
     ``((src % p)·A + (dst % p)·B) % p % num_buckets < percent`` with
     p = 2^31−1 — pure 31-bit modular arithmetic, so every product fits both
@@ -318,6 +320,7 @@ def sample_edges(edges: Dataset, percent: int, num_buckets: int = 100) -> Datase
         s = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64) % _SAMPLE_P31
         d = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64) % _SAMPLE_P31
         h = (s * _SAMPLE_A + d * _SAMPLE_B) % _SAMPLE_P31 % np.uint64(num_buckets)
-        return b.filter(pa.array(h < np.uint64(percent)))
+        m = h < np.uint64(percent)
+        return b.filter(pa.array(~m if invert else m))
 
     return edges.map_batches(keep, batch_format="pyarrow", batch_size=None)

@@ -380,3 +380,37 @@ def test_scc_converges_on_dag_like_graph():
     vids, lab = _sorted(res.to_table(), "scc")
     # a DAG: every vertex is its own SCC
     assert np.array_equal(lab, vids)
+
+
+def test_incremental_pagerank_matches_cold_and_is_cheaper():
+    """IncEval parity: warm-start on base+added equals a cold run on the
+    updated graph (unique fixpoint) at a fraction of the traversals."""
+    from drone_ray.pipelines.analytics import pagerank, pagerank_incremental
+
+    src, dst = ba_powerlaw(n=2000, m=4, seed=43)
+    P31 = np.uint64(2**31 - 1)
+    h = (
+        (src.astype(np.uint64) % P31) * np.uint64(1103515245)
+        + (dst.astype(np.uint64) % P31) * np.uint64(12345)
+    ) % P31 % np.uint64(100)
+    addm = h < 1
+    bs, bd = src[~addm], dst[~addm]
+    as_, ad = src[addm], dst[addm]
+    assert as_.size > 10
+
+    _, r2 = pagerank_incremental(
+        lambda: _edges_ds(bs, bd),
+        lambda: _edges_ds(src, dst),
+        as_,
+        ad,
+        "incpr_t_base",
+        "incpr_t_full",
+        num_partitions=3,
+        eps=1e-12,
+    )
+    cold = pagerank(lambda: _edges_ds(src, dst), "incpr_t_full", 3, eps=1e-12)
+    wv, ws = _sorted(r2.to_table(), "score")
+    cv, cs = _sorted(cold.to_table(), "score")
+    assert np.array_equal(wv, cv)
+    assert np.abs(ws - cs).max() < 1e-8
+    assert r2.edges_traversed < cold.edges_traversed * 0.6
