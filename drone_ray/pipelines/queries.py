@@ -724,6 +724,16 @@ def q_ngram_jaccard_near_dup(sf_dir: str):
 
 
 
+def q_vocabulary_hll(sf_dir: str):
+    """Approximate distinct tokens (HyperLogLog, 2^14 registers) — the
+    mergeable-sketch twin of the exact `vocabulary` query. Approximate by
+    nature → no SQL hash oracle; the pytest gate bounds it within ±3% of
+    the exact count."""
+    from drone_ray.pipelines.textstats import vocabulary_hll
+
+    return vocabulary_hll(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 DECONTAM_MOD = 50  # benchmark stand-in: docs with doc_id % 50 == 0
 
 
@@ -1895,6 +1905,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
         q_dedup_clusters,
         _DEDUP_CLUSTERS_SQL.format(NGRAMJ=_NGRAMJ_SQL),
     ),
+    "vocabulary_hll": (q_vocabulary_hll, None),  # approximate sketch — pytest-bounded
     "vocabulary": (
         q_vocabulary,
         "SELECT count(DISTINCT t.w) AS n_distinct_tokens FROM documents, "

@@ -118,3 +118,29 @@ def test_tfidf_top_terms():
         for r in out.sort_values(["doc_id", "score", "token"], ascending=[True, False, True]).itertuples()
     ]
     assert got == exp_rows
+
+
+def test_vocabulary_hll_error_bound():
+    import numpy as np
+
+    from drone_ray.pipelines.textstats import vocabulary_hll, vocabulary_size
+
+    def _ds(ids, texts):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    rng = np.random.default_rng(47)
+    # ~20k distinct tokens spread over 200 docs
+    vocab = [f"tok{i}" for i in range(20000)]
+    texts = [
+        " ".join(rng.choice(vocab, size=400, replace=True)) for _ in range(200)
+    ]
+    ds = _ds(list(range(len(texts))), texts)
+    exact = vocabulary_size(ds)["n_distinct_tokens"][0].as_py()
+    est = vocabulary_hll(ds)["n_distinct_tokens_hll"][0].as_py()
+    assert abs(est - exact) / exact < 0.03, (est, exact)
+
+    # partition-count invariance: the register merge is a max — any tree
+    est2 = vocabulary_hll(ds.repartition(17))["n_distinct_tokens_hll"][0].as_py()
+    assert est2 == est
