@@ -95,19 +95,16 @@ def main(argv=None) -> dict:
     if args.command == "wcc-star":
         import ray.data as rd
 
-        import pyarrow.parquet as pq
-
         from drone_ray.pipelines.cc_star import connected_components_star
 
-        t, rounds = connected_components_star(
+        ds, rounds = connected_components_star(
             rd.read_parquet(args.edges, columns=["src", "dst"])
         )
-        import os
-
-        os.makedirs(args.out, exist_ok=True)
-        pq.write_table(t, f"{args.out}/components.parquet")
+        # streaming, partitioned output — labels never touch the driver
+        ds = ds.materialize()
+        ds.write_parquet(args.out)
         return {"command": args.command, "out": args.out, "rounds": rounds,
-                "n_vertices": t.num_rows}
+                "n_vertices": ds.count()}
 
     if args.command == "triangles":
         import ray.data as rd

@@ -110,18 +110,63 @@ def _checksum(edges: Dataset) -> tuple[int, int]:
     return n, acc
 
 
+_LABEL_SCHEMA = pa.schema([("vid", pa.int64()), ("component", pa.int64())])
+
+
+def _assemble_labels(star_edges: Dataset, num_buckets: int) -> Dataset:
+    """Distributed label assembly from the star fixpoint: every edge is
+    (child → root), so children read their label off the edge and roots are
+    exactly the label values that never appear as a child. Both facts are
+    local to a hash(vid) bucket — emit (vid=u, lbl=v) and (vid=v, lbl=v)
+    per edge, bucket by vid, and take the per-vid min label (at a true
+    fixpoint each vid carries exactly one distinct label; min also keeps
+    the output well-defined on a max_rounds bailout). The driver never
+    sees the vertex set."""
+
+    def emit(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        vid = np.concatenate([u, v])
+        lbl = np.concatenate([v, v])
+        return pa.table(
+            {
+                "vid": pa.array(vid, pa.int64()),
+                "lbl": pa.array(lbl, pa.int64()),
+                "_b": pa.array((mix64(vid) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def labels_of(g: pd.DataFrame) -> pd.DataFrame:
+        vid = g["vid"].to_numpy()
+        lbl = g["lbl"].to_numpy()
+        order = np.lexsort((lbl, vid))
+        vid, lbl = vid[order], lbl[order]
+        first = np.ones(vid.size, dtype=bool)
+        first[1:] = vid[1:] != vid[:-1]
+        return pd.DataFrame({"vid": vid[first], "component": lbl[first]})
+
+    return (
+        star_edges.map_batches(emit, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(labels_of, batch_format="pandas")
+        .map_batches(_pin(_LABEL_SCHEMA), batch_format="pyarrow", batch_size=None)
+    )
+
+
 def connected_components_star(
     edges: Dataset,
     num_buckets: int = _NUM_BUCKETS,
     max_rounds: int = 64,
-) -> tuple[pa.Table, int]:
-    """(vid, component) labels + rounds used. O(log n) shuffle rounds —
-    the long-diameter alternative to the O(diameter)-superstep engine WCC.
+) -> tuple[Dataset, int]:
+    """(vid, component) label Dataset + rounds used. O(log n) shuffle
+    rounds — the long-diameter alternative to the O(diameter)-superstep
+    engine WCC.
 
     Each round materializes the contracted edge set (size ≤ the input edge
     count and shrinking) so the iterative lineage never re-executes; the
-    driver only ever sees the per-round count/checksum and the final star
-    edges (one row per non-root vertex)."""
+    driver only ever sees the per-round count/checksum — labels are
+    assembled by one more bucketed pass (_assemble_labels), never
+    concatenated driver-side."""
 
     def init(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -143,22 +188,5 @@ def connected_components_star(
             break
         prev_sig = sig
 
-    # fixpoint: every edge is (v, root). Labels = stars + roots themselves.
-    parts = [b for b in cur.iter_batches(batch_format="pyarrow", batch_size=None)]
-    if parts:
-        t = pa.concat_tables(parts)
-        vid = t["u"].to_numpy(zero_copy_only=False)
-        comp = t["v"].to_numpy(zero_copy_only=False)
-        roots = np.setdiff1d(np.unique(comp), vid)
-        vid = np.concatenate([vid, roots])
-        comp = np.concatenate([comp, roots])
-        order = np.argsort(vid)
-        vid, comp = vid[order], comp[order]
-    else:
-        vid = comp = np.empty(0, np.int64)
-    return (
-        pa.table(
-            {"vid": pa.array(vid, pa.int64()), "component": pa.array(comp, pa.int64())}
-        ),
-        rounds,
-    )
+    # fixpoint: every edge is (child, root) — assemble labels distributed
+    return _assemble_labels(cur, num_buckets), rounds

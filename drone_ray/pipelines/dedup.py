@@ -724,8 +724,11 @@ def dedup_clusters(
         batch_size=None,
     )
     labels, _rounds = connected_components_star(edges)
-    lv = labels["vid"].to_numpy()
-    lc = labels["component"].to_numpy()
+    # broadcast side is ∝ near-dup pair count (small by construction here);
+    # see docstring for the bucketed-join swap at extreme dup rates
+    lt = pa.concat_tables(labels.iter_batches(batch_format="pyarrow", batch_size=None))
+    lv = lt["vid"].to_numpy() if lt.num_rows else np.empty(0, np.int64)
+    lc = lt["component"].to_numpy() if lt.num_rows else np.empty(0, np.int64)
     order = np.argsort(lv)
     ref = ray.put((lv[order], lc[order]))
 

@@ -164,11 +164,13 @@ def q_wcc(sf_dir: str):
 
 def q_wcc_star(sf_dir: str):
     """Pointer-jumping WCC (large-star/small-star contraction): O(log n)
-    shuffle rounds vs the superstep engine's O(diameter) — same labels."""
+    shuffle rounds vs the superstep engine's O(diameter) — same labels.
+    Returns the label Dataset (assembly is a bucketed pass, round 4 —
+    nothing O(V) touches the driver)."""
     from drone_ray.pipelines.cc_star import connected_components_star
 
-    t, _rounds = connected_components_star(lg_edges(sf_dir))
-    return t
+    ds, _rounds = connected_components_star(lg_edges(sf_dir))
+    return ds
 
 
 def q_lpa(sf_dir: str):

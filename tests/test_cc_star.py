@@ -17,8 +17,17 @@ def _ds(src, dst):
     )
 
 
+def _labels_table(ds):
+    import pyarrow as pa
+
+    return pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+
+
 def _check(src, dst, max_expected_rounds):
-    t, rounds = connected_components_star(_ds(src, dst), num_buckets=8)
+    lds, rounds = connected_components_star(_ds(src, dst), num_buckets=8)
+    t = _labels_table(lds)
     vids = t["vid"].to_numpy()
     comp = t["component"].to_numpy()
     assert np.unique(vids).size == vids.size  # one label per vertex
@@ -51,6 +60,7 @@ def test_random_graph_matches_oracle():
 def test_two_components_and_isolated_pair():
     src = np.array([10, 11, 12, 50, 51], dtype=np.int64)
     dst = np.array([11, 12, 10, 51, 52], dtype=np.int64)
-    t, _ = connected_components_star(_ds(src, dst), num_buckets=4)
+    lds, _ = connected_components_star(_ds(src, dst), num_buckets=4)
+    t = _labels_table(lds)
     got = dict(zip(t["vid"].to_pylist(), t["component"].to_pylist()))
     assert got == {10: 10, 11: 10, 12: 10, 50: 50, 51: 50, 52: 50}
