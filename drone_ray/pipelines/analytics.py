@@ -336,16 +336,22 @@ def pseudo_diameter(
         )
         return int(t["vid"]), int(t["dist"])
 
-    # deterministic start: the smallest vertex id (derive-only scan)
+    # deterministic start: the smallest vertex id — map_batches partial-min
+    # (one row per block) + a tiny driver reduce; the edge table itself
+    # never crosses to the driver (same pattern as cc_star._checksum)
     import numpy as np
 
-    src0 = None
-    for b in edges_factory().iter_batches(batch_format="pyarrow"):
+    def partial_min(b: pa.Table) -> pa.Table:
         m = min(
             int(np.min(b["src"].to_numpy(zero_copy_only=False))),
             int(np.min(b["dst"].to_numpy(zero_copy_only=False))),
         )
-        src0 = m if src0 is None else min(src0, m)
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    partials = edges_factory().map_batches(
+        partial_min, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    src0 = min(int(r["m"]) for r in partials)
     r1 = sssp(edges_factory, cache_key, src0, num_partitions, direction="both",
               **harness_kwargs)
     peak, ecc0 = far(r1)

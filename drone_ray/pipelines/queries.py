@@ -290,15 +290,16 @@ def q_modularity(sf_dir: str):
     tagged = und.join(lu, join_type="inner", num_partitions=GRAPH_PARTITIONS, on=("src",)).join(
         lv, join_type="inner", num_partitions=GRAPH_PARTITIONS, on=("dst",)
     )
-    # per-community intra-edge counts (few distinct labels → near-free)
+    # per-community intra-edge counts (few distinct labels → near-free);
+    # intra-edge selection is a vectorized Arrow mask, not a per-row filter
     from ray.data.aggregate import Count, Sum
 
-    mc = (
-        tagged.filter(lambda r: r["lu"] == r["lv"])
-        .groupby("lu")
-        .aggregate(Count(alias_name="m_c"))
-        .to_pandas()
+    intra = tagged.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["lu"], b["lv"])),
+        batch_format="pyarrow",
+        batch_size=None,
     )
+    mc = intra.groupby("lu").aggregate(Count(alias_name="m_c")).to_pandas()
     deg = out_degrees(
         dedup_edges(symmetrize(lg_edges(sf_dir)))
     ).map_batches(
