@@ -86,6 +86,29 @@ def owner_partition(vids: np.ndarray, num_partitions: int) -> np.ndarray:
     return (mix64(np.asarray(vids)) % np.uint64(num_partitions)).astype(np.int32)
 
 
+def adaptive_buckets(
+    est_rows: int | None,
+    floor: int,
+    rows_per_bucket: int = 4_000_000,
+    cap: int = 65536,
+) -> int:
+    """Bucket count for the hash-bucket ``groupby(_b).map_groups`` pattern.
+
+    Each bucket materializes ~rows/B of the keyspace inside ONE task, so a
+    fixed B stops scaling: per-task heap grows linearly with the input. With
+    the default 4M rows/bucket a bucket of int64 pairs costs ~64 MB of task
+    heap regardless of total input size. ``floor`` keeps small inputs at
+    full-cluster fan-out (the historical constants 32/64 are the floors);
+    ``cap`` bounds scheduler overhead on extreme inputs. Estimates only need
+    to be order-of-magnitude right — callers pass cheap upper bounds
+    (parquet metadata row counts, pages × fan-out priors), or None to keep
+    the floor."""
+    if not est_rows or est_rows <= 0:
+        return floor
+    need = -(-int(est_rows) // rows_per_bucket)  # ceil division
+    return int(min(max(floor, need), cap))
+
+
 class Ownership:
     """Pluggable vertex-ownership function, shared by every stage (edge
     build, CSR boundary indexes, message routing) so all agree without any

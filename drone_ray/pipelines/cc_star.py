@@ -30,9 +30,9 @@ from drone_ray.pipelines._util import pin_schema as _pin
 
 from ray.data import Dataset
 
-from drone_ray.hashing import mix64
+from drone_ray.hashing import adaptive_buckets, mix64
 
-_NUM_BUCKETS = 64
+_NUM_BUCKETS = 64  # floor — actual count grows with est_rows (adaptive_buckets)
 
 
 _EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
@@ -155,8 +155,9 @@ def _assemble_labels(star_edges: Dataset, num_buckets: int) -> Dataset:
 
 def connected_components_star(
     edges: Dataset,
-    num_buckets: int = _NUM_BUCKETS,
+    num_buckets: int | None = None,
     max_rounds: int = 64,
+    est_rows: int | None = None,
 ) -> tuple[Dataset, int]:
     """(vid, component) label Dataset + rounds used. O(log n) shuffle
     rounds — the long-diameter alternative to the O(diameter)-superstep
@@ -167,6 +168,11 @@ def connected_components_star(
     driver only ever sees the per-round count/checksum — labels are
     assembled by one more bucketed pass (_assemble_labels), never
     concatenated driver-side."""
+    if num_buckets is None:
+        # oriented rounds double the rows; contraction only shrinks them
+        num_buckets = adaptive_buckets(
+            est_rows * 2 if est_rows else None, floor=_NUM_BUCKETS
+        )
 
     def init(b: pa.Table) -> pa.Table:
         return pa.table(

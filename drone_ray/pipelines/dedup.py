@@ -38,6 +38,17 @@ from drone_ray.functions.minhash import (
 )
 from drone_ray.functions.text import fingerprint
 from drone_ray.functions.vectors import batch_matrix, cosine_matrix, hyperplane_signs, make_planes
+from drone_ray.hashing import adaptive_buckets
+
+
+def _buckets(num_buckets: int | None, est_rows: int | None, floor: int = 32) -> int:
+    """Shuffle fan-out: grows with the estimated row count of THIS shuffle
+    (hashing.adaptive_buckets), with the historical constant as the floor."""
+    return (
+        num_buckets
+        if num_buckets is not None
+        else adaptive_buckets(est_rows, floor=floor)
+    )
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -167,12 +178,14 @@ def minhash_candidates(
     text_col: str = "text",
     concurrency: int = 4,
     dedupe: bool = True,
+    est_docs: int | None = None,
 ) -> Dataset:
     """Candidate pairs (a < b) sharing at least one LSH band; globally
     distinct unless ``dedupe=False``."""
     from drone_ray.hashing import mix64
 
-    num_buckets = 32
+    # band shuffle carries docs × bands rows
+    num_buckets = _buckets(None, est_docs * num_bands if est_docs else None)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
@@ -213,7 +226,8 @@ def verify_jaccard(
     threshold: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
+    est_docs: int | None = None,
 ) -> Dataset:
     """Exact k-shingle Jaccard for each candidate pair; keeps jaccard ≥
     threshold. Two bucketed hops, nothing on the driver:
@@ -228,6 +242,8 @@ def verify_jaccard(
     bucket, so the operator scales with cluster width, not corpus size.
     """
     from drone_ray.hashing import mix64
+
+    num_buckets = _buckets(num_buckets, est_docs)
 
     def pair_rows(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)

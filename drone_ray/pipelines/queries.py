@@ -70,13 +70,25 @@ def _derive_edges_batch(b: pa.Table) -> pa.Table:
     )
 
 
+def _parquet_rows(sf_dir: str, table: str) -> int | None:
+    """Row count from parquet footer metadata — no data read. Feeds
+    adaptive_buckets estimates so shuffle fan-out grows with the input."""
+    import pyarrow.parquet as pq
+
+    try:
+        return int(pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows)
+    except Exception:
+        return None
+
+
 def _raw_edges(sf_dir: str) -> Dataset:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     return li.map_batches(_derive_edges_batch, batch_format="pyarrow", batch_size=None)
 
 
 def lg_edges(sf_dir: str) -> Dataset:
-    return dedup_edges(_raw_edges(sf_dir))
+    # lineitem row count is a footer-metadata upper bound on derived edges
+    return dedup_edges(_raw_edges(sf_dir), est_rows=_parquet_rows(sf_dir, "lineitem"))
 
 
 # --------------------------------------------------------------------------

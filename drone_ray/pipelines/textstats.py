@@ -13,7 +13,17 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-_NUM_BUCKETS = 64
+_NUM_BUCKETS = 64  # floor — grows with est_tokens via hashing.adaptive_buckets
+
+
+def _buckets(num_buckets: int | None, est_tokens: int | None) -> int:
+    from drone_ray.hashing import adaptive_buckets
+
+    return (
+        num_buckets
+        if num_buckets is not None
+        else adaptive_buckets(est_tokens, floor=_NUM_BUCKETS)
+    )
 
 
 def _token_hash_bucket(tokens: list[str], num_buckets: int) -> np.ndarray:
@@ -28,7 +38,7 @@ def _token_hash_bucket(tokens: list[str], num_buckets: int) -> np.ndarray:
     )
 
 
-def _partial_tf(b: pa.Table, text_col: str) -> pa.Table:
+def _partial_tf(b: pa.Table, text_col: str, num_buckets: int) -> pa.Table:
     counts: dict[str, int] = {}
     for t in b[text_col].to_pylist():
         for w in t.split():
@@ -38,13 +48,21 @@ def _partial_tf(b: pa.Table, text_col: str) -> pa.Table:
         {
             "token": pa.array(toks, pa.string()),
             "_c": pa.array([counts[t] for t in toks], pa.int64()),
-            "_b": pa.array(_token_hash_bucket(toks, _NUM_BUCKETS)),
+            "_b": pa.array(_token_hash_bucket(toks, num_buckets)),
         }
     )
 
 
-def term_frequencies(docs: Dataset, text_col: str = "text") -> Dataset:
-    """(token, n_occurrences) over the whole corpus."""
+def term_frequencies(
+    docs: Dataset,
+    text_col: str = "text",
+    num_buckets: int | None = None,
+    est_tokens: int | None = None,
+) -> Dataset:
+    """(token, n_occurrences) over the whole corpus. Per-bucket rows are
+    bounded by distinct tokens (vocabulary), so ``est_tokens`` should be a
+    vocabulary-scale estimate, not corpus token occurrences."""
+    nb = _buckets(num_buckets, est_tokens)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("token", sort=False)["_c"].sum().reset_index()
@@ -52,7 +70,7 @@ def term_frequencies(docs: Dataset, text_col: str = "text") -> Dataset:
 
     schema = pa.schema([("token", pa.string()), ("n_occurrences", pa.int64())])
     return (
-        docs.map_batches(lambda b: _partial_tf(b, text_col), batch_format="pyarrow", batch_size=None)
+        docs.map_batches(lambda b: _partial_tf(b, text_col, nb), batch_format="pyarrow", batch_size=None)
         .groupby("_b")
         .map_groups(finish, batch_format="pandas")
         .map_batches(
@@ -78,10 +96,16 @@ def top_tokens(docs: Dataset, k: int = 50, text_col: str = "text") -> Dataset:
     ).limit(k)
 
 
-def document_frequencies(docs: Dataset, text_col: str = "text") -> Dataset:
+def document_frequencies(
+    docs: Dataset,
+    text_col: str = "text",
+    num_buckets: int | None = None,
+    est_tokens: int | None = None,
+) -> Dataset:
     """(token, df) — number of documents containing each token. Same
     bucketed shuffle as term_frequencies, but per-batch partials count
     each (doc, token) once."""
+    nb = _buckets(num_buckets, est_tokens)
 
     def partial(b: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
@@ -93,7 +117,7 @@ def document_frequencies(docs: Dataset, text_col: str = "text") -> Dataset:
             {
                 "token": pa.array(toks, pa.string()),
                 "_c": pa.array([counts[t] for t in toks], pa.int64()),
-                "_b": pa.array(_token_hash_bucket(toks, _NUM_BUCKETS)),
+                "_b": pa.array(_token_hash_bucket(toks, nb)),
             }
         )
 

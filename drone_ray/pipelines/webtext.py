@@ -147,10 +147,13 @@ def chunk_dedup(
     width: int = CHUNK_W,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_buckets: int = _NUM_BUCKETS,
+    num_buckets: int | None = None,
+    est_chunks: int | None = None,
 ) -> Dataset:
     """Corpus-wide duplicate-chunk removal (CCNet paragraph dedup adapted to
     fixed ``width``-token chunks, since the corpus has no line structure).
+    ``num_buckets`` derives from ``est_chunks`` (≈ corpus tokens / width)
+    via hashing.adaptive_buckets unless pinned.
 
     Returns one row per input doc: (doc_id, n_chunks, n_kept, text_clean)
     where text_clean is the space-join of the doc's surviving chunks in
@@ -159,6 +162,10 @@ def chunk_dedup(
     corpus -- so shared boilerplate survives only in the first doc that
     carries it, and within-doc repeats collapse to the first copy.
     """
+    from drone_ray.hashing import adaptive_buckets
+
+    if num_buckets is None:
+        num_buckets = adaptive_buckets(est_chunks, floor=_NUM_BUCKETS)
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
@@ -196,7 +203,7 @@ def chunk_dedup(
                 "chunk_id": cid,
                 "chunk": ch,
                 "keep": keep,
-                "_db": ids % _NUM_BUCKETS,
+                "_db": ids % num_buckets,
             }
         )
 

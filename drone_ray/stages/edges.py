@@ -23,9 +23,21 @@ import pandas as pd
 
 from ray.data import Dataset
 
-from drone_ray.hashing import mix64
+from drone_ray.hashing import adaptive_buckets, mix64
 
+# floor for the bucket count: small inputs still fan out across the cluster.
+# Actual counts grow with the input via hashing.adaptive_buckets — a fixed B
+# means each map_groups bucket holds rows/B of the keyspace in ONE task, so
+# per-task memory would grow linearly with data at a constant B.
 _NUM_BUCKETS = 64
+
+
+def _buckets(num_buckets: int | None, est_rows: int | None) -> int:
+    return (
+        num_buckets
+        if num_buckets is not None
+        else adaptive_buckets(est_rows, floor=_NUM_BUCKETS)
+    )
 
 
 def _unique_pairs(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -46,9 +58,15 @@ def _pin(schema: pa.Schema):
     return fix
 
 
-def dedup_edges(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
+def dedup_edges(
+    edges: Dataset,
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
+) -> Dataset:
     """Exact global dedup of (src, dst): per-batch unique → bucket shuffle →
-    per-bucket vectorized unique. Shuffle key: hash(src, dst) % B."""
+    per-bucket vectorized unique. Shuffle key: hash(src, dst) % B. B derives
+    from ``est_rows`` (adaptive_buckets) unless pinned via ``num_buckets``."""
+    num_buckets = _buckets(num_buckets, est_rows)
 
     def partial(b: pa.Table) -> pa.Table:
         s, d = _unique_pairs(
@@ -116,19 +134,38 @@ def _degrees(edges: Dataset, col: str, out_name: str, num_buckets: int) -> Datas
     )
 
 
-def out_degrees(edges: Dataset) -> Dataset:
+def out_degrees(
+    edges: Dataset,
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
+) -> Dataset:
     """(src, out_degree) — per-batch bincount partial, bucketed final sum."""
-    return _degrees(edges.select_columns(["src"]), "src", "out_degree", _NUM_BUCKETS)
+    return _degrees(
+        edges.select_columns(["src"]), "src", "out_degree",
+        _buckets(num_buckets, est_rows),
+    )
 
 
-def in_degrees(edges: Dataset) -> Dataset:
-    return _degrees(edges.select_columns(["dst"]), "dst", "in_degree", _NUM_BUCKETS)
+def in_degrees(
+    edges: Dataset,
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
+) -> Dataset:
+    return _degrees(
+        edges.select_columns(["dst"]), "dst", "in_degree",
+        _buckets(num_buckets, est_rows),
+    )
 
 
-def raw_endpoint_counts(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
+def raw_endpoint_counts(
+    edges: Dataset,
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
+) -> Dataset:
     """(vid, n_src, n_dst) — per-vertex RAW row counts (duplicates counted).
     One cheap partial-count shuffle; used as an upper bound for hub-candidate
     detection (raw ≥ deduped degree always)."""
+    num_buckets = _buckets(num_buckets, est_rows)
 
     def partial(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False)
@@ -166,7 +203,11 @@ def raw_endpoint_counts(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Data
     )
 
 
-def dual_degrees(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
+def dual_degrees(
+    edges: Dataset,
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
+) -> Dataset:
     """(vid, deg_fwd, deg_rev, deg_both) of the deduped edge table in one
     pipeline: deg_fwd = distinct out-neighbors, deg_rev = distinct
     in-neighbors, deg_both = distinct symmetrized neighbors (≠ fwd+rev when
@@ -176,6 +217,7 @@ def dual_degrees(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
     (u, v, dir) inside hash(u, v) buckets — every copy of a pair lands in
     one bucket, so per-u partial counts are exact there — then partials sum
     in hash(u) buckets."""
+    num_buckets = _buckets(num_buckets, est_rows)
 
     def partial(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False)
@@ -260,9 +302,14 @@ def dual_degrees(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
     )
 
 
-def vertex_ids(edges: Dataset, num_buckets: int = _NUM_BUCKETS) -> Dataset:
+def vertex_ids(
+    edges: Dataset,
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
+) -> Dataset:
     """Distinct vids appearing as src or dst (the reference's implicit vertex
     set incl. the dead Isolateds path, /root/reference/src/graph/graph.go:443-457)."""
+    num_buckets = _buckets(num_buckets, est_rows)
 
     def partial(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False)

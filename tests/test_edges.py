@@ -88,3 +88,38 @@ def test_sample_edges_deterministic():
     # repartitioned input yields the identical sample (statelessness)
     out2 = sample_edges(ds.repartition(13), 7).to_pandas()
     assert set(zip(out2.src.tolist(), out2.dst.tolist())) == exp
+
+
+def test_bucket_count_invariance_b256():
+    """Bucket fan-out is a pure parallelism knob: B=256 must be bit-identical
+    to the default floor (B=64) — the adaptive_buckets scale-up path changes
+    nothing but per-task slice size."""
+    from drone_ray.stages.edges import dual_degrees
+
+    src, dst = _rand(n=5000, v=300, seed=7)
+    for fn, key in ((dedup_edges, ["src", "dst"]), (out_degrees, ["src"]), (dual_degrees, ["vid"])):
+        base = fn(_ds(src, dst)).to_pandas().sort_values(key).reset_index(drop=True)
+        wide = (
+            fn(_ds(src, dst), num_buckets=256)
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(base, wide)
+
+
+def test_adaptive_buckets_growth():
+    from drone_ray.hashing import adaptive_buckets
+
+    assert adaptive_buckets(None, floor=64) == 64
+    assert adaptive_buckets(0, floor=64) == 64
+    assert adaptive_buckets(10_000, floor=64) == 64  # floor wins on small inputs
+    # 10^9 rows / 4M rows-per-bucket = 250 → bounded per-task heap
+    assert adaptive_buckets(1_000_000_000, floor=64) == 250
+    assert adaptive_buckets(10**13, floor=64) == 65536  # cap
+    # monotone in est_rows
+    prev = 0
+    for e in (10**6, 10**8, 10**9, 10**10, 10**11):
+        b = adaptive_buckets(e, floor=32)
+        assert b >= prev
+        prev = b
