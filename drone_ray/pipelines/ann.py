@@ -62,7 +62,7 @@ def ann_topk_exact(
     def partial(b: pa.Table) -> pa.Table:
         qi, qm = ray.get(ref)
         x = batch_matrix(b, vec_col)
-        ids = np.array(b[id_col].to_pylist(), dtype=np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if x.size == 0 or qm.size == 0:
             return pa.table(
                 {
@@ -72,20 +72,28 @@ def ann_topk_exact(
                 }
             )
         sims = cosine_matrix(x, qm)  # (n, m)
-        rows = {"query_id": [], "vec_id": [], "cosine": []}
         kk = min(k, len(ids))
+        out_q, out_v, out_c = [], [], []
         for m, qid in enumerate(qi):
             s = sims[:, m]
-            # partial top-k with deterministic (cosine desc, vec_id asc)
-            idx = np.lexsort((ids, -s))[:kk]
-            rows["query_id"].extend([qid] * len(idx))
-            rows["vec_id"].extend(ids[idx].tolist())
-            rows["cosine"].extend(s[idx].tolist())
+            # O(n) argpartition narrows the candidate set; rows tied with the
+            # k-th cosine are all kept so the (cosine desc, vec_id asc)
+            # tie-break stays deterministic, then the order is resolved on
+            # just those candidates
+            if kk < len(ids):
+                part = np.argpartition(-s, kk - 1)[:kk]
+                cand = np.flatnonzero(s >= s[part].min())
+            else:
+                cand = np.arange(len(ids))
+            idx = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
+            out_q.append(np.full(idx.size, qid, np.int64))
+            out_v.append(ids[idx])
+            out_c.append(s[idx])
         return pa.table(
             {
-                "query_id": pa.array(rows["query_id"], pa.int64()),
-                "vec_id": pa.array(rows["vec_id"], pa.int64()),
-                "cosine": pa.array(rows["cosine"], pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
             }
         )
 
