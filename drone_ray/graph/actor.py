@@ -64,7 +64,13 @@ class GraphPartitionActor:
         cached = self._try_cached_graph(manifest, p, direction)
         if cached is not None:
             return cached
-        cols = ["src", "dst"] + (["dir"] if dual else []) + (["delegate"] if hubs_path else [])
+        weighted = bool(manifest.get("weighted"))
+        cols = (
+            ["src", "dst"]
+            + (["dir"] if dual else [])
+            + (["delegate"] if hubs_path else [])
+            + (["w"] if weighted else [])
+        )
         ed = read_partition(manifest["edges_dir"], p, cols)
         if dual:
             # owned set from the UNFILTERED rows (a vertex with only
@@ -85,7 +91,15 @@ class GraphPartitionActor:
             owned = np.unique(vd["vid"])
         if dual and direction != "both":
             keep = ed["dir"] == (0 if direction == "fwd" else 1)
-            ed = {c: ed[c][keep] for c in ("src", "dst", *(["delegate"] if hubs_path else []))}
+            ed = {
+                c: ed[c][keep]
+                for c in (
+                    "src",
+                    "dst",
+                    *(["delegate"] if hubs_path else []),
+                    *(["w"] if weighted else []),
+                )
+            }
         if hubs_path:
             dmask = ed["delegate"].astype(bool)
             ht = pq.read_table(hubs_path)
@@ -110,10 +124,13 @@ class GraphPartitionActor:
                 hub_vids=hv[horder],
                 hub_degrees=hd[horder],
                 ownership=self.ownership,
+                w=ed["w"][~dmask] if weighted else None,
+                delegate_w=ed["w"][dmask] if weighted else None,
             )
         else:
             g = PartitionGraph(
-                p, self.P, owned, ed["src"], ed["dst"], ownership=self.ownership
+                p, self.P, owned, ed["src"], ed["dst"], ownership=self.ownership,
+                w=ed.get("w") if weighted else None,
             )
         self._save_cached_graph(manifest, p, direction, g)
         return g
@@ -186,12 +203,17 @@ class GraphPartitionActor:
             return None
         try:
             z = np.load(path, allow_pickle=False)
+            if manifest.get("weighted") and "w" not in z.files:
+                return None  # cache predates the weight lanes — rebuild
             g = PartitionGraph.__new__(PartitionGraph)
             g.p = p
             g.P = self.P
             g.ownership = self.ownership
             for f in self._CACHE_FIELDS:
                 setattr(g, f, z[f])
+            # weight lanes are optional (npz cannot store None)
+            g.w = z["w"] if "w" in z.files else None
+            g.del_w = z["del_w"] if "del_w" in z.files else None
             g.n = int(g.owned.size)
             g.m = int(g.adj.size)
             g.pending_hub = []
@@ -206,7 +228,11 @@ class GraphPartitionActor:
         try:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = f"{path}.tmp-{os.getpid()}.npz"  # .npz suffix: savez keeps it
-            np.savez(tmp[:-4], **{f: getattr(g, f) for f in self._CACHE_FIELDS})
+            arrs = {f: getattr(g, f) for f in self._CACHE_FIELDS}
+            for f in ("w", "del_w"):  # optional weight lanes
+                if getattr(g, f, None) is not None:
+                    arrs[f] = getattr(g, f)
+            np.savez(tmp[:-4], **arrs)
             os.replace(tmp, path)
         except OSError:  # read-only work dir etc. — cache is best-effort
             pass
@@ -313,10 +339,13 @@ class GraphPartitionActor:
             # expand hub broadcasts along this partition's delegate slices:
             # identical rows (and timing) to what an unsplit hub would have
             # pushed, but materialized at the receiver
+            hub_w = getattr(self.program, "hub_edge_weights", False)
             for hub in inbound[self.P :]:
                 if hub is None or hub["vid"].size == 0:
                     continue
-                dsts, vals = self.g.delegate_expand(hub["vid"], hub["val"])
+                dsts, vals = self.g.delegate_expand(
+                    hub["vid"], hub["val"], add_edge_weights=hub_w
+                )
                 if dsts.size:
                     payloads.append(self.program.expand_hub(dsts, vals))
         if step == 0:
@@ -438,10 +467,13 @@ class GraphPartitionActor:
             # post-step-s payload the manifest claims.
             inc[self.p] = self._self_stash
         payloads = self._to_global(inc)
+        hub_w = getattr(self.program, "hub_edge_weights", False)
         for hub in inbound_for_next[n_msg:]:
             if hub is None or hub["vid"].size == 0:
                 continue
-            dsts, vals = self.g.delegate_expand(hub["vid"], hub["val"])
+            dsts, vals = self.g.delegate_expand(
+                hub["vid"], hub["val"], add_edge_weights=hub_w
+            )
             if dsts.size:
                 payloads.append(self.program.expand_hub(dsts, vals))
         live = [m for m in payloads if m is not None and m["vid"].size > 0]

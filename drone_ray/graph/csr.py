@@ -36,6 +36,8 @@ class PartitionGraph:
         hub_vids: np.ndarray | None = None,
         hub_degrees: np.ndarray | None = None,
         ownership: Ownership | None = None,
+        w: np.ndarray | None = None,
+        delegate_w: np.ndarray | None = None,
     ) -> None:
         self.p = p
         self.P = num_partitions
@@ -45,16 +47,23 @@ class PartitionGraph:
 
         # sort + exact dedup of (src, dst): duplicate edges collapse, matching
         # the reference's last-wins AddEdge with weight forced to 1.0
-        # (/root/reference/src/graph/graph.go:213-243,357-362).
+        # (/root/reference/src/graph/graph.go:213-243,357-362). With a weight
+        # column (an extension — the reference has no weighted path), the
+        # surviving edge keeps the MIN weight of its duplicates: well-defined
+        # under any arrival order, and the only weight shortest paths can use.
         src = np.asarray(src, dtype=np.int64)
         dst = np.asarray(dst, dtype=np.int64)
         order = np.lexsort((dst, src))
         s, d = src[order], dst[order]
+        ww = np.asarray(w, dtype=np.float64)[order] if w is not None else None
         if s.size:
             keep = np.empty(s.size, dtype=bool)
             keep[0] = True
             keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+            if ww is not None:
+                ww = np.minimum.reduceat(ww, np.flatnonzero(keep))
             s, d = s[keep], d[keep]
+        self.w = ww  # per-edge weight aligned with self.adj; None = unweighted
         self.m = int(s.size)
 
         # CSR over owned vertices (rows in `owned` order)
@@ -89,19 +98,28 @@ class PartitionGraph:
             ds_ = np.asarray(delegate_src, dtype=np.int64)
             dd_ = np.asarray(delegate_dst, dtype=np.int64)
             order2 = np.lexsort((dd_, ds_))
+            dw_ = (
+                np.asarray(delegate_w, dtype=np.float64)[order2]
+                if delegate_w is not None
+                else None
+            )
             ds_, dd_ = ds_[order2], dd_[order2]
             keep2 = np.empty(ds_.size, dtype=bool)
             keep2[0] = True
             keep2[1:] = (ds_[1:] != ds_[:-1]) | (dd_[1:] != dd_[:-1])
+            if dw_ is not None:
+                dw_ = np.minimum.reduceat(dw_, np.flatnonzero(keep2))
             ds_, dd_ = ds_[keep2], dd_[keep2]
             self.del_vids, del_counts = np.unique(ds_, return_counts=True)
             self.del_indptr = np.zeros(self.del_vids.size + 1, dtype=np.int64)
             np.cumsum(del_counts, out=self.del_indptr[1:])
             self.del_adj = dd_
+            self.del_w = dw_
         else:
             self.del_vids = np.empty(0, dtype=np.int64)
             self.del_indptr = np.zeros(1, dtype=np.int64)
             self.del_adj = np.empty(0, dtype=np.int64)
+            self.del_w = np.empty(0, np.float64) if w is not None else None
         # (hub_vid, pushed_value) pairs buffered by push(); the actor drains
         # them into the per-superstep hub broadcast channel
         self.pending_hub: list[tuple[np.ndarray, np.ndarray]] = []
@@ -119,6 +137,8 @@ class PartitionGraph:
         "m_local": "_build_local_remote",
         "r_indptr": "_build_local_remote",
         "r_adj": "_build_local_remote",
+        "lin_w": "_build_local_remote",
+        "r_w": "_build_local_remote",
         "adj_uniq": "_build_full_index",
         "adj_uniq_bounds": "_build_full_index",
         "adj_idx": "_build_full_index",
@@ -160,6 +180,10 @@ class PartitionGraph:
             self.lin_starts = np.empty(0, dtype=np.int64)
             self.lin_dsts = np.empty(0, dtype=np.int64)
         self.m_local = int(ld_sorted.size)
+        if self.w is not None:
+            self.lin_w = self.w[local_mask][o2]  # aligned with lin_src
+        else:
+            self.lin_w = None
         r_mask = ~local_mask
         r_counts = (
             np.bincount(self.adj_src_local[r_mask], minlength=self.n)
@@ -170,6 +194,7 @@ class PartitionGraph:
         np.cumsum(r_counts, out=self.r_indptr[1:])
         # stable: within src, remote edges keep (src,dst) order
         self.r_adj = d[r_mask]
+        self.r_w = self.w[r_mask] if self.w is not None else None
 
     def _build_lin_by_src(self) -> None:
         """Reverse index over the local (dst-grouped) edge list: positions
@@ -251,6 +276,22 @@ class PartitionGraph:
         )
         return adj[offs], lens
 
+    @staticmethod
+    def _gather_slices2(indptr: np.ndarray, a1: np.ndarray, a2: np.ndarray, rows: np.ndarray):
+        """:meth:`_gather_slices` over TWO arrays aligned to the same edge
+        order (adjacency + per-edge weight), sharing one offsets pass."""
+        starts = indptr[rows]
+        lens = indptr[rows + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=a1.dtype), np.empty(0, dtype=a2.dtype), lens
+        if total == a1.size and bool(np.all(np.diff(rows) > 0)):
+            return a1, a2, lens
+        offs = np.repeat(starts, lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        return a1[offs], a2[offs], lens
+
     def push(
         self, rows: np.ndarray, values: np.ndarray, remote_only: bool = False
     ):
@@ -284,6 +325,7 @@ class PartitionGraph:
         values: np.ndarray,
         op: str = "sum",
         remote_only: bool = False,
+        edge_weights: bool = False,
     ):
         """Like :meth:`push`, but returns per-owner payloads already combined
         per destination vid — ``(routed, edges_traversed)`` where ``routed``
@@ -306,10 +348,22 @@ class PartitionGraph:
         indptr = self.r_indptr if remote_only else self.indptr
         idx_arr = self.r_idx if remote_only else self.adj_idx
         bounds = self.r_uniq_bounds if remote_only else self.adj_uniq_bounds
-        idx, lens = self._gather_slices(indptr, idx_arr, rows)
-        if idx.size == 0:
-            return out, 0
-        vals = np.repeat(values, lens)
+        if edge_weights:
+            # per-EDGE message value: value(src) + w(src, dst) — weighted
+            # relaxation pushes. Hub values were buffered RAW above; the
+            # delegate owner adds its slice's weights (delegate_expand).
+            w_arr = self.r_w if remote_only else self.w
+            if w_arr is None:
+                raise ValueError("edge_weights=True on an unweighted graph layout")
+            idx, wsl, lens = self._gather_slices2(indptr, idx_arr, w_arr, rows)
+            if idx.size == 0:
+                return out, 0
+            vals = np.repeat(values, lens) + wsl
+        else:
+            idx, lens = self._gather_slices(indptr, idx_arr, rows)
+            if idx.size == 0:
+                return out, 0
+            vals = np.repeat(values, lens)
         m = int(bounds[-1])
         # Touched slots are read off the accumulator itself (non-identity
         # values) instead of a second counting bincount over all E rows. A
@@ -373,9 +427,14 @@ class PartitionGraph:
         bounds = self.r_uniq_bounds if remote_only else self.adj_uniq_bounds
         return uniq[int(bounds[q]) : int(bounds[q + 1])]
 
-    def delegate_expand(self, hub_vids: np.ndarray, values: np.ndarray):
+    def delegate_expand(
+        self, hub_vids: np.ndarray, values: np.ndarray, add_edge_weights: bool = False
+    ):
         """Replicate broadcast (hub, value) pairs along this partition's
-        delegate slices → (dst_vids, vals); dsts are all owned locally."""
+        delegate slices → (dst_vids, vals); dsts are all owned locally.
+        ``add_edge_weights``: hub broadcasts carry the RAW source value
+        (weights live with the delegate slice, not the sender) — add this
+        partition's per-delegate-edge weight after replication."""
         idx = np.searchsorted(self.del_vids, hub_vids)
         if self.del_vids.size == 0:
             return np.empty(0, np.int64), np.empty(0, values.dtype if values.size else np.float64)
@@ -383,8 +442,14 @@ class PartitionGraph:
             self.del_vids[np.minimum(idx, self.del_vids.size - 1)] == hub_vids
         )
         rows = idx[ok]
-        dsts, lens = self._gather_slices(self.del_indptr, self.del_adj, rows)
-        vals = np.repeat(values[ok], lens)
+        if add_edge_weights:
+            if self.del_w is None:
+                raise ValueError("add_edge_weights=True on an unweighted graph layout")
+            dsts, wsl, lens = self._gather_slices2(self.del_indptr, self.del_adj, self.del_w, rows)
+            vals = np.repeat(values[ok], lens) + wsl
+        else:
+            dsts, lens = self._gather_slices(self.del_indptr, self.del_adj, rows)
+            vals = np.repeat(values[ok], lens)
         return dsts, vals
 
     def drain_pending_hub(self):

@@ -140,6 +140,7 @@ def run_vertex_program(
         "work_dir": manifest.work_dir,
         "content_token": manifest.content_token,
         "ownership": getattr(manifest, "ownership", None),
+        "weighted": bool(getattr(manifest, "weighted", False)),
     }
     actors = [
         GraphPartitionActor.options(num_cpus=actor_cpus).remote(

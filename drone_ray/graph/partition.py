@@ -55,6 +55,9 @@ class GraphManifest:
     # vertex-ownership function (Ownership.to_dict()): None/absent = page
     # hash; mode "host" co-locates same-site pages (see hashing.Ownership)
     ownership: dict | None = None
+    # edge rows carry a float64 "w" column (weighted SSSP); an extension —
+    # the reference forces weight 1.0 at load (src/graph/graph.go:357-362)
+    weighted: bool = False
 
     def save(self) -> None:
         tmp = os.path.join(self.work_dir, MANIFEST_NAME + ".tmp")
@@ -102,7 +105,12 @@ def _spill_vid_candidates(
 
 
 def _tag_edges_dual(
-    batch: pa.Table, P: int, vertices_dir: str, hub_ref=None, own: Ownership | None = None
+    batch: pa.Table,
+    P: int,
+    vertices_dir: str,
+    hub_ref=None,
+    own: Ownership | None = None,
+    wcol: str | None = None,
 ) -> pa.Table:
     """Dual layout: each input edge (s, d) emits (s, d, dir=0)@owner(s) and
     (d, s, dir=1)@owner(d). Hub rows (u in hubs) route by owner(v) and are
@@ -127,19 +135,26 @@ def _tag_edges_dual(
         hub_vids = ray.get(hub_ref)
         delegate = np.isin(u, hub_vids)
         part = np.where(delegate, own.of(v, P), part).astype(np.int32)
-    return pa.table(
-        {
-            "src": pa.array(u, pa.int64()),
-            "dst": pa.array(v, pa.int64()),
-            "dir": pa.array(dirc, pa.int8()),
-            "delegate": pa.array(delegate),
-            "part": pa.array(part, pa.int32()),
-        }
-    )
+    cols = {
+        "src": pa.array(u, pa.int64()),
+        "dst": pa.array(v, pa.int64()),
+        "dir": pa.array(dirc, pa.int8()),
+        "delegate": pa.array(delegate),
+        "part": pa.array(part, pa.int32()),
+    }
+    if wcol is not None:
+        w = batch[wcol].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols["w"] = pa.array(np.concatenate([w, w]), pa.float64())
+    return pa.table(cols)
 
 
 def _tag_edges_spill_vids(
-    batch: pa.Table, P: int, vertices_dir: str, hub_ref=None, own: Ownership | None = None
+    batch: pa.Table,
+    P: int,
+    vertices_dir: str,
+    hub_ref=None,
+    own: Ownership | None = None,
+    wcol: str | None = None,
 ) -> pa.Table:
     """Tag each edge with its owner partition AND side-write this batch's
     distinct vid candidates into per-partition files. The side output makes
@@ -161,14 +176,15 @@ def _tag_edges_spill_vids(
         part = np.where(delegate, own.of(dst, P), part).astype(np.int32)
 
     _spill_vid_candidates(src, dst, P, vertices_dir, own)
-    return pa.table(
-        {
-            "src": batch["src"],
-            "dst": batch["dst"],
-            "delegate": pa.array(delegate),
-            "part": pa.array(part, pa.int32()),
-        }
-    )
+    cols = {
+        "src": batch["src"],
+        "dst": batch["dst"],
+        "delegate": pa.array(delegate),
+        "part": pa.array(part, pa.int32()),
+    }
+    if wcol is not None:
+        cols["w"] = batch[wcol].cast(pa.float64())
+    return pa.table(cols)
 
 
 def build_graph(
@@ -180,6 +196,7 @@ def build_graph(
     hub_threshold: int | None = None,
     dual: bool = False,
     ownership: Ownership | None = None,
+    weight_col: str | None = None,
 ) -> GraphManifest:
     """Partition an edge Dataset (src:int64, dst:int64) for the superstep engine.
 
@@ -207,6 +224,12 @@ def build_graph(
     e = edges
     if dual and symmetrize:
         raise ValueError("dual layout already serves the symmetrized view")
+    if weight_col is not None and symmetrize:
+        raise NotImplementedError(
+            "weighted + explicit symmetrize not supported; use the dual "
+            "layout (rev rows carry the same weight) or pre-symmetrize with "
+            "the weight column attached"
+        )
     if symmetrize:
         from drone_ray.stages.edges import symmetrize as _sym
 
@@ -307,7 +330,7 @@ def build_graph(
     own = ownership or Ownership()
     tag = _tag_edges_dual if dual else _tag_edges_spill_vids
     e.map_batches(
-        lambda b: tag(b, num_partitions, vertices_dir, hub_ref, own),
+        lambda b: tag(b, num_partitions, vertices_dir, hub_ref, own, weight_col),
         batch_format="pyarrow",
     ).write_parquet(edges_dir, partition_cols=["part"])
 
@@ -323,6 +346,7 @@ def build_graph(
         hubs_path=hubs_path,
         dual=dual,
         ownership=own.to_dict() if own.mode != "page" else None,
+        weighted=weight_col is not None,
     )
     manifest.save()
     return manifest

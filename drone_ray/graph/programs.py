@@ -160,7 +160,11 @@ class PageRank(VertexProgram):
 
 # ---------------------------------------------------------------------------
 def _local_min_fixpoint(
-    g: PartitionGraph, vals: np.ndarray, add: float = 0.0, seeds: np.ndarray | None = None
+    g: PartitionGraph,
+    vals: np.ndarray,
+    add: float = 0.0,
+    seeds: np.ndarray | None = None,
+    edge_w: np.ndarray | None = None,
 ) -> int:
     """In-partition min-propagation to local fixpoint (the subgraph-centric
     speedup vs one-hop-per-superstep, /root/reference/src/algorithm/CC.go:28-45).
@@ -172,7 +176,13 @@ def _local_min_fixpoint(
     a vertex that changed in the previous round, so long-diameter graphs
     cost O(edges touched) instead of O(rounds × local edges). Min-propagation
     is monotone, so chaotic (frontier-ordered) iteration reaches the same
-    fixpoint as repeated full passes."""
+    fixpoint as repeated full passes.
+
+    ``edge_w``: per-edge additive weight aligned with ``g.lin_w``'s layout
+    (dst-grouped local edges) — weighted relaxation (asynchronous
+    Bellman-Ford over the local subgraph; nonnegative weights keep the
+    chaotic iteration terminating at the same fixpoint). Mutually exclusive
+    with scalar ``add``."""
     if g.lin_starts.size == 0:
         return 0
     # `+ add` must not promote int64 labels to float64: above 2^53 (any
@@ -185,7 +195,7 @@ def _local_min_fixpoint(
         _add = lambda x: x + add  # noqa: E731
     scanned = 0
     if seeds is None:
-        srcv = _add(vals[g.lin_src])
+        srcv = vals[g.lin_src] + edge_w if edge_w is not None else _add(vals[g.lin_src])
         mins = np.minimum.reduceat(srcv, g.lin_starts)
         scanned += g.m_local
         upd = mins < vals[g.lin_dsts]
@@ -199,8 +209,12 @@ def _local_min_fixpoint(
         if pos.size == 0:
             break
         grp = np.unique(np.searchsorted(g.lin_starts, pos, side="right") - 1)
-        gsrc, glens = g._gather_slices(g.lin_indptr, g.lin_src, grp)
-        gsrcv = _add(vals[gsrc])
+        if edge_w is not None:
+            gsrc, gw, glens = g._gather_slices2(g.lin_indptr, g.lin_src, edge_w, grp)
+            gsrcv = vals[gsrc] + gw
+        else:
+            gsrc, glens = g._gather_slices(g.lin_indptr, g.lin_src, grp)
+            gsrcv = _add(vals[gsrc])
         new_starts = np.concatenate(([0], np.cumsum(glens)[:-1]))
         mins = np.minimum.reduceat(gsrcv, new_starts)
         scanned += int(gsrcv.size)
@@ -468,6 +482,62 @@ class SSSP(VertexProgram):
                 "dist": pa.array(st["dist"][ok], pa.float64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+class WeightedSSSP(SSSP):
+    """SSSP over a weighted graph layout (``build_graph(weight_col=...)``):
+    distributed asynchronous Bellman-Ford — local weighted relax-to-fixpoint
+    per superstep, min-combine on boundaries with the edge weight added
+    per-EDGE at the sender (``push_combined(edge_weights=True)``), and hub
+    broadcasts carrying the raw source distance (each delegate partition
+    adds its slice's weights — ``hub_edge_weights``).
+
+    Extension beyond the reference, which forces every weight to 1.0 at load
+    (/root/reference/src/graph/graph.go:357-362) and then runs Dijkstra
+    locally (/root/reference/src/algorithm/SSSP.go:21-44); the frontier-
+    sliced monotone relaxation reaches the identical fixpoint for
+    nonnegative weights and vectorizes, where a heap cannot. Duplicate
+    (src, dst) edges keep their MINIMUM weight (csr.PartitionGraph dedup).
+    """
+
+    hub_edge_weights = True
+
+    def _boundary(self, g, st, rows):
+        rdeg = g.r_indptr[rows + 1] - g.r_indptr[rows]
+        rows = rows[(rdeg > 0) | g.owned_is_hub[rows]]
+        # raw dist per source row; push_combined adds w(src,dst) per edge
+        return g.push_combined(
+            rows, st["dist"][rows], op="min", remote_only=True, edge_weights=True
+        )
+
+    def peval(self, g, st):
+        if g.m and g.lin_w is None:
+            raise ValueError(
+                "WeightedSSSP needs a weighted layout — build_graph(weight_col=...)"
+            )
+        idx = np.searchsorted(g.owned, self.source)
+        if idx >= g.n or g.owned[idx] != self.source:
+            return None, {"edges": 0}
+        st["dist"][idx] = 0.0
+        scanned = _local_min_fixpoint(g, st["dist"], edge_w=g.lin_w)
+        changed = np.flatnonzero(np.isfinite(st["dist"]))
+        msgs, sent = self._boundary(g, st, changed)
+        return msgs, {"edges": scanned + sent}
+
+    def inceval(self, g, st, inbound):
+        if inbound is None:
+            return None, {"edges": 0}
+        l = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
+        smaller = inbound["val"] < st["dist"][l]
+        if not smaller.any():
+            return None, {"edges": 0}
+        before = st["dist"].copy()
+        np.minimum.at(st["dist"], l[smaller], inbound["val"][smaller])
+        scanned = _local_min_fixpoint(g, st["dist"], seeds=l[smaller], edge_w=g.lin_w)
+        changed = np.flatnonzero(st["dist"] < before)
+        msgs, sent = self._boundary(g, st, changed)
+        return msgs, {"edges": scanned + sent, "n_changed": int(changed.size)}
 
 
 # ---------------------------------------------------------------------------

@@ -235,3 +235,33 @@ def kcore_oracle(src: np.ndarray, dst: np.ndarray, k: int):
         s2, d2 = s2[~removed], d2[~removed]
     m = np.flatnonzero(alive)
     return vids[m], deg[m]
+
+
+def dijkstra_oracle(src: np.ndarray, dst: np.ndarray, w: np.ndarray, source: int):
+    """Dense Dijkstra with min-weight dedup of duplicate (src, dst) edges
+    (matches csr.PartitionGraph's weighted dedup). Returns dict
+    vid -> dist for reachable vertices only. Pure-python heap — pytest
+    oracle, never a pipeline."""
+    import heapq
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    best_edge: dict[tuple[int, int], float] = {}
+    for a, b, ww in zip(
+        np.asarray(src).tolist(), np.asarray(dst).tolist(), np.asarray(w, np.float64).tolist()
+    ):
+        key = (int(a), int(b))
+        if key not in best_edge or ww < best_edge[key]:
+            best_edge[key] = ww
+    for (a, b), ww in best_edge.items():
+        adj.setdefault(a, []).append((b, ww))
+    dist: dict[int, float] = {}
+    heap = [(0.0, int(source))]
+    while heap:
+        du, u = heapq.heappop(heap)
+        if u in dist:
+            continue
+        dist[u] = du
+        for v, ww in adj.get(u, ()):
+            if v not in dist:
+                heapq.heappush(heap, (du + ww, v))
+    return dist

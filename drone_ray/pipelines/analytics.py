@@ -26,6 +26,7 @@ from drone_ray.graph.programs import (
     KCore,
     LabelPropagation,
     PageRank,
+    WeightedSSSP,
 )
 
 _CACHE_ROOT = os.environ.get("DRONE_RAY_CACHE", "/tmp/drone_ray/graphs")
@@ -59,6 +60,7 @@ def graph_for(
     hub_threshold: int | None = None,
     dual: bool = True,
     ownership=None,
+    weight_col: str | None = None,
 ) -> GraphManifest:
     """Build the partitioned layout once per (cache_key, P, layout, hub,
     ownership).
@@ -74,7 +76,7 @@ def graph_for(
     own_tok = ownership.token() if ownership is not None else "page"
     token = hashlib.blake2b(
         f"v{_LAYOUT_VERSION}|{cache_key}|P={num_partitions}|{layout}|hub={hub_threshold}"
-        f"|own={own_tok}".encode(),
+        f"|own={own_tok}|w={weight_col}".encode(),
         digest_size=8,
     ).hexdigest()
     work_dir = os.path.join(_CACHE_ROOT, token)
@@ -89,6 +91,7 @@ def graph_for(
         hub_threshold=hub_threshold,
         dual=dual,
         ownership=ownership,
+        weight_col=weight_col,
     )
 
 
@@ -311,6 +314,32 @@ def sssp(
     m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
                   ownership=ownership)
     return _run(m, SSSP, {"source": source}, direction=direction, **harness_kwargs)
+
+
+def sssp_weighted(
+    edges_factory,
+    cache_key: str,
+    source: int,
+    num_partitions: int = 8,
+    hub_threshold: int | None = None,
+    ownership=None,
+    direction: str = "fwd",
+    weight_col: str = "w",
+    **harness_kwargs,
+) -> ProgramResult:
+    """Weighted single-source shortest paths (distributed asynchronous
+    Bellman-Ford; programs.WeightedSSSP). ``edges_factory`` must yield a
+    (src, dst, <weight_col>) Dataset; duplicate (src, dst) rows keep the
+    minimum weight. Nonnegative weights required."""
+    m = graph_for(
+        edges_factory,
+        cache_key,
+        num_partitions,
+        hub_threshold=hub_threshold,
+        ownership=ownership,
+        weight_col=weight_col,
+    )
+    return _run(m, WeightedSSSP, {"source": source}, direction=direction, **harness_kwargs)
 
 
 def pseudo_diameter(

@@ -549,6 +549,60 @@ def q_sssp(sf_dir: str):
     ).to_table()
 
 
+# Bound on the weighted-SSSP oracle's walk recursion (and a hard assert on
+# the engine result): every true shortest distance at the gate sfs is far
+# below this (weights 1..7, hop diameter ~6); the CTE uses it only to stop
+# cycle walks, exactly like _SSSP_SQL's hop cap M.
+SSSP_W_CAP = 255
+
+
+def _derive_edges_w_batch(b: pa.Table) -> pa.Table:
+    """(src, dst, w) with w = (l_orderkey + l_partkey) % 7 + 1 — raw rows;
+    duplicate (src, dst) pairs keep MIN(w) downstream (engine CSR dedup ==
+    oracle GROUP BY min)."""
+    ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+    pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+    s = ok % M
+    d = pk % M
+    keep = s != d
+    w = ((ok + pk) % 7 + 1).astype(np.float64)
+    return pa.table(
+        {
+            "src": pa.array(s[keep], pa.int64()),
+            "dst": pa.array(d[keep], pa.int64()),
+            "w": pa.array(w[keep], pa.float64()),
+        }
+    )
+
+
+def _raw_edges_w(sf_dir: str) -> Dataset:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return li.map_batches(_derive_edges_w_batch, batch_format="pyarrow", batch_size=None)
+
+
+def q_sssp_weighted(sf_dir: str):
+    """Weighted shortest paths (distributed asynchronous Bellman-Ford,
+    programs.WeightedSSSP) from the smallest source vid. Integer-valued
+    float64 weights ⇒ every distance is an exact integer sum; hash-compare
+    with the CTE oracle is float-safe without rounding."""
+    from drone_ray.pipelines.analytics import sssp_weighted
+
+    source = int(_raw_edges(sf_dir).min("src"))
+    t = sssp_weighted(
+        lambda: _raw_edges_w(sf_dir),
+        _graph_key(sf_dir) + ":w7",
+        source,
+        GRAPH_PARTITIONS,
+    ).to_table()
+    dists = t["dist"].to_numpy()
+    if dists.size and float(dists.max()) >= SSSP_W_CAP:
+        # the oracle's recursion cap would silently truncate — fail loudly
+        raise AssertionError(
+            f"weighted SSSP dist {dists.max()} >= SSSP_W_CAP {SSSP_W_CAP}; raise the cap"
+        )
+    return t
+
+
 def q_graph_simulation(sf_dir: str):
     """Graph pattern simulation (reference Sim parity) on the lineitem link
     graph; chain-with-branch pattern over attrs = vid % 100. Output:
@@ -1400,6 +1454,27 @@ bfs(vid, dist) AS (
 SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM bfs GROUP BY vid
 """
 
+# Weighted SSSP: same UNION-dedup walk as _SSSP_SQL, but each step adds the
+# edge's weight; duplicate (src,dst) pairs collapse to MIN(w) first (the
+# engine CSR's weighted dedup). All weights are positive INTEGERS, so the
+# (vid, dist) state space the UNION dedups over is finite and the recursion
+# terminates; SSSP_W_CAP only stops cycle walks (the Ray side asserts every
+# true distance is below it).
+_SSSP_W_SQL = f"""
+WITH RECURSIVE
+e0 AS (SELECT l_orderkey % {M} AS src, l_partkey % {M} AS dst,
+       CAST((l_orderkey + l_partkey) % 7 + 1 AS BIGINT) AS w
+       FROM lineitem WHERE (l_orderkey % {M}) <> (l_partkey % {M})),
+e AS (SELECT src, dst, min(w) AS w FROM e0 GROUP BY src, dst),
+walk(vid, dist) AS (
+  SELECT (SELECT min(src) FROM e) AS vid, CAST(0 AS BIGINT) AS dist
+  UNION
+  SELECT e.dst, wk.dist + e.w FROM walk wk JOIN e ON e.src = wk.vid
+  WHERE wk.dist + e.w < {SSSP_W_CAP}
+)
+SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM walk GROUP BY vid
+"""
+
 # LPA: 10 synchronous rounds over symmetrized edges; per round each vertex
 # takes its neighbors' most frequent label, ties to the lowest label —
 # exactly drone_ray.graph.programs.LabelPropagation (if the engine stops
@@ -1871,6 +1946,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "wcc_star": (q_wcc_star, _WCC_SQL),
     "lpa": (q_lpa, _LPA_SQL),
     "sssp": (q_sssp, _SSSP_SQL),
+    "sssp_weighted": (q_sssp_weighted, _SSSP_W_SQL),
     # greatest-fixpoint removal cascade — not monotone, not CTE-expressible;
     # pytest brute-force oracle instead (tests/test_simulation.py)
     "graph_simulation": (q_graph_simulation, None),
@@ -1996,9 +2072,9 @@ _ORDER = [
     # tier 1 — stale in r3, oracle-backed
     "ann_topk", "embedding_near_dup", "sessions", "sliding_counts",
     "asof_prior_click", "events_hourly", "lineitem_agg", "customer_orders",
-    # tier 2 — touched in round 4
-    "wcc_star", "pseudo_diameter", "modularity", "sssp", "extract_pages",
-    "dedup_clusters",
+    # tier 2 — touched or added in round 4
+    "sssp_weighted", "wcc_star", "pseudo_diameter", "modularity", "sssp",
+    "extract_pages", "dedup_clusters",
     # tier 3 — remaining oracle-backed
     "edges", "edge_sample", "out_degrees", "degree_topk",
     "triangle_total", "triangles_per_vertex", "degree_distribution",
