@@ -68,52 +68,77 @@ _ENTITIES = (
 )
 
 
-def normalize_segment(raw: str) -> str:
-    """Strip inner tags, unescape entities, collapse whitespace."""
-    s = _TAG_RE.sub(" ", raw)
+def _unescape(s: str, entities: str) -> str:
+    """``entities="basic"``: the five standard entities — the extraction
+    contract the driver's byte-hash oracle pins (default; do not change).
+    ``entities="full"``: the whole HTML5 set — named (&eacute; &nbsp; …),
+    decimal (&#233;) and hex (&#x1F4A9;) character references via stdlib
+    ``html.unescape`` — what real Common-Crawl pages need. Opt-in so the
+    byte contract stays intact."""
+    if entities == "full":
+        import html as _html
+
+        return _html.unescape(s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
+    return s
+
+
+def normalize_segment(raw: str, entities: str = "basic") -> str:
+    """Strip inner tags, unescape entities, collapse whitespace."""
+    s = _TAG_RE.sub(" ", raw)
+    s = _unescape(s, entities)
     return _WS_RE.sub(" ", s).strip()
 
 
-def extract_text(html: str) -> str:
+def extract_text(html: str, entities: str = "basic") -> str:
     """Pure per-row text extraction following the module contract."""
     html = preclean(html)
     segments = []
     m = _TITLE_RE.search(html)
     if m:
-        segments.append(normalize_segment(m.group(1)))
+        segments.append(normalize_segment(m.group(1), entities))
     for pm in _P_RE.finditer(html):
-        segments.append(normalize_segment(pm.group(1)))
+        segments.append(normalize_segment(pm.group(1), entities))
     return "\n".join(s for s in segments if s)
 
 
-def extract_links(html: str) -> list[str]:
+def extract_links(html: str, decode_href: bool = False) -> list[str]:
     """All raw href values of anchors, document order, dups preserved.
     Two-stage: isolate each <a ...> tag (attribute-aware, so '>' inside a
-    quoted class value can't truncate the scan), then find its href."""
+    quoted class value can't truncate the scan), then find its href.
+
+    ``decode_href``: entity-decode attribute values (HTML spec behavior —
+    real-web hrefs carry ``&amp;`` in query strings). Opt-in: the byte
+    contract's links (and the edge hashes derived from them) use the raw
+    attribute bytes."""
     out: list[str] = []
     for m in _A_TAG_RE.finditer(preclean(html)):
         h = _HREF_IN_RE.search(m.group(1))
         if h:
-            out.append(h.group(1) or h.group(2) or h.group(3) or "")
+            v = h.group(1) or h.group(2) or h.group(3) or ""
+            out.append(_unescape(v, "full") if decode_href else v)
     return out
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(
+    batch: pa.Table, entities: str = "basic", decode_href: bool = False
+) -> pa.Table:
     """map_batches body: pages(url, html, ...) → (url, text, links).
 
     ``links`` is a list<string> column of raw hrefs; downstream M9 resolves
     and hashes them. Row-independent ⇒ byte-identical output at any batch
-    size / parallelism (driver invariant).
+    size / parallelism (driver invariant). ``entities``/``decode_href``
+    extend decoding for real-web corpora (see _unescape / extract_links);
+    the defaults ARE the byte contract.
     """
     htmls = batch["html"].to_pylist()
     texts: list[str] = []
     links: list[list[str]] = []
     for raw in htmls:
         html = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
-        texts.append(extract_text(html))
-        links.append(extract_links(html))
+        texts.append(extract_text(html, entities))
+        links.append(extract_links(html, decode_href))
     return pa.table(
         {
             "url": batch["url"],

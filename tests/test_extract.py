@@ -142,3 +142,49 @@ def test_fixture_bytes_unchanged_by_hardening():
     t = pages_table(500, seed=43)
     got = extract_batch(t)["text"].to_pylist()
     assert got == t["text"].to_pylist()
+
+
+def test_full_entity_decoding_opt_in():
+    """entities="full" decodes named/decimal/hex references; the default
+    ("basic") leaves them — the byte contract's five entities only."""
+    html = (
+        "<title>Caf&eacute; &#233;t&#xE9;</title>"
+        "<p>A &amp;amp; B &#38; C &nbsp;D &#x1F40D;</p>"
+        "<p>keep &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>"
+    )
+    # default: only the five standard entities decode; &eacute;/&#233;/... stay raw
+    assert extract_text(html) == (
+        "Caf&eacute; &#233;t&#xE9;\nA &amp; B &#38; C &nbsp;D &#x1F40D;"
+        "\nkeep <tag> \"q\" 's'"
+    )
+    # full: HTML5 semantics (single-pass: &amp;amp; -> &amp;)
+    assert extract_text(html, entities="full") == (
+        "Café été\nA &amp; B & C D \U0001F40D"
+        "\nkeep <tag> \"q\" 's'"
+    )
+
+
+def test_href_entity_decoding_opt_in():
+    html = (
+        '<a href="https://x.example/?a=1&amp;b=2">x</a>'
+        "<a href='https://y.example/p&#47;q'>y</a>"
+        "<a href=https://z.example/r&amp;s>z</a>"
+    )
+    # default: raw attribute bytes (edge hashes derive from these)
+    assert extract_links(html) == [
+        "https://x.example/?a=1&amp;b=2",
+        "https://y.example/p&#47;q",
+        "https://z.example/r&amp;s",
+    ]
+    assert extract_links(html, decode_href=True) == [
+        "https://x.example/?a=1&b=2",
+        "https://y.example/p/q",
+        "https://z.example/r&s",
+    ]
+
+
+def test_full_entities_whitespace_collapse_after_decode():
+    # &nbsp; decodes to U+00A0 which \s+ matches in python re — decoded
+    # whitespace entities participate in the collapse, ends stripped
+    html = "<p>&nbsp; a &nbsp;&nbsp; b &nbsp;</p>"
+    assert extract_text(html, entities="full") == "a b"
