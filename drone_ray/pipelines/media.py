@@ -1,16 +1,26 @@
 """Multimodal columns: opaque binary payloads + typed metadata, processed by
 actor-pool map_batches stages.
 
-The decode step is STUBBED — image/audio libraries are not available in this
-container — but the Ray-side plumbing is real and tested: binary column in,
-actor pool with per-actor init, small batch sizes for wide rows, typed
-feature columns out. ``real=True`` raises NotImplementedError at the exact
-point a PIL/ffmpeg call would go.
+Three decode tiers, all behind one stage class:
+
+* ``real=False`` (default) — deterministic fake decoder (content-hash
+  projection): exercises the full Ray plumbing with zero dependencies.
+* ``real=True`` with Pillow installed — actual pixel decode (import is
+  guarded and attempted ONCE per actor in ``__init__``): grayscale
+  thumbnail features + intrinsic dimensions.
+* ``real=True`` without Pillow — NotImplementedError at the exact point
+  the PIL call would go (the honest stub this container requires).
+
+Independent of all three, :func:`media_dims` parses intrinsic width/height
+straight out of PNG/GIF/BMP/JPEG headers in pure stdlib python — real
+metadata decode with no imaging library at all — and
+:func:`media_metadata` exposes it as a stateless map_batches stage.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -18,26 +28,87 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+def media_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) parsed from the container header — public
+    file-format magic only (PNG IHDR, GIF logical screen descriptor, BMP
+    info header, JPEG SOFn frame marker). None for unknown/truncated
+    payloads. Pure stdlib: works in environments with no imaging library,
+    which is what a metadata-profiling pass over 100 TB of crawl media
+    wants anyway (headers only — never decode pixels to count them)."""
+    p = payload or b""
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24 and p[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", p[16:24])
+        return ("png", int(w), int(h))
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        w, h = struct.unpack("<HH", p[6:10])
+        return ("gif", int(w), int(h))
+    if p[:2] == b"BM" and len(p) >= 26:
+        w, h = struct.unpack("<ii", p[18:26])
+        return ("bmp", int(w), abs(int(h)))  # h < 0 = top-down DIB
+    if p[:2] == b"\xff\xd8":  # JPEG: scan segments for a frame header
+        i = 2
+        while i + 9 <= len(p):
+            if p[i] != 0xFF:
+                return None  # marker desync — corrupt
+            marker = p[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", p[i + 2 : i + 4])[0]
+            # SOF0-15 except DHT/JPG/DAC (C4, C8, CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(p):
+                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                    return ("jpeg", int(w), int(h))
+                return None
+            i += 2 + seglen
+    return None
+
+
 class MediaDecodeStub:
     """Callable-class stage (one instance per actor). ``__init__`` does the
-    once-per-actor setup (the place a real model/codec would load);
-    ``__call__`` processes one Arrow batch."""
+    once-per-actor setup — including the guarded Pillow import, so the
+    try/except runs once per actor, never per batch; ``__call__`` processes
+    one Arrow batch."""
 
     def __init__(self, feature_dim: int = 16, real: bool = False):
         self.feature_dim = feature_dim
         self.real = real
         # deterministic fake "decoder": a fixed projection seeded once
         self.proj = np.random.default_rng(42).standard_normal((32, feature_dim))
+        self._pil = None
+        if real:
+            try:
+                from PIL import Image as _Image  # guarded: not in this container
+
+                self._pil = _Image
+            except ImportError:
+                self._pil = None
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if self.real:
-            raise NotImplementedError(
-                "real media decode requires an image/audio library not present "
-                "in this environment; wire PIL/ffmpeg here"
-            )
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real media decode requires Pillow, which is not present "
+                    "in this environment; install PIL or use real=False"
+                )
+            return self._decode_pil(payload)[0]
         digest = hashlib.blake2b(payload, digest_size=32).digest()
         raw = np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
         return raw @ self.proj
+
+    def _decode_pil(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        """Actual pixel decode: grayscale thumbnail resampled to
+        ``feature_dim`` cells, scaled to [0, 1] — (feature, width, height)."""
+        import io
+
+        img = self._pil.open(io.BytesIO(payload))
+        w, h = img.size
+        side = int(np.sqrt(self.feature_dim))
+        shape = (side, side) if side * side == self.feature_dim else (self.feature_dim, 1)
+        small = img.convert("L").resize(shape)
+        feat = np.asarray(small, dtype=np.float64).reshape(-1) / 255.0
+        return feat[: self.feature_dim], int(w), int(h)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["media"].to_pylist()
@@ -49,11 +120,14 @@ class MediaDecodeStub:
         for i, p in enumerate(payloads):
             p = p or b""
             sizes[i] = len(p)
-            feats[i] = self._decode(p)
-            # fake intrinsic dims derived deterministically from content
-            h = hashlib.blake2b(p, digest_size=4).digest()
-            widths[i] = 64 + h[0] % 192
-            heights[i] = 64 + h[1] % 192
+            if self.real and self._pil is not None:
+                feats[i], widths[i], heights[i] = self._decode_pil(p)
+            else:
+                feats[i] = self._decode(p)
+                # fake intrinsic dims derived deterministically from content
+                h = hashlib.blake2b(p, digest_size=4).digest()
+                widths[i] = 64 + h[0] % 192
+                heights[i] = 64 + h[1] % 192
         cols = {name: batch[name] for name in batch.column_names if name != "media"}
         cols["n_bytes"] = pa.array(sizes, pa.int64())
         cols["width"] = pa.array(widths, pa.int32())
@@ -81,3 +155,36 @@ def media_features(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+def _metadata_batch(batch: pa.Table) -> pa.Table:
+    payloads = batch["media"].to_pylist()
+    fmts: list[str | None] = []
+    ws, hs, sizes = [], [], []
+    for p in payloads:
+        p = p or b""
+        sizes.append(len(p))
+        d = media_dims(p)
+        if d is None:
+            fmts.append(None)
+            ws.append(None)
+            hs.append(None)
+        else:
+            fmts.append(d[0])
+            ws.append(d[1])
+            hs.append(d[2])
+    cols = {name: batch[name] for name in batch.column_names if name != "media"}
+    cols["n_bytes"] = pa.array(sizes, pa.int64())
+    cols["format"] = pa.array(fmts, pa.string())
+    cols["width"] = pa.array(ws, pa.int32())
+    cols["height"] = pa.array(hs, pa.int32())
+    return pa.table(cols)
+
+
+def media_metadata(ds: Dataset, *, batch_size: int = 256) -> Dataset:
+    """Header-only media profiling over a (id, media: binary) dataset:
+    (format, width, height, n_bytes) per row, NULLs for unrecognized
+    payloads. Stateless map_batches — no actor pool needed (no model, no
+    codec): pure header parsing at memory-bandwidth speed, the right
+    first pass over petabyte media corpora before any pixel decode."""
+    return ds.map_batches(_metadata_batch, batch_format="pyarrow", batch_size=batch_size)
