@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Cluster mode (docs/RUNBOOK.md): when set (e.g. "auto"), connect to an
+# EXISTING Ray cluster instead of starting a local one — the bench then runs
+# unchanged as a `ray job submit` entrypoint; the cluster, not this process,
+# owns CPU budgets, so affinity pinning and num_cpus are skipped.
+CLUSTER_ADDRESS = os.environ.get("RAY_GRAFT_ADDRESS")
 
 
 def _pin_cpus(n: int) -> None:
@@ -50,14 +55,17 @@ def _sf(sf_dir: str) -> float:
 def run_bench() -> dict:
     import ray
 
-    _pin_cpus(NUM_CPUS)
-    ray.init(
-        address="local",
-        num_cpus=NUM_CPUS,
-        include_dashboard=False,
-        ignore_reinit_error=True,
-        logging_level="ERROR",
-    )
+    if CLUSTER_ADDRESS:
+        ray.init(address=CLUSTER_ADDRESS, ignore_reinit_error=True, logging_level="ERROR")
+    else:
+        _pin_cpus(NUM_CPUS)
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
     import ray.data as rd
     from ray.data import DataContext
 
@@ -75,6 +83,10 @@ def run_bench() -> dict:
     from drone_ray.stages.edges import dedup_edges
     from drone_ray.stages.extract import extract_batch
 
+    # in cluster mode the cluster's CPU count drives partition/block sizing
+    ncpus = (
+        int(ray.cluster_resources().get("CPU", NUM_CPUS)) if CLUSTER_ADDRESS else NUM_CPUS
+    )
     sf = _sf(SF_DIR)
     n_pages = max(2000, int(sf * 600_000))
     pages_dir = write_pages(f"/tmp/drone_ray/bench_pages_{n_pages}", n_pages, seed=42, use_ray=True)
@@ -84,15 +96,15 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     # the pages graph is small (~260k edges): fewer partitions keep the
     # per-superstep object/barrier overhead low; big graphs use cpus//2
-    P = max(4, min(8, NUM_CPUS // 4))
-    edges_out = f"/tmp/drone_ray/bench_edges_{n_pages}_{NUM_CPUS}"
+    P = max(4, min(8, ncpus // 4))
+    edges_out = f"/tmp/drone_ray/bench_edges_{n_pages}_{ncpus}"
     import shutil
 
     shutil.rmtree(edges_out, ignore_errors=True)
 
     t0 = time.perf_counter()
     pages = rd.read_parquet(
-        pages_dir, columns=["url", "html"], override_num_blocks=max(64, NUM_CPUS * 4)
+        pages_dir, columns=["url", "html"], override_num_blocks=max(64, ncpus * 4)
     )
     links = pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
         links_to_edges_batch, batch_format="pyarrow"
@@ -151,7 +163,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
-        "num_cpus": NUM_CPUS,
+        "num_cpus": ncpus,
         "n_pages": n_pages,
         "n_triangles": int(n_tri),
         "n_sessions": int(n_sessions),
