@@ -148,6 +148,8 @@ class PartitionGraph:
         "lin_indptr": "_build_lin_by_src",
         "lin_by_src_indptr": "_build_lin_by_src",
         "lin_by_src_pos": "_build_lin_by_src",
+        "trans_w": "_build_trans",
+        "w_out": "_build_trans",
     }
 
     def __getattr__(self, name):
@@ -210,6 +212,29 @@ class PartitionGraph:
         )
         self.lin_by_src_indptr = np.zeros(self.n + 1, dtype=np.int64)
         np.cumsum(counts, out=self.lin_by_src_indptr[1:])
+
+    def _build_trans(self) -> None:
+        """Weight-proportional transition factors over the FULL adjacency:
+        t_e = w_e / W_u with W_u = Σ w over u's (deduped) out-edges — the
+        weighted analog of 1/outdeg. Valid because ownership routes ALL
+        out-edges of an owned vertex here (same argument as out_degree);
+        split hubs break that and weighted programs must reject them.
+        W_u = 0 (no edges, or all-zero weights) leaves t undefined — such
+        vertices never push, the weighted dangling case."""
+        if self.w is None:
+            self.trans_w = None
+            self.w_out = None
+            return
+        wsum = (
+            np.bincount(self.adj_src_local, weights=self.w, minlength=self.n)
+            if self.m
+            else np.zeros(self.n)
+        )
+        t = np.zeros(self.m)
+        denom = wsum[self.adj_src_local] if self.m else np.empty(0)
+        np.divide(self.w, denom, out=t, where=denom > 0)
+        self.trans_w = t
+        self.w_out = wsum
 
     # --- dense outbound-boundary index (built once per used side) --------
     # The per-superstep sender combine used to be a lexsort over every
@@ -325,7 +350,7 @@ class PartitionGraph:
         values: np.ndarray,
         op: str = "sum",
         remote_only: bool = False,
-        edge_weights: bool = False,
+        edge_weights: bool | str = False,
     ):
         """Like :meth:`push`, but returns per-owner payloads already combined
         per destination vid — ``(routed, edges_traversed)`` where ``routed``
@@ -349,16 +374,26 @@ class PartitionGraph:
         idx_arr = self.r_idx if remote_only else self.adj_idx
         bounds = self.r_uniq_bounds if remote_only else self.adj_uniq_bounds
         if edge_weights:
-            # per-EDGE message value: value(src) + w(src, dst) — weighted
-            # relaxation pushes. Hub values were buffered RAW above; the
-            # delegate owner adds its slice's weights (delegate_expand).
-            w_arr = self.r_w if remote_only else self.w
+            # per-EDGE message value. edge_weights=True/"add": value(src) +
+            # w(src, dst) — weighted relaxation pushes (SSSP); hub values are
+            # buffered RAW above, the delegate owner adds its slice's weights
+            # (delegate_expand). edge_weights="mul": value(src) × t(src, dst)
+            # with t = w/W_src — weight-proportional transitions (weighted
+            # PageRank); full side only, and incompatible with split hubs
+            # (W_src needs every out-edge local — callers must reject hubs).
+            if edge_weights == "mul":
+                if remote_only:
+                    raise ValueError('edge_weights="mul" pushes on the full side only')
+                w_arr = self.trans_w
+            else:
+                w_arr = self.r_w if remote_only else self.w
             if w_arr is None:
-                raise ValueError("edge_weights=True on an unweighted graph layout")
+                raise ValueError("edge_weights on an unweighted graph layout")
             idx, wsl, lens = self._gather_slices2(indptr, idx_arr, w_arr, rows)
             if idx.size == 0:
                 return out, 0
-            vals = np.repeat(values, lens) + wsl
+            rep = np.repeat(values, lens)
+            vals = rep * wsl if edge_weights == "mul" else rep + wsl
         else:
             idx, lens = self._gather_slices(indptr, idx_arr, rows)
             if idx.size == 0:

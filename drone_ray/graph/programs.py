@@ -485,6 +485,65 @@ class SSSP(VertexProgram):
 
 
 # ---------------------------------------------------------------------------
+class WeightedPageRank(PageRank):
+    """PageRank with weight-proportional transitions: each source pushes
+    value × w(u,v)/W(u) per edge (W(u) = Σ w over u's deduped out-edges)
+    instead of value/outdeg — same delta scheme, recurrence
+    ``pr = 0.85·Σ_in pr(u)·w/W(u) + 0.15``. Extension beyond the reference
+    (weights forced to 1.0, /root/reference/src/graph/graph.go:357-362 —
+    with unit weights this IS PageRank). Weighted-dangling vertices
+    (W(u) = 0) never push, mirroring the outdeg-0 rule.
+
+    Requires a weighted layout; rejects split hubs (W(u) needs every
+    out-edge of u local, which delegate slices break)."""
+
+    def _check(self, g):
+        if g.m and g.trans_w is None:
+            raise ValueError(
+                "WeightedPageRank needs a weighted layout — build_graph(weight_col=...)"
+            )
+        if g.hub_vids.size:
+            raise ValueError(
+                "WeightedPageRank does not support split hubs (W(u) must see "
+                "every out-edge locally); rebuild with hub_threshold=None"
+            )
+
+    def peval(self, g, st):
+        self._check(g)
+        rows = np.flatnonzero(g.w_out > 0) if g.m else np.empty(0, np.int64)
+        routed, edges = g.push_combined(rows, st["pr"][rows], edge_weights="mul")
+        return routed, {"edges": edges, "max_delta": 1.0}
+
+    def inceval(self, g, st, inbound):
+        if inbound is not None:
+            recv = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
+            st["acc"][recv] += inbound["val"]
+        else:
+            recv = np.empty(0, dtype=np.int64)
+        if not st["aux"]["dense_done"]:
+            targets = np.arange(g.n)
+            st["aux"]["dense_done"] = True
+        else:
+            targets = recv
+        if targets.size == 0:
+            return None, {"edges": 0, "max_delta": 0.0, "active": 0}
+        new_pr = self.damping * st["acc"][targets] + st["base"][targets]
+        max_delta = float(np.abs(new_pr - st["pr"][targets]).max())
+        st["pr"][targets] = new_pr
+        delta = new_pr - st["last_sent"][targets]
+        w_out = g.w_out if g.m else np.zeros(g.n)
+        send = (np.abs(delta) > self.eps) & (w_out[targets] > 0)
+        rows = targets[send]
+        st["last_sent"][rows] = new_pr[send]
+        routed, edges = g.push_combined(rows, delta[send], edge_weights="mul")
+        return routed, {
+            "edges": edges,
+            "max_delta": max_delta,
+            "active": int(rows.size),
+        }
+
+
+# ---------------------------------------------------------------------------
 class WeightedSSSP(SSSP):
     """SSSP over a weighted graph layout (``build_graph(weight_col=...)``):
     distributed asynchronous Bellman-Ford — local weighted relax-to-fixpoint

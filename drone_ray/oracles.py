@@ -265,3 +265,40 @@ def dijkstra_oracle(src: np.ndarray, dst: np.ndarray, w: np.ndarray, source: int
             if v not in dist:
                 heapq.heappush(heap, (du + ww, v))
     return dist
+
+
+def pagerank_weighted_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    damping: float = 0.85,
+    tol: float = 1e-12,
+    max_iter: int = 5000,
+):
+    """Dense power iteration of pr = 0.85·Σ_in pr(u)·w/W(u) + 0.15 with
+    min-weight dedup of duplicate (src, dst) edges (matches
+    csr.PartitionGraph + programs.WeightedPageRank). Returns (vids, pr)."""
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    order = np.lexsort((d, s))
+    s, d, ww = s[order], d[order], np.asarray(w, np.float64)[order]
+    if s.size:
+        keep = np.empty(s.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        ww = np.minimum.reduceat(ww, np.flatnonzero(keep))
+        s, d = s[keep], d[keep]
+    n = vids.size
+    wsum = np.zeros(n)
+    np.add.at(wsum, s, ww)
+    t = np.zeros(ww.size)
+    np.divide(ww, wsum[s], out=t, where=wsum[s] > 0)
+    pr = np.ones(n)
+    for _ in range(max_iter):
+        acc = np.zeros(n)
+        np.add.at(acc, d, t * pr[s])
+        new = damping * acc + (1.0 - damping)
+        if np.abs(new - pr).max() < tol:
+            pr = new
+            break
+        pr = new
+    return vids, pr

@@ -26,6 +26,7 @@ from drone_ray.graph.programs import (
     KCore,
     LabelPropagation,
     PageRank,
+    WeightedPageRank,
     WeightedSSSP,
 )
 
@@ -314,6 +315,26 @@ def sssp(
     m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
                   ownership=ownership)
     return _run(m, SSSP, {"source": source}, direction=direction, **harness_kwargs)
+
+
+def pagerank_weighted(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    eps: float = 1e-10,
+    damping: float = 0.85,
+    weight_col: str = "w",
+    hub_threshold: int | None = None,
+    **harness_kwargs,
+) -> ProgramResult:
+    """PageRank with weight-proportional transitions (programs.
+    WeightedPageRank): pr = 0.85·Σ_in pr(u)·w(u,v)/W(u) + 0.15. No hub
+    splitting (W(u) must see every out-edge locally) — a non-None
+    ``hub_threshold`` fails at actor load with a clear error."""
+    m = graph_for(edges_factory, cache_key, num_partitions,
+                  hub_threshold=hub_threshold, weight_col=weight_col)
+    return _run(m, WeightedPageRank, {"eps": eps, "damping": damping},
+                direction="fwd", **harness_kwargs)
 
 
 def sssp_weighted(

@@ -603,6 +603,28 @@ def q_sssp_weighted(sf_dir: str):
     return t
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """Weight-proportional PageRank on the weighted lineitem link graph —
+    eps=0 + fixed PR_ITERS steps == synchronous power iteration, matching
+    the recursive-CTE oracle step for step (same scheme as q_pagerank)."""
+    from drone_ray.pipelines.analytics import pagerank_weighted
+
+    res = pagerank_weighted(
+        lambda: _raw_edges_w(sf_dir),
+        _graph_key(sf_dir) + ":w7",
+        GRAPH_PARTITIONS,
+        eps=0.0,
+        max_steps=PR_ITERS + 1,
+    )
+    t = res.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def q_graph_simulation(sf_dir: str):
     """Graph pattern simulation (reference Sim parity) on the lineitem link
     graph; chain-with-branch pattern over attrs = vid % 100. Output:
@@ -1454,6 +1476,31 @@ bfs(vid, dist) AS (
 SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM bfs GROUP BY vid
 """
 
+# Weighted PageRank: _PR_SQL with weight-proportional transitions
+# t = w / Σ_out w over the min-weight-deduped weighted edges (the engine
+# CSR's weighted dedup + trans_w). Same zero-weight self-row trick keeps
+# every vertex in the recursion.
+_PR_W_SQL = f"""
+WITH RECURSIVE
+e0 AS (SELECT l_orderkey % {M} AS src, l_partkey % {M} AS dst,
+       CAST((l_orderkey + l_partkey) % 7 + 1 AS BIGINT) AS w
+       FROM lineitem WHERE (l_orderkey % {M}) <> (l_partkey % {M})),
+e AS (SELECT src, dst, min(w) AS w FROM e0 GROUP BY src, dst),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+sw AS (SELECT src, CAST(sum(w) AS DOUBLE) AS wsum FROM e GROUP BY src),
+c AS (SELECT e.src, e.dst, e.w / s.wsum AS t FROM e JOIN sw s ON s.src = e.src
+      UNION ALL SELECT vid, vid, 0.0 FROM vtx),
+pr AS (
+  SELECT 0 AS iter, vid, CAST(1.0 AS DOUBLE) AS score FROM vtx
+  UNION ALL
+  SELECT p.iter + 1, c.dst AS vid, 0.15 + 0.85 * sum(c.t * p.score) AS score
+  FROM pr p JOIN c ON c.src = p.vid
+  WHERE p.iter < {PR_ITERS}
+  GROUP BY p.iter, c.dst
+)
+SELECT vid, round(score, 6) AS score FROM pr WHERE iter = {PR_ITERS}
+"""
+
 # Weighted SSSP: same UNION-dedup walk as _SSSP_SQL, but each step adds the
 # edge's weight; duplicate (src,dst) pairs collapse to MIN(w) first (the
 # engine CSR's weighted dedup). All weights are positive INTEGERS, so the
@@ -1947,6 +1994,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "lpa": (q_lpa, _LPA_SQL),
     "sssp": (q_sssp, _SSSP_SQL),
     "sssp_weighted": (q_sssp_weighted, _SSSP_W_SQL),
+    "pagerank_weighted": (q_pagerank_weighted, _PR_W_SQL),
     # greatest-fixpoint removal cascade — not monotone, not CTE-expressible;
     # pytest brute-force oracle instead (tests/test_simulation.py)
     "graph_simulation": (q_graph_simulation, None),
@@ -2073,8 +2121,8 @@ _ORDER = [
     "ann_topk", "embedding_near_dup", "sessions", "sliding_counts",
     "asof_prior_click", "events_hourly", "lineitem_agg", "customer_orders",
     # tier 2 — touched or added in round 4
-    "sssp_weighted", "wcc_star", "pseudo_diameter", "modularity", "sssp",
-    "extract_pages", "dedup_clusters",
+    "sssp_weighted", "pagerank_weighted", "wcc_star", "pseudo_diameter",
+    "modularity", "sssp", "extract_pages", "dedup_clusters",
     # tier 3 — remaining oracle-backed
     "edges", "edge_sample", "out_degrees", "degree_topk",
     "triangle_total", "triangles_per_vertex", "degree_distribution",
