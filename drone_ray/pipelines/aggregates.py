@@ -1,0 +1,145 @@
+"""Distributed exact aggregates beyond plain groupby: value-histogram
+quantiles and per-group arg-max. Both are two-stage bucketed reduces (the
+pre-aggregate-inside-map_batches pattern) — nothing row-sized ever reaches
+the driver.
+
+Extensions beyond the reference (its only aggregates are the per-algorithm
+message combines, /root/reference/src/algorithm/*.go); these are the table
+primitives a 100 TB corpus-statistics pass needs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from drone_ray.hashing import adaptive_buckets, mix64
+
+
+def exact_quantiles(
+    values: Dataset,
+    col: str,
+    qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """(q, value) — EXACT discrete quantiles of an integer-valued column:
+    value at 1-based rank ``ceil(q*n)`` of the sorted column, DuckDB's
+    ``quantile_disc`` rule, so the result is SQL-attestable.
+
+    Shape: per-batch ``np.unique`` partial histograms → one bucketed
+    shuffle keyed on hash(value) → exact (value, count) histogram. Only
+    the DISTINCT-value histogram crosses to the driver (sort + cumsum +
+    rank pick over ~|support| rows) — exact and scale-safe whenever the
+    value support is bounded (token counts, lengths, degrees, scores on a
+    grid), which is the case worth exact answers; unbounded float columns
+    want a mergeable sketch instead (see textstats.vocabulary_hll for the
+    sketch precedent)."""
+    num_buckets = num_buckets or adaptive_buckets(None, floor=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(uv, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+                "_b": pa.array((mix64(uv) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("v", sort=False)["c"].sum().reset_index()
+        return out
+
+    hist_parts = list(
+        values.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if hist_parts:
+        hist = pa.concat_tables(hist_parts)
+        v = hist["v"].to_numpy(zero_copy_only=False)
+        c = hist["c"].to_numpy(zero_copy_only=False)
+    else:
+        v = np.empty(0, np.int64)
+        c = np.empty(0, np.int64)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if cum.size else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        rank = max(1, math.ceil(q * n))  # 1-based, quantile_disc rule
+        out_q.append(float(q))
+        out_v.append(int(v[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())}
+    )
+
+
+def _col_hash(arr) -> np.ndarray:
+    """Deterministic process-independent uint64 hash of a key column:
+    mix64 for integers, pandas hash_array (fixed-key siphash) otherwise."""
+    a = np.asarray(arr)
+    if a.dtype.kind in "iu":
+        return mix64(a.astype(np.int64))
+    return pd.util.hash_array(a.astype(object)).astype(np.uint64)
+
+
+def group_argmax_count(
+    ds: Dataset,
+    group_col: str,
+    item_col: str,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Per group, the item with the MOST rows — (group, item, n) with ties
+    broken to the smallest item (deterministic, SQL QUALIFY-expressible).
+    Key columns may be int or string.
+
+    Two bucketed reduces: exact (group, item) counts in hash(group, item)
+    buckets, then per-group arg-max in hash(group) buckets. Both stages
+    pre-aggregate inside map_batches, so shuffle volume is bounded by
+    distinct (group, item) pairs, not input rows."""
+    num_buckets = num_buckets or adaptive_buckets(None, floor=32)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.select([group_col, item_col]).to_pandas()
+        out = df.groupby([group_col, item_col], sort=False).size().reset_index(name="n")
+        with np.errstate(over="ignore"):
+            h = (
+                _col_hash(out[group_col].to_numpy()) * np.uint64(0x9E3779B97F4A7C15)
+                + _col_hash(out[item_col].to_numpy())
+            ) % np.uint64(num_buckets)
+        out["_b"] = h.astype(np.int64)
+        return out
+
+    def sum_pairs(gdf: pd.DataFrame) -> pd.DataFrame:
+        out = gdf.groupby([group_col, item_col], sort=False)["n"].sum().reset_index()
+        out["_b2"] = (
+            _col_hash(out[group_col].to_numpy()) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    def argmax_group(gdf: pd.DataFrame) -> pd.DataFrame:
+        # max count per group, ties to smallest item
+        o = gdf.sort_values(
+            [group_col, "n", item_col], ascending=[True, False, True], kind="mergesort"
+        )
+        win = o.drop_duplicates(subset=[group_col], keep="first")
+        return win[[group_col, item_col, "n"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(sum_pairs, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(argmax_group, batch_format="pandas")
+    )

@@ -603,6 +603,36 @@ def q_sssp_weighted(sf_dir: str):
     return t
 
 
+QUANTILE_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact token-count quantiles over documents via the distributed
+    value-histogram reduce (aggregates.exact_quantiles — quantile_disc
+    rank rule, so DuckDB attests it exactly)."""
+    from drone_ray.pipelines.aggregates import exact_quantiles
+
+    def nt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": pa.array([len(t.split()) for t in b["text"].to_pylist()], pa.int64())}
+        )
+
+    vals = _read(sf_dir, "documents", ["text"]).map_batches(
+        nt, batch_format="pyarrow", batch_size=None
+    )
+    return exact_quantiles(vals, "v", QUANTILE_QS)
+
+
+def q_top_user_per_type(sf_dir: str):
+    """Per event_type, the most active user (ties to the smallest user_id)
+    — the bucketed two-stage arg-max reduce (aggregates.group_argmax_count);
+    shuffle volume ∝ distinct (type, user) pairs, not event rows."""
+    from drone_ray.pipelines.aggregates import group_argmax_count
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return group_argmax_count(ev, "event_type", "user_id")
+
+
 def q_pagerank_weighted(sf_dir: str):
     """Weight-proportional PageRank on the weighted lineitem link graph —
     eps=0 + fixed PR_ITERS steps == synchronous power iteration, matching
@@ -1418,6 +1448,21 @@ SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac,
 FROM f"""
 
 
+_QUANTILES_SQL = (
+    "WITH n AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
+    f"len({_TOKENS_SQL}) END AS v FROM documents) "
+    + " UNION ALL ".join(
+        f"SELECT {q} AS q, CAST(quantile_disc(v, {q}) AS BIGINT) AS value FROM n"
+        for q in QUANTILE_QS
+    )
+)
+
+_TOP_USER_SQL = (
+    "SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2 "
+    "QUALIFY row_number() OVER (PARTITION BY event_type "
+    "ORDER BY count(*) DESC, user_id) = 1"
+)
+
 # --- iterative-fixpoint oracles (recursive CTEs over EDGES_SQL) ------------
 # NOTE: DuckDB 1.0 evaluates UNION as UNION ALL in *non-recursive* CTEs that
 # live inside a WITH RECURSIVE block — dedup must be an explicit DISTINCT.
@@ -1995,6 +2040,8 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "sssp": (q_sssp, _SSSP_SQL),
     "sssp_weighted": (q_sssp_weighted, _SSSP_W_SQL),
     "pagerank_weighted": (q_pagerank_weighted, _PR_W_SQL),
+    "doc_length_quantiles": (q_doc_length_quantiles, _QUANTILES_SQL),
+    "top_user_per_type": (q_top_user_per_type, _TOP_USER_SQL),
     # greatest-fixpoint removal cascade — not monotone, not CTE-expressible;
     # pytest brute-force oracle instead (tests/test_simulation.py)
     "graph_simulation": (q_graph_simulation, None),
@@ -2121,7 +2168,8 @@ _ORDER = [
     "ann_topk", "embedding_near_dup", "sessions", "sliding_counts",
     "asof_prior_click", "events_hourly", "lineitem_agg", "customer_orders",
     # tier 2 — touched or added in round 4
-    "sssp_weighted", "pagerank_weighted", "wcc_star", "pseudo_diameter",
+    "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
+    "top_user_per_type", "wcc_star", "pseudo_diameter",
     "modularity", "sssp", "extract_pages", "dedup_clusters",
     # tier 3 — remaining oracle-backed
     "edges", "edge_sample", "out_degrees", "degree_topk",
