@@ -151,3 +151,48 @@ def test_checkpoint_chunked_state_resume(tmp_path):
     _, rs = _sorted(resumed.to_table(), "score")
     _, cs = _sorted(clean.to_table(), "score")
     assert np.array_equal(rs, cs)
+
+
+def test_weighted_sssp_resume_identical(tmp_path):
+    """Weighted distances must survive a mid-run checkpoint: the pending
+    inbound min-messages carry float dists and the weight lanes reload
+    from the layout on resume."""
+    from drone_ray.graph.programs import WeightedSSSP
+    from drone_ray.oracles import dijkstra_oracle
+
+    rng = np.random.default_rng(9)
+    src, dst = ba_powerlaw(n=400, m=3, seed=13)
+    w = rng.integers(1, 8, src.size).astype(np.float64)
+
+    def wds():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"src": src, "dst": dst, "w": pa.array(w, pa.float64())})
+        )
+
+    source = int(src.min())
+    man = graph_for(lambda: wds(), "resume_wsssp_v1", 3, weight_col="w")
+    ck = str(tmp_path / "ck")
+
+    interrupted = run_vertex_program(
+        man, WeightedSSSP, {"source": source},
+        checkpoint_dir=ck, checkpoint_every=1, max_steps=1,
+    )
+    assert not interrupted.converged
+
+    resumed = run_vertex_program(
+        man, WeightedSSSP, {"source": source}, checkpoint_dir=ck, resume=True
+    )
+    assert resumed.converged
+    t = resumed.to_table()
+    got = dict(zip(t["vid"].to_pylist(), t["dist"].to_pylist()))
+    exp = dijkstra_oracle(src, dst, w, source)
+    assert set(got) == set(exp)
+    for v, dexp in exp.items():
+        assert got[v] == dexp, f"vid {v}"
+
+    clean = run_vertex_program(man, WeightedSSSP, {"source": source})
+    tc = clean.to_table()
+    gclean = dict(zip(tc["vid"].to_pylist(), tc["dist"].to_pylist()))
+    assert gclean == got
