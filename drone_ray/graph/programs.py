@@ -485,6 +485,50 @@ class SSSP(VertexProgram):
 
 
 # ---------------------------------------------------------------------------
+class KatzCentrality(PageRank):
+    """Katz centrality by the same delta-propagation scheme as PageRank:
+    ``x = α·Σ_in x(u) + β`` — the attenuation recurrence WITHOUT the
+    1/outdeg division (each in-edge contributes the full upstream score).
+    α must satisfy α < 1/λ_max(A) to converge; callers on unknown graphs
+    should bound α by 1/max_in_degree (a lower bound on that). β = 1-α
+    here so the damping/base plumbing is shared verbatim. Extension
+    beyond the reference, same plugin surface
+    (/root/reference/src/protobuf/worker_service.proto:11-22)."""
+
+    def peval(self, g, st):
+        rows = np.flatnonzero(g.out_degree > 0)
+        routed, edges = g.push_combined(rows, st["pr"][rows])
+        return routed, {"edges": edges, "max_delta": 1.0}
+
+    def inceval(self, g, st, inbound):
+        if inbound is not None:
+            recv = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
+            st["acc"][recv] += inbound["val"]
+        else:
+            recv = np.empty(0, dtype=np.int64)
+        if not st["aux"]["dense_done"]:
+            targets = np.arange(g.n)
+            st["aux"]["dense_done"] = True
+        else:
+            targets = recv
+        if targets.size == 0:
+            return None, {"edges": 0, "max_delta": 0.0, "active": 0}
+        new_pr = self.damping * st["acc"][targets] + st["base"][targets]
+        max_delta = float(np.abs(new_pr - st["pr"][targets]).max())
+        st["pr"][targets] = new_pr
+        delta = new_pr - st["last_sent"][targets]
+        send = (np.abs(delta) > self.eps) & (g.out_degree[targets] > 0)
+        rows = targets[send]
+        st["last_sent"][rows] = new_pr[send]
+        routed, edges = g.push_combined(rows, delta[send])
+        return routed, {
+            "edges": edges,
+            "max_delta": max_delta,
+            "active": int(rows.size),
+        }
+
+
+# ---------------------------------------------------------------------------
 class WeightedPageRank(PageRank):
     """PageRank with weight-proportional transitions: each source pushes
     value × w(u,v)/W(u) per edge (W(u) = Σ w over u's deduped out-edges)

@@ -302,3 +302,24 @@ def pagerank_weighted_oracle(
             break
         pr = new
     return vids, pr
+
+
+def katz_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    alpha: float,
+    iters: int,
+):
+    """Dense fixed-iteration Katz: x_{k+1} = α·Σ_in x_k + (1-α), x_0 = 1
+    (matches programs.KatzCentrality at eps=0 and queries._KATZ_SQL).
+    Returns (vids, x)."""
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    n = vids.size
+    x = np.ones(n)
+    for _ in range(iters):
+        acc = np.zeros(n)
+        np.add.at(acc, d, x[s])
+        x = alpha * acc + (1.0 - alpha)
+    return vids, x

@@ -23,6 +23,7 @@ from drone_ray.graph.programs import (
     IncrementalPageRank,
     ConnectedComponents,
     Coreness,
+    KatzCentrality,
     KCore,
     LabelPropagation,
     PageRank,
@@ -315,6 +316,25 @@ def sssp(
     m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
                   ownership=ownership)
     return _run(m, SSSP, {"source": source}, direction=direction, **harness_kwargs)
+
+
+def katz_centrality(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    alpha: float = 0.02,
+    eps: float = 1e-12,
+    hub_threshold: int | None = None,
+    ownership=None,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Katz centrality x = α·Σ_in x(u) + (1-α) (programs.KatzCentrality).
+    α must be < 1/λ_max(A); the conservative safe bound on an unknown graph
+    is 1/max_in_degree."""
+    m = graph_for(edges_factory, cache_key, num_partitions,
+                  hub_threshold=hub_threshold, ownership=ownership)
+    return _run(m, KatzCentrality, {"eps": eps, "damping": alpha},
+                direction="fwd", **harness_kwargs)
 
 
 def pagerank_weighted(

@@ -378,3 +378,142 @@ def contract_edges(
         .map_groups(finish, batch_format="pandas")
         .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
     )
+
+
+def degree_assortativity(edges: Dataset, num_buckets: int = _B) -> pa.Table:
+    """One-row (assortativity) — Pearson correlation of (out_degree(src),
+    in_degree(dst)) over the deduped directed edges (out-in degree
+    assortativity, Newman 2002; SQL oracle = plain ``corr()``).
+
+    Fully distributed: out-degrees attach to edge rows in hash(src)
+    buckets, in-degrees in hash(dst) buckets (two two-sided bucketed
+    joins — the degree tables are O(|V|), never broadcast), then each
+    bucket reduces to ONE (n, Σx, Σy, Σxx, Σyy, Σxy) moment row; the
+    driver combines ≤B moment rows into the scalar."""
+    from drone_ray.stages.edges import dedup_edges, in_degrees
+
+    e = dedup_edges(edges)
+    od = out_degrees(e)
+    idg = in_degrees(e)
+
+    def e_src_rows(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(s, pa.int64()),
+                "other": pa.array(d, pa.int64()),
+                "deg": pa.array(np.zeros(s.size, np.int64)),
+                "side": pa.array(np.zeros(s.size, np.int8)),
+                "_b": pa.array((mix64(s) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def deg_rows(b: pa.Table, vcol: str, dcol: str) -> pa.Table:
+        v = b[vcol].to_numpy(zero_copy_only=False)
+        dg = b[dcol].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(v, pa.int64()),
+                "other": pa.array(np.zeros(v.size, np.int64)),
+                "deg": pa.array(dg.astype(np.int64), pa.int64()),
+                "side": pa.array(np.ones(v.size, np.int8)),
+                "_b": pa.array((mix64(v) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def _lookup(g: pd.DataFrame):
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy()
+        dk = key[side == 1]
+        dv = g["deg"].to_numpy()[side == 1]
+        order = np.argsort(dk, kind="stable")
+        dk, dv = dk[order], dv[order]
+        ek = key[side == 0]
+        pos = np.minimum(np.searchsorted(dk, ek), max(dk.size - 1, 0))
+        # every edge endpoint has a degree row by construction
+        return ek, g["other"].to_numpy()[side == 0], dv[pos] if dk.size else np.zeros(ek.size, np.int64)
+
+    def attach_src(g: pd.DataFrame) -> pd.DataFrame:
+        _, dst, sdeg = _lookup(g)
+        out = pd.DataFrame({"key": dst, "other": np.zeros(dst.size, np.int64), "deg": sdeg})
+        out["side"] = np.int8(0)
+        out["_b2"] = (mix64(dst) % np.uint64(num_buckets)).astype(np.int64)
+        return out
+
+    def deg_rows2(b: pa.Table) -> pa.Table:
+        v = b["dst"].to_numpy(zero_copy_only=False)
+        dg = b["in_degree"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(v, pa.int64()),
+                "other": pa.array(np.zeros(v.size, np.int64)),
+                "deg": pa.array(dg.astype(np.int64), pa.int64()),
+                "side": pa.array(np.ones(v.size, np.int8)),
+                "_b2": pa.array((mix64(v) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy()
+        dk = key[side == 1]
+        dv = g["deg"].to_numpy()[side == 1]
+        order = np.argsort(dk, kind="stable")
+        dk, dv = dk[order], dv[order]
+        ek = key[side == 0]
+        x = g["deg"].to_numpy()[side == 0].astype(np.float64)  # out_degree(src)
+        if ek.size == 0:
+            return pd.DataFrame(
+                {"n": [0], "sx": [0.0], "sy": [0.0], "sxx": [0.0], "syy": [0.0], "sxy": [0.0]}
+            )
+        pos = np.minimum(np.searchsorted(dk, ek), max(dk.size - 1, 0))
+        y = (dv[pos] if dk.size else np.zeros(ek.size, np.int64)).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "n": [int(ek.size)],
+                "sx": [float(x.sum())],
+                "sy": [float(y.sum())],
+                "sxx": [float((x * x).sum())],
+                "syy": [float((y * y).sum())],
+                "sxy": [float((x * y).sum())],
+            }
+        )
+
+    hop1 = (
+        e.map_batches(e_src_rows, batch_format="pyarrow", batch_size=None)
+        .union(
+            od.map_batches(
+                lambda b: deg_rows(b, "src", "out_degree"),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+        .groupby("_b")
+        .map_groups(attach_src, batch_format="pandas")
+        # normalize to Arrow blocks: the next union's other side is Arrow,
+        # and Ray's sort refuses mixed block types
+        .map_batches(lambda b: b, batch_format="pyarrow", batch_size=None)
+    )
+    mom = (
+        hop1.union(idg.map_batches(deg_rows2, batch_format="pyarrow", batch_size=None))
+        .groupby("_b2")
+        .map_groups(moments, batch_format="pandas")
+        .to_pandas()
+    )
+    n = float(mom["n"].sum())
+    if n == 0:
+        return pa.table({"assortativity": pa.array([None], pa.float64())})
+    sx, sy = float(mom["sx"].sum()), float(mom["sy"].sum())
+    sxx, syy, sxy = float(mom["sxx"].sum()), float(mom["syy"].sum()), float(mom["sxy"].sum())
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    r = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else None
+    return pa.table(
+        {
+            "assortativity": pa.array(
+                [round(r, 6) if r is not None else None], pa.float64()
+            )
+        }
+    )

@@ -603,6 +603,53 @@ def q_sssp_weighted(sf_dir: str):
     return t
 
 
+# Katz: α far below 1/λ_max at every gate sf (λ_max ≤ √(max_in·max_out)
+# ≈ 411 at sf0.1) so the fixed-iteration scores stay O(1); repr'd into the
+# SQL so both sides parse the identical float64 constants.
+KATZ_ALPHA = 0.001
+KATZ_ITERS = 40
+
+
+def q_katz(sf_dir: str):
+    """Katz centrality, KATZ_ITERS synchronous iterations at eps=0 —
+    step-for-step equal to the recursive-CTE oracle (same scheme as
+    q_pagerank/q_hits)."""
+    from drone_ray.pipelines.analytics import katz_centrality
+
+    res = katz_centrality(
+        lambda: lg_edges(sf_dir),
+        _graph_key(sf_dir),
+        GRAPH_PARTITIONS,
+        alpha=KATZ_ALPHA,
+        eps=0.0,
+        max_steps=KATZ_ITERS + 1,
+    )
+    t = res.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "score": pa.array(np.round(t["score"].to_numpy(), 9), pa.float64()),
+        }
+    )
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Out-in degree assortativity (Newman 2002) — distributed two-hop
+    degree attach + per-bucket moment rows; oracle is plain SQL corr()."""
+    from drone_ray.pipelines.graphstats import degree_assortativity
+
+    return degree_assortativity(_raw_edges(sf_dir))
+
+
+_ASSORT_SQL = f"""
+WITH e AS ({EDGES_SQL}),
+od AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY 1),
+idg AS (SELECT dst AS v, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY 1)
+SELECT round(corr(od.d, idg.d), 6) AS assortativity
+FROM e JOIN od ON od.v = e.src JOIN idg ON idg.v = e.dst
+"""
+
+
 QUANTILE_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
 
 
@@ -1448,6 +1495,22 @@ SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac,
 FROM f"""
 
 
+_KATZ_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+c AS (SELECT src, dst, 1.0 AS w FROM e UNION ALL SELECT vid, vid, 0.0 FROM vtx),
+kz AS (
+  SELECT 0 AS iter, vid, CAST(1.0 AS DOUBLE) AS score FROM vtx
+  UNION ALL
+  SELECT k.iter + 1, c.dst AS vid, {1.0 - KATZ_ALPHA} + {KATZ_ALPHA} * sum(c.w * k.score) AS score
+  FROM kz k JOIN c ON c.src = k.vid
+  WHERE k.iter < {KATZ_ITERS}
+  GROUP BY k.iter, c.dst
+)
+SELECT vid, round(score, 9) AS score FROM kz WHERE iter = {KATZ_ITERS}
+"""
+
 _QUANTILES_SQL = (
     "WITH n AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
     f"len({_TOKENS_SQL}) END AS v FROM documents) "
@@ -2042,6 +2105,8 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "pagerank_weighted": (q_pagerank_weighted, _PR_W_SQL),
     "doc_length_quantiles": (q_doc_length_quantiles, _QUANTILES_SQL),
     "top_user_per_type": (q_top_user_per_type, _TOP_USER_SQL),
+    "degree_assortativity": (q_degree_assortativity, _ASSORT_SQL),
+    "katz": (q_katz, _KATZ_SQL),
     # greatest-fixpoint removal cascade — not monotone, not CTE-expressible;
     # pytest brute-force oracle instead (tests/test_simulation.py)
     "graph_simulation": (q_graph_simulation, None),
@@ -2169,7 +2234,8 @@ _ORDER = [
     "asof_prior_click", "events_hourly", "lineitem_agg", "customer_orders",
     # tier 2 — touched or added in round 4
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
-    "top_user_per_type", "wcc_star", "pseudo_diameter",
+    "top_user_per_type", "degree_assortativity", "katz", "wcc_star",
+    "pseudo_diameter",
     "modularity", "sssp", "extract_pages", "dedup_clusters",
     # tier 3 — remaining oracle-backed
     "edges", "edge_sample", "out_degrees", "degree_topk",

@@ -128,3 +128,27 @@ def test_contract_edges():
     exp2 = Counter((int(s) // B, int(d) // B) for s, d in zip(src, dst))
     gmap2 = {(int(r["hsrc"]), int(r["hdst"])): int(r["weight"]) for _, r in got2.iterrows()}
     assert gmap2 == dict(exp2)
+
+
+def test_degree_assortativity_vs_numpy():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from drone_ray.pipelines.graphstats import degree_assortativity
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 150, 3000).astype(np.int64)
+    dst = rng.integers(0, 150, 3000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    got = degree_assortativity(ds)["assortativity"].to_pylist()[0]
+
+    e = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    od = e.groupby("src").size()
+    idg = e.groupby("dst").size()
+    x = od.loc[e["src"]].to_numpy(dtype=float)
+    y = idg.loc[e["dst"]].to_numpy(dtype=float)
+    exp = np.corrcoef(x, y)[0, 1]
+    assert got == round(float(exp), 6)

@@ -82,3 +82,22 @@ def test_weighted_pagerank_rejects_hubs():
         pagerank_weighted(
             lambda: _ds(src, dst, w), "wpr_hub_v1", num_partitions=2, hub_threshold=5
         )
+
+
+def test_katz_vs_dense_oracle():
+    from drone_ray.oracles import katz_oracle
+    from drone_ray.pipelines.analytics import katz_centrality
+
+    src, dst, _ = _rand_graph(n=250, m=1500, seed=31)
+    res = katz_centrality(
+        lambda: _ds(src, dst, np.ones(src.size)).select_columns(["src", "dst"]),
+        "katz_rand_v1",
+        num_partitions=3,
+        alpha=0.005,
+        eps=0.0,
+        max_steps=41,
+    )
+    vids, scores = _sorted(res.to_table(), "score")
+    ovids, ox = katz_oracle(src, dst, alpha=0.005, iters=40)
+    assert np.array_equal(vids, ovids)
+    assert np.abs(scores - ox).max() < 1e-12
