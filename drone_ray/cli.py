@@ -5,7 +5,8 @@
         --hub-threshold 100000 --checkpoint-dir /data/ckpt/pr --resume
 
 Subcommands: build-pages-graph (pages parquet → extract → edges parquet),
-pagerank, wcc, lpa, sssp, simulation, triangles. Results are written as
+pagerank, pagerank-weighted, katz, wcc, wcc-star, lpa, sssp,
+sssp-weighted, simulation, triangles. Results are written as
 per-partition parquet (resumable layout); superstep jobs write a
 metrics.parquet next to their checkpoints. Owns the Ray session only when
 one is not already initialised (so the driver/pytest can embed it).
@@ -46,8 +47,8 @@ def _edges_factory(path):
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(prog="drone_ray")
     ap.add_argument("command", choices=[
-        "build-pages-graph", "pagerank", "wcc", "wcc-star", "lpa", "sssp",
-        "simulation", "triangles",
+        "build-pages-graph", "pagerank", "pagerank-weighted", "katz", "wcc",
+        "wcc-star", "lpa", "sssp", "sssp-weighted", "simulation", "triangles",
     ])
     ap.add_argument("--pages", help="pages parquet dir (build-pages-graph)")
     ap.add_argument("--edges", help="edge-table parquet dir")
@@ -55,6 +56,10 @@ def main(argv=None) -> dict:
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--num-cpus", type=int, default=32)
     ap.add_argument("--eps", type=float, default=1e-10)
+    ap.add_argument("--alpha", type=float, default=0.02,
+                    help="katz attenuation (must be < 1/lambda_max)")
+    ap.add_argument("--weight-col", default="w",
+                    help="edge weight column (pagerank-weighted / sssp-weighted)")
     ap.add_argument("--source", type=int, default=None, help="sssp source vid")
     ap.add_argument("--max-rounds", type=int, default=10, help="lpa round cap")
     ap.add_argument("--pattern", help="pattern graph file (simulation, S6 format)")
@@ -137,10 +142,34 @@ def main(argv=None) -> dict:
 
         ownership = detect_mega_hosts(ef(), args.partitions, host_bits=args.host_bits)
         key += f":host{args.host_bits}"
+    if args.command in ("pagerank-weighted", "sssp-weighted"):
+        # weighted commands read the weight column alongside src/dst
+        wc, path = args.weight_col, args.edges
+
+        def ef():
+            import ray.data as rd
+
+            return rd.read_parquet(path, columns=["src", "dst", wc])
+
     hk["ownership"] = ownership
     if args.command == "pagerank":
         res = A.pagerank(ef, key, args.partitions, eps=args.eps,
                          hub_threshold=args.hub_threshold, **hk)
+    elif args.command == "pagerank-weighted":
+        hk.pop("ownership", None)
+        res = A.pagerank_weighted(ef, key + ":w", args.partitions, eps=args.eps,
+                                  weight_col=args.weight_col, **hk)
+    elif args.command == "katz":
+        res = A.katz_centrality(ef, key, args.partitions, alpha=args.alpha,
+                                hub_threshold=args.hub_threshold,
+                                ownership=hk.pop("ownership", None), **hk)
+    elif args.command == "sssp-weighted":
+        source = args.source
+        if source is None:
+            source = int(ef().min("src"))
+        hk.pop("ownership", None)
+        res = A.sssp_weighted(ef, key + ":w", source, args.partitions,
+                              weight_col=args.weight_col, **hk)
     elif args.command == "wcc":
         res = A.connected_components(ef, key, args.partitions,
                                      hub_threshold=args.hub_threshold, **hk)
