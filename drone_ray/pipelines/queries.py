@@ -680,6 +680,65 @@ def q_top_user_per_type(sf_dir: str):
     return group_argmax_count(ev, "event_type", "user_id")
 
 
+def q_corpus_clean(sf_dir: str):
+    """The composed training-data cleaning chain (webtext.corpus_clean):
+    PII scrub → Gopher repetition gate → corpus-wide chunk dedup, one row
+    per surviving document. The scrub+gate stages are fused into one
+    stateless map_batches pass; only chunk dedup shuffles."""
+    from drone_ray.pipelines.webtext import corpus_clean
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return corpus_clean(docs)
+
+
+def _corpus_clean_sql() -> str:
+    from drone_ray.pipelines.webtext import CHUNK_W as W
+    from drone_ray.pipelines.webtext import EMAIL_PAT, IPV4_PAT, PHONE_PAT
+
+    toks_tc = _TOKENS_NE_SQL.replace("trim(text)", "trim(tc)")
+    return f"""WITH
+e AS (SELECT doc_id, regexp_replace(text, '{EMAIL_PAT}', '<EMAIL>', 'g') AS t FROM documents),
+i AS (SELECT doc_id, regexp_replace(t, '{IPV4_PAT}', '<IP>', 'g') AS t FROM e),
+s0 AS (SELECT doc_id, regexp_replace(t, '{PHONE_PAT}', '<PHONE>', 'g') AS tc FROM i),
+tk0 AS (SELECT doc_id, {toks_tc} AS tk FROM s0),
+u AS (SELECT doc_id, s.w AS w, count(*) AS c FROM tk0, unnest(tk) AS s(w) GROUP BY 1, 2),
+m AS (SELECT doc_id, max(c) AS mx FROM u GROUP BY 1),
+bi AS (
+  SELECT doc_id, w2, count(*) AS c FROM (
+    SELECT doc_id, tk[p] || ' ' || tk[p + 1] AS w2
+    FROM (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS p, tk
+          FROM tk0 WHERE len(tk) >= 2)
+  ) GROUP BY 1, 2
+),
+mb AS (SELECT doc_id, max(c) AS mxb FROM bi GROUP BY 1),
+kept AS (
+  SELECT tk0.doc_id, tk0.tk
+  FROM tk0 JOIN m USING (doc_id) JOIN mb USING (doc_id)
+  WHERE len(tk) >= 10
+    AND CAST(mx AS DOUBLE) / len(tk) <= 0.2
+    AND CAST(mxb AS DOUBLE) / (len(tk) - 1) <= 0.15
+),
+c AS (
+  SELECT doc_id, chunk_id,
+    array_to_string(list_slice(tk, chunk_id * {W} + 1, chunk_id * {W} + {W}), ' ') AS chunk
+  FROM (SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(tk) / {W}.0) AS BIGINT) - 1)) AS chunk_id, tk FROM kept)
+),
+k AS (
+  SELECT doc_id, chunk_id, chunk,
+    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn
+  FROM c
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_chunks,
+    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_id), '') AS text_clean
+  FROM k GROUP BY 1
+)
+SELECT kept.doc_id, coalesce(n_chunks, 0) AS n_chunks, coalesce(n_kept, 0) AS n_kept,
+  coalesce(text_clean, '') AS text_clean
+FROM kept LEFT JOIN agg USING (doc_id)"""
+
+
 def q_pagerank_weighted(sf_dir: str):
     """Weight-proportional PageRank on the weighted lineitem link graph —
     eps=0 + fixed PR_ITERS steps == synchronous power iteration, matching
@@ -2147,6 +2206,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "pii_scrub": (q_pii_scrub, _pii_sql()),
     "repetition_stats": (q_repetition_stats, _repetition_sql()),
     "chunk_dedup": (q_chunk_dedup, _chunk_dedup_sql()),
+    "corpus_clean": (q_corpus_clean, _corpus_clean_sql()),
     "minhash_near_dup": (q_minhash_near_dup, _MINHASH_SQL),
     "simhash_near_dup": (q_simhash_near_dup, _SIMHASH_SQL),
     "ngram_jaccard_near_dup": (q_ngram_jaccard_near_dup, _NGRAMJ_SQL),
@@ -2234,8 +2294,8 @@ _ORDER = [
     "asof_prior_click", "events_hourly", "lineitem_agg", "customer_orders",
     # tier 2 — touched or added in round 4
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
-    "top_user_per_type", "degree_assortativity", "katz", "wcc_star",
-    "pseudo_diameter",
+    "top_user_per_type", "degree_assortativity", "katz", "corpus_clean",
+    "wcc_star", "pseudo_diameter",
     "modularity", "sssp", "extract_pages", "dedup_clusters",
     # tier 3 — remaining oracle-backed
     "edges", "edge_sample", "out_degrees", "degree_topk",

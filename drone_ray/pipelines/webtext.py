@@ -347,3 +347,52 @@ def decontaminate(
         )
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def corpus_clean(
+    docs: Dataset,
+    *,
+    width: int = CHUNK_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_chunks: int | None = None,
+) -> Dataset:
+    """The composed cleaning chain a training-data pipeline actually runs,
+    end-to-end: PII scrub → Gopher repetition gate → corpus-wide chunk
+    dedup. One row per SURVIVING document:
+    (doc_id, n_chunks, n_kept, text_clean).
+
+    Stage shape: the scrub and the gate are per-row functions, so they are
+    FUSED into one stateless map_batches pass (no intermediate shuffle,
+    dropped docs never enter the exchange); the only all-to-all work is
+    chunk_dedup's two bucketed shuffles over the surviving corpus."""
+
+    def scrub_and_gate(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        out_ids, out_txt = [], []
+        for i, t in zip(ids, texts):
+            t, _ = _EMAIL_RE.subn("<EMAIL>", t)
+            t, _ = _IPV4_RE.subn("<IP>", t)
+            t, _ = _PHONE_RE.subn("<PHONE>", t)
+            tk = t.split()
+            nt = len(tk)
+            if nt < 10:
+                continue
+            if max(Counter(tk).values()) / nt > 0.2:
+                continue
+            if max(Counter(zip(tk, tk[1:])).values()) / (nt - 1) > 0.15:
+                continue
+            out_ids.append(i)
+            out_txt.append(t)
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                text_col: pa.array(out_txt, pa.string()),
+            }
+        )
+
+    survivors = docs.map_batches(scrub_and_gate, batch_format="pyarrow", batch_size=None)
+    return chunk_dedup(
+        survivors, width=width, id_col=id_col, text_col=text_col, est_chunks=est_chunks
+    )

@@ -169,3 +169,46 @@ def test_decontaminate_planted():
     assert out.loc[2, "n_shingles"] == 5 and out.loc[2, "n_overlap"] == 2
     assert out.loc[3, "n_overlap"] == 0
     assert out.loc[4, "n_shingles"] == 0 and out.loc[4, "contamination"] == 0.0
+
+
+def test_corpus_clean_composed_chain():
+    """PII is scrubbed before chunking, repetitive/short docs are gated
+    out, and shared boilerplate survives only in the lowest doc_id."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from drone_ray.pipelines.webtext import corpus_clean
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    good = " ".join(f"w{i}" for i in range(40))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    boiler + " " + good,                       # keeps, owns boiler
+                    boiler + " " + good + " extra tokens here",# boiler chunk deduped away
+                    "spam " * 50,                              # top-token frac 1.0 -> gated
+                    "too short",                               # <10 tokens -> gated
+                    "mail me at a.b@example.com " + good,      # pii scrubbed, keeps
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        corpus_clean(rd.from_arrow(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 4]
+    t0, t1, t4 = out["text_clean"].tolist()
+    assert t0.startswith("b0 b1")               # doc 0 keeps the boiler chunk
+    assert not t1.startswith("b0")              # doc 1's copy was deduped
+    assert "<EMAIL>" in t4 and "a.b@example.com" not in t4
+    # doc 1 lost exactly its boiler chunk
+    row1 = out[out.doc_id == 1].iloc[0]
+    assert row1["n_chunks"] - row1["n_kept"] >= 1
