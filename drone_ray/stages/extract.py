@@ -121,8 +121,48 @@ def extract_links(html: str, decode_href: bool = False) -> list[str]:
     return out
 
 
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+# <meta charset="..."> / <meta http-equiv="Content-Type" content="...; charset=...">
+# scanned over the first 1024 ASCII-decoded bytes, per the WHATWG prescan
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I
+)
+
+
+def sniff_decode(payload: bytes) -> str:
+    """Best-effort charset detection + decode for real crawl payloads:
+    BOM first (authoritative per WHATWG), then a <meta charset> prescan of
+    the first 1 KiB, else UTF-8; every path decodes with errors="replace"
+    so malformed bytes cannot fail the pipeline. Opt-in
+    (``charset="sniff"`` on extract_batch) — the byte contract decodes
+    plain UTF-8."""
+    for bom, enc in _BOMS:
+        if payload[: len(bom)] == bom:
+            if enc == "utf-8-sig":  # strips its own BOM
+                return payload.decode(enc, errors="replace")
+            # explicit-endian codecs keep a leading U+FEFF — strip the BOM
+            return payload[len(bom):].decode(enc, errors="replace")
+    m = _META_CHARSET_RE.search(payload[:1024])
+    if m:
+        enc = m.group(1).decode("ascii", errors="replace").lower()
+        try:
+            return payload.decode(enc, errors="replace")
+        except LookupError:  # unknown label → spec fallback
+            pass
+    return payload.decode("utf-8", errors="replace")
+
+
 def extract_batch(
-    batch: pa.Table, entities: str = "basic", decode_href: bool = False
+    batch: pa.Table,
+    entities: str = "basic",
+    decode_href: bool = False,
+    charset: str = "utf8",
 ) -> pa.Table:
     """map_batches body: pages(url, html, ...) → (url, text, links).
 
@@ -136,7 +176,12 @@ def extract_batch(
     texts: list[str] = []
     links: list[list[str]] = []
     for raw in htmls:
-        html = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
+        if isinstance(raw, (bytes, bytearray)):
+            html = sniff_decode(bytes(raw)) if charset == "sniff" else raw.decode(
+                "utf-8", errors="replace"
+            )
+        else:
+            html = raw
         texts.append(extract_text(html, entities))
         links.append(extract_links(html, decode_href))
     return pa.table(

@@ -188,3 +188,34 @@ def test_full_entities_whitespace_collapse_after_decode():
     # whitespace entities participate in the collapse, ends stripped
     html = "<p>&nbsp; a &nbsp;&nbsp; b &nbsp;</p>"
     assert extract_text(html, entities="full") == "a b"
+
+
+def test_charset_sniffing_opt_in():
+    from drone_ray.stages.extract import extract_batch, sniff_decode
+
+    body = "<title>Café</title><p>hello résumé world more tokens</p>"
+    # BOMs are authoritative
+    assert sniff_decode(b"\xef\xbb\xbf" + body.encode("utf-8")) == body
+    assert sniff_decode(b"\xff\xfe" + body.encode("utf-16-le")) == body
+    assert sniff_decode(b"\xfe\xff" + body.encode("utf-16-be")) == body
+    # <meta charset> prescan picks latin-1
+    latin = '<meta charset="iso-8859-1"><title>Café</title>'
+    assert "Café" in sniff_decode(latin.encode("latin-1"))
+    # unknown label falls back to utf-8
+    weird = '<meta charset="no-such-enc"><p>plain ascii</p>'
+    assert "plain ascii" in sniff_decode(weird.encode("ascii"))
+    # no marker: utf-8 with replacement, never raises
+    assert sniff_decode(b"\xff\xfa broken") != ""
+
+    # batch plumbing: charset="sniff" decodes a UTF-16 page; the default
+    # (byte contract) mangles it
+    t = pa.table(
+        {
+            "url": pa.array(["https://x.example/a"]),
+            "html": pa.array([b"\xff\xfe" + body.encode("utf-16-le")], pa.binary()),
+        }
+    )
+    sniffed = extract_batch(t, charset="sniff")["text"].to_pylist()[0]
+    assert sniffed == "Café\nhello résumé world more tokens"
+    default = extract_batch(t)["text"].to_pylist()[0]
+    assert default != sniffed
