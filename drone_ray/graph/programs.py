@@ -766,6 +766,190 @@ class HITS(VertexProgram):
 
 
 # ---------------------------------------------------------------------------
+class BetweennessCentrality(VertexProgram):
+    """Betweenness centrality over ``sources`` (exact when sources = all
+    vertices; the standard sampled approximation otherwise) — Brandes'
+    algorithm (public: Brandes 2001) expressed as layered supersteps on the
+    dualview layout:
+
+      forward  (per source)  BFS layers settle distance d and shortest-path
+                             counts σ: one superstep per layer, new settlers
+                             push σ along FWD edges, sum-combine delivers
+                             σ(v) = Σ_{u→v, d(u)=d(v)-1} σ(u). Strictly
+                             one-hop (no local fixpoint) — layer synchrony
+                             is what makes the σ sums exact.
+      backward (per source)  dependencies δ(v) = Σ_{v→w, d(w)=d(v)+1}
+                             (σ(v)/σ(w))·(1+δ(w)) accumulate layer by
+                             layer from L_max down: the layer-L settlers
+                             push (1+δ)/σ along REV edges; a receiver
+                             applies σ(v)·msg only when d(v) = L-1 (the
+                             layer check drops non-tree edges, which the
+                             sum-combine necessarily carried).
+      bc(v) += δ(v) after each source; sources run sequentially inside ONE
+      program run so the accumulator never leaves the actors.
+
+    Global coordination (forward-frontier death, frozen L_max) rides the
+    driver-feedback channel, like HITS' normalizer and SCC's phases. Every
+    actor advances the same deterministic state machine from the same
+    feedback, so phase transitions are globally synchronous. Emits raw
+    directed pair-dependency sums (no normalization) — rescale by
+    n/len(sources) for the sampled estimator. Extension beyond the
+    reference, same plugin surface
+    (/root/reference/src/protobuf/worker_service.proto:11-22)."""
+
+    default_direction = "dualview"
+    channels = ()  # generic route() on both views
+    sender_precombine = False
+    wants_feedback = True
+    checkpointable = False  # multi-phase aux machine not checkpoint-stable
+
+    def __init__(self, sources: list[int]):
+        self.sources = [int(s) for s in sources]
+        if not self.sources:
+            raise ValueError("BetweennessCentrality needs at least one source")
+
+    @classmethod
+    def reduce_feedback(cls, step_metrics: list[dict]) -> dict:
+        return {
+            "any_new": int(sum(m.get("new_settled", 0) for m in step_metrics)),
+            "Lmax": int(max((m.get("max_layer", -1) for m in step_metrics), default=-1)),
+        }
+
+    @classmethod
+    def should_stop(cls, step_metrics, step) -> bool:
+        return any(m.get("done") for m in step_metrics)
+
+    def init_state(self, g):
+        if not hasattr(g, "rev_view"):
+            raise ValueError(
+                "BetweennessCentrality needs both adjacency directions — run "
+                "on a dual layout with direction='dualview'"
+            )
+        return {
+            "bc": np.zeros(g.n),
+            "d": np.full(g.n, -1, np.int64),
+            "sigma": np.zeros(g.n),
+            "delta": np.zeros(g.n),
+            "aux": {"sidx": 0, "phase": "fwd", "flayer": 0, "Lmax": -1, "push_layer": -1},
+        }
+
+    # -- helpers ------------------------------------------------------------
+    def _seed(self, g, st) -> Messages:
+        """Settle the current source at layer 0 and push σ=1 one hop."""
+        a = st["aux"]
+        s = self.sources[a["sidx"]]
+        a["phase"] = "fwd"
+        a["flayer"] = 0
+        a["Lmax"] = -1
+        a["push_layer"] = -1
+        st["d"].fill(-1)
+        st["sigma"].fill(0.0)
+        st["delta"].fill(0.0)
+        idx = np.searchsorted(g.owned, s)
+        if idx < g.n and g.owned[idx] == s:
+            st["d"][idx] = 0
+            st["sigma"][idx] = 1.0
+            dsts, vals = g.push(np.array([idx]), st["sigma"][idx : idx + 1])
+            return _msgs(dsts, vals)
+        return None
+
+    def _finish_source(self, g, st):
+        """bc += δ for every settled non-source vertex, then advance."""
+        a = st["aux"]
+        settled = st["d"] >= 1  # excludes the source (layer 0) and unreached
+        st["bc"][settled] += st["delta"][settled]
+        a["sidx"] += 1
+
+    def peval(self, g, st):
+        msgs = self._seed(g, st)
+        n_local = int(np.count_nonzero(st["d"] == 0))
+        # max_layer is the actor's RUNNING max settled layer: feedback only
+        # carries the last step's metrics, and the frozen global L_max at
+        # the phase transition must cover the whole forward phase
+        return msgs, {
+            "new_settled": n_local,
+            "max_layer": int(st["d"].max()) if g.n else -1,
+            "edges": 0,
+            "done": False,
+        }
+
+    def inceval(self, g, st, inbound):
+        a = st["aux"]
+        fb = a.get("feedback") or {}  # injected by the actor each step
+        li = vals = None
+        if inbound is not None:
+            li = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
+            vals = inbound["val"]
+
+        if a["phase"] == "fwd":
+            if int(fb.get("any_new", 1)) == 0:
+                # frontier died globally last step → backward phase begins
+                a["phase"] = "bwd"
+                a["Lmax"] = int(fb.get("Lmax", 0))
+                a["push_layer"] = a["Lmax"]
+                return self._bwd_push_or_finish(g, st)
+            a["flayer"] += 1
+            new = np.empty(0, np.int64)
+            if li is not None:
+                fresh = st["d"][li] < 0
+                new = li[fresh]
+                st["d"][new] = a["flayer"]
+                st["sigma"][new] = vals[fresh]
+            msgs = None
+            sent = 0
+            if new.size:
+                dsts, v = g.push(new, st["sigma"][new])
+                msgs = _msgs(dsts, v)
+                sent = int(v.size)
+            return msgs, {
+                "new_settled": int(new.size),
+                "max_layer": int(st["d"].max()) if g.n else -1,
+                "edges": sent,
+                "done": False,
+            }
+
+        # backward phase: inbound carries Σ (1+δ(w))/σ(w) from layer
+        # push_layer+1 pushers (recorded before decrement last step)
+        if li is not None:
+            accept = st["d"][li] == a["push_layer"]  # receivers one layer down
+            tgt = li[accept]
+            st["delta"][tgt] += st["sigma"][tgt] * vals[accept]
+        return self._bwd_push_or_finish(g, st)
+
+    def _bwd_push_or_finish(self, g, st):
+        a = st["aux"]
+        layer = a["push_layer"]
+        if layer >= 1:
+            rows = np.flatnonzero(st["d"] == layer)
+            msgs = None
+            sent = 0
+            if rows.size:
+                contrib = (1.0 + st["delta"][rows]) / st["sigma"][rows]
+                dsts, v = g.rev_view.push(rows, contrib)
+                msgs = _msgs(dsts, v)
+                sent = int(v.size)
+            a["push_layer"] = layer - 1
+            return msgs, {"new_settled": 0, "max_layer": -1, "edges": sent, "done": False}
+        # push_layer < 1: source done (layer-1 pushes were applied above)
+        self._finish_source(g, st)
+        if a["sidx"] >= len(self.sources):
+            return None, {"new_settled": 0, "max_layer": -1, "edges": 0, "done": True}
+        msgs = self._seed(g, st)
+        n_local = int(np.count_nonzero(st["d"] == 0))
+        return msgs, {
+            "new_settled": n_local,
+            "max_layer": int(st["d"].max()) if g.n else -1,
+            "edges": 0,
+            "done": False,
+        }
+
+    def emit(self, g, st):
+        return pa.table(
+            {"vid": pa.array(g.owned, pa.int64()), "bc": pa.array(st["bc"], pa.float64())}
+        )
+
+
+# ---------------------------------------------------------------------------
 class KCore(VertexProgram):
     """k-core membership by synchronous peeling over the symmetrized view.
 

@@ -323,3 +323,47 @@ def katz_oracle(
         np.add.at(acc, d, x[s])
         x = alpha * acc + (1.0 - alpha)
     return vids, x
+
+
+def betweenness_oracle(src: np.ndarray, dst: np.ndarray, sources):
+    """Dense Brandes (2001) over the deduped directed graph for the given
+    source set: raw pair-dependency sums, unnormalized. Returns
+    dict vid -> bc."""
+    from collections import deque
+
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    n = vids.size
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in zip(s.tolist(), d.tolist()):
+        adj[a].append(b)
+    vid_to_i = {int(v): i for i, v in enumerate(vids)}
+    bc = np.zeros(n)
+    for sv in sources:
+        if int(sv) not in vid_to_i:
+            continue
+        si = vid_to_i[int(sv)]
+        dist = np.full(n, -1, np.int64)
+        sigma = np.zeros(n)
+        dist[si] = 0
+        sigma[si] = 1.0
+        order = []
+        q = deque([si])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = np.zeros(n)
+        for u in reversed(order):
+            for w in adj[u]:
+                if dist[w] == dist[u] + 1:
+                    delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+            if u != si:
+                bc[u] += delta[u]
+    return {int(vids[i]): float(bc[i]) for i in range(n)}

@@ -20,6 +20,7 @@ from drone_ray.graph.programs import (
     HITS,
     SCC,
     SSSP,
+    BetweennessCentrality,
     IncrementalPageRank,
     ConnectedComponents,
     Coreness,
@@ -316,6 +317,23 @@ def sssp(
     m = graph_for(edges_factory, cache_key, num_partitions, hub_threshold=hub_threshold,
                   ownership=ownership)
     return _run(m, SSSP, {"source": source}, direction=direction, **harness_kwargs)
+
+
+def betweenness(
+    edges_factory,
+    cache_key: str,
+    sources: list[int],
+    num_partitions: int = 8,
+    max_steps: int = 2000,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Betweenness centrality over ``sources`` (sampled Brandes;
+    programs.BetweennessCentrality). Raw directed pair-dependency sums —
+    multiply by n/len(sources) for the sampled estimator. Runs on the
+    dualview layout (no hub splitting). Steps ≈ Σ_s 2·ecc(s) + 3."""
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    return _run(m, BetweennessCentrality, {"sources": sources},
+                direction="dualview", max_steps=max_steps, **harness_kwargs)
 
 
 def katz_centrality(

@@ -680,6 +680,31 @@ def q_top_user_per_type(sf_dir: str):
     return group_argmax_count(ev, "event_type", "user_id")
 
 
+BC_SOURCE_MOD = 149  # deterministic sampled-source set {v : v % 149 == 0}
+BC_ORACLE_CAP = 25  # forward-walk depth cap in _BC_SQL; >> graph ecc at gate sfs
+
+
+def q_betweenness(sf_dir: str):
+    """Sampled-Brandes betweenness (layered forward σ / backward δ
+    supersteps on dualview actors) from the deterministic source set
+    {v : v % BC_SOURCE_MOD == 0}. Raw pair-dependency sums rounded to 6
+    decimals. Not SQL-expressible (layered path counting + backward
+    dependency recursion) — conformance gate is the dense Brandes oracle
+    in tests/test_betweenness.py."""
+    from drone_ray.pipelines.analytics import betweenness
+
+    sources = [v for v in range(M) if v % BC_SOURCE_MOD == 0]
+    t = betweenness(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), sources, GRAPH_PARTITIONS
+    ).to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "bc": pa.array(np.round(t["bc"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def q_corpus_clean(sf_dir: str):
     """The composed training-data cleaning chain (webtext.corpus_clean):
     PII scrub → Gopher repetition gate → corpus-wide chunk dedup, one row
@@ -1570,6 +1595,54 @@ kz AS (
 SELECT vid, round(score, 9) AS score FROM kz WHERE iter = {KATZ_ITERS}
 """
 
+# Betweenness: Brandes in layered SQL. Forward: `walk` counts paths of
+# length exactly d per (source, vid) — one aggregated recursion step per
+# layer (the _PR_SQL shape), capped at BC_ORACLE_CAP; σ(v) = the count at
+# d = min(d), since shortest paths cannot contain cycles. Backward: `del_`
+# iterates layers DOWNWARD per source (each recursion step turns layer-l
+# δ rows into layer-(l-1) rows; a source with a smaller eccentricity just
+# exhausts earlier). A too-small cap can only FAIL the compare loudly
+# (the oracle would miss vertices the engine reaches), never silently
+# pass. σ values are exact integers in float64 (path counts ≪ 2^53 at the
+# gate sfs); δ is rounded after the full sum, like the PageRank oracle.
+_BC_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+srcs AS (SELECT vid AS s FROM vtx WHERE vid % {BC_SOURCE_MOD} = 0),
+walk(s, vid, d, sigma) AS (
+  SELECT s, s, 0, CAST(1 AS DOUBLE) FROM srcs
+  UNION ALL
+  SELECT w.s, e.dst, w.d + 1, sum(w.sigma)
+  FROM walk w JOIN e ON e.src = w.vid
+  WHERE w.d < {BC_ORACLE_CAP}
+  GROUP BY w.s, e.dst, w.d + 1
+),
+dist AS (SELECT s, vid, min(d) AS d FROM walk GROUP BY 1, 2),
+sig AS (
+  SELECT w.s, w.vid, w.d, w.sigma
+  FROM walk w JOIN dist dd ON dd.s = w.s AND dd.vid = w.vid AND dd.d = w.d
+),
+mx AS (SELECT s, max(d) AS mx FROM dist GROUP BY 1),
+del_(s, vid, d, delta) AS (
+  SELECT m.s, d0.vid, d0.d, CAST(0 AS DOUBLE)
+  FROM mx m JOIN dist d0 ON d0.s = m.s AND d0.d = m.mx
+  UNION ALL
+  SELECT prev.s, prev.vid, prev.d,
+         sum(CASE WHEN e.src IS NOT NULL
+                  THEN sv.sigma / sw.sigma * (1 + dl.delta) ELSE 0 END)
+  FROM del_ dl
+  JOIN dist prev ON prev.s = dl.s AND prev.d = dl.d - 1
+  LEFT JOIN e ON e.src = prev.vid AND e.dst = dl.vid
+  LEFT JOIN sig sv ON sv.s = prev.s AND sv.vid = prev.vid
+  LEFT JOIN sig sw ON sw.s = dl.s AND sw.vid = dl.vid
+  GROUP BY prev.s, prev.vid, prev.d
+),
+bcv AS (SELECT vid, sum(delta) AS bc FROM del_ WHERE d >= 1 GROUP BY 1)
+SELECT v.vid, round(coalesce(b.bc, 0.0), 6) AS bc
+FROM vtx v LEFT JOIN bcv b ON b.vid = v.vid
+"""
+
 _QUANTILES_SQL = (
     "WITH n AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
     f"len({_TOKENS_SQL}) END AS v FROM documents) "
@@ -2169,6 +2242,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     # greatest-fixpoint removal cascade — not monotone, not CTE-expressible;
     # pytest brute-force oracle instead (tests/test_simulation.py)
     "graph_simulation": (q_graph_simulation, None),
+    "betweenness": (q_betweenness, _BC_SQL),
     "pagerank_pages": (q_pagerank_pages, None),  # vids are custom url hashes
     "pagerank_pages_hostloc": (q_pagerank_pages_hostloc, None),  # host-partitioned
     "extract_pages": (q_extract_pages, _EXTRACT_PAGES_SQL),
@@ -2295,7 +2369,7 @@ _ORDER = [
     # tier 2 — touched or added in round 4
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "degree_assortativity", "katz", "corpus_clean",
-    "wcc_star", "pseudo_diameter",
+    "betweenness", "wcc_star", "pseudo_diameter",
     "modularity", "sssp", "extract_pages", "dedup_clusters",
     # tier 3 — remaining oracle-backed
     "edges", "edge_sample", "out_degrees", "degree_topk",

@@ -1,0 +1,62 @@
+"""Sampled-Brandes betweenness on the dualview superstep engine vs a dense
+Brandes oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+from drone_ray.oracles import betweenness_oracle
+from drone_ray.pipelines.analytics import betweenness
+from tests.graphs import ba_powerlaw
+
+
+def _ds(src, dst):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"src": np.asarray(src, np.int64), "dst": np.asarray(dst, np.int64)}))
+
+
+def _check(src, dst, sources, key, P=3):
+    res = betweenness(lambda: _ds(src, dst), key, sources, num_partitions=P)
+    t = res.to_table()
+    got = dict(zip(t["vid"].to_pylist(), t["bc"].to_pylist()))
+    exp = betweenness_oracle(src, dst, sources)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, f"vid {v}: {got[v]} != {exp[v]}"
+
+
+def test_betweenness_chain():
+    # path graph: interior vertices carry all the centrality
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4], dtype=np.int64)
+    _check(src, dst, [0, 1, 2, 3, 4], "bc_chain_v1", P=2)
+
+
+def test_betweenness_diamond_split_paths():
+    # two shortest paths 0->3: sigma/delta fractions must split correctly
+    src = np.array([0, 0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 3, 4], dtype=np.int64)
+    _check(src, dst, [0], "bc_diamond_v1", P=2)
+
+
+def test_betweenness_random_sampled_sources():
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 80, 400).astype(np.int64)
+    dst = rng.integers(0, 80, 400).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    sources = [0, 7, 13, 42]
+    _check(src, dst, sources, "bc_rand_v1", P=3)
+
+
+def test_betweenness_powerlaw_all_sources_exact():
+    src, dst = ba_powerlaw(n=60, m=2, seed=9)
+    sources = sorted(set(np.concatenate([src, dst]).tolist()))
+    _check(src, dst, sources, "bc_ba_exact_v1", P=3)
+
+
+def test_betweenness_missing_and_isolated_sources():
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 2], dtype=np.int64)
+    # 99 not in the graph; 2 has no out-edges — both must no-op gracefully
+    _check(src, dst, [0, 2, 99], "bc_edge_v1", P=2)
