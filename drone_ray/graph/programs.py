@@ -950,6 +950,94 @@ class BetweennessCentrality(VertexProgram):
 
 
 # ---------------------------------------------------------------------------
+class HarmonicCentrality(VertexProgram):
+    """Sampled harmonic centrality: H(v) = Σ_{s ∈ sources, d(s,v) ≥ 1}
+    1/d(s,v) — the forward (layered BFS) half of the Brandes machinery
+    with no σ bookkeeping: each source's frontier settles one layer per
+    superstep, the driver-feedback channel signals global frontier death,
+    the accumulator adds the reciprocal distances and the next source
+    seeds. Exact when sources = all vertices; n/|sources| rescales the
+    sample. Extension beyond the reference, same plugin surface."""
+
+    default_direction = "fwd"
+    channels = ()  # generic route(): one-hop pushes, no local fixpoint
+    sender_precombine = False
+    wants_feedback = True
+    checkpointable = False
+
+    def __init__(self, sources: list[int]):
+        self.sources = [int(s) for s in sources]
+        if not self.sources:
+            raise ValueError("HarmonicCentrality needs at least one source")
+
+    @classmethod
+    def reduce_feedback(cls, step_metrics: list[dict]) -> dict:
+        return {"any_new": int(sum(m.get("new_settled", 0) for m in step_metrics))}
+
+    @classmethod
+    def should_stop(cls, step_metrics, step) -> bool:
+        return any(m.get("done") for m in step_metrics)
+
+    def init_state(self, g):
+        return {
+            "harm": np.zeros(g.n),
+            "d": np.full(g.n, -1, np.int64),
+            "aux": {"sidx": 0, "flayer": 0},
+        }
+
+    def _seed(self, g, st):
+        a = st["aux"]
+        s = self.sources[a["sidx"]]
+        a["flayer"] = 0
+        st["d"].fill(-1)
+        idx = np.searchsorted(g.owned, s)
+        n_local = 0
+        msgs = None
+        if idx < g.n and g.owned[idx] == s:
+            st["d"][idx] = 0
+            n_local = 1
+            dsts, vals = g.push(np.array([idx]), np.ones(1))
+            msgs = _msgs(dsts, vals)
+        return msgs, {"new_settled": n_local, "edges": 0, "done": False}
+
+    def peval(self, g, st):
+        return self._seed(g, st)
+
+    def inceval(self, g, st, inbound):
+        a = st["aux"]
+        fb = a.get("feedback") or {}
+        if int(fb.get("any_new", 1)) == 0:
+            # frontier died globally: accumulate reciprocals, next source
+            settled = st["d"] >= 1
+            st["harm"][settled] += 1.0 / st["d"][settled]
+            a["sidx"] += 1
+            if a["sidx"] >= len(self.sources):
+                return None, {"new_settled": 0, "edges": 0, "done": True}
+            return self._seed(g, st)
+        a["flayer"] += 1
+        new = np.empty(0, np.int64)
+        if inbound is not None:
+            li = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
+            new = li[st["d"][li] < 0]
+            st["d"][new] = a["flayer"]
+        msgs = None
+        sent = 0
+        if new.size:
+            dsts, v = g.push(new, np.ones(new.size))
+            msgs = _msgs(dsts, v)
+            sent = int(v.size)
+        return msgs, {"new_settled": int(new.size), "edges": sent, "done": False}
+
+    def emit(self, g, st):
+        return pa.table(
+            {
+                "vid": pa.array(g.owned, pa.int64()),
+                "harmonic": pa.array(st["harm"], pa.float64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
 class KCore(VertexProgram):
     """k-core membership by synchronous peeling over the symmetrized view.
 

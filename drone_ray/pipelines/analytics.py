@@ -21,6 +21,7 @@ from drone_ray.graph.programs import (
     SCC,
     SSSP,
     BetweennessCentrality,
+    HarmonicCentrality,
     IncrementalPageRank,
     ConnectedComponents,
     Coreness,
@@ -334,6 +335,21 @@ def betweenness(
     m = graph_for(edges_factory, cache_key, num_partitions)
     return _run(m, BetweennessCentrality, {"sources": sources},
                 direction="dualview", max_steps=max_steps, **harness_kwargs)
+
+
+def harmonic_centrality(
+    edges_factory,
+    cache_key: str,
+    sources: list[int],
+    num_partitions: int = 8,
+    max_steps: int = 2000,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Sampled harmonic centrality H(v) = Σ_s 1/d(s, v) (programs.
+    HarmonicCentrality) — the forward half of the Brandes machinery."""
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    return _run(m, HarmonicCentrality, {"sources": sources},
+                direction="fwd", max_steps=max_steps, **harness_kwargs)
 
 
 def katz_centrality(

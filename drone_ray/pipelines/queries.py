@@ -705,6 +705,25 @@ def q_betweenness(sf_dir: str):
     )
 
 
+def q_harmonic(sf_dir: str):
+    """Sampled harmonic centrality from {v : v % BC_SOURCE_MOD == 0} —
+    shares the layered-BFS machinery and the source set with
+    q_betweenness; oracle = reciprocal sum over the capped walk's min
+    distances."""
+    from drone_ray.pipelines.analytics import harmonic_centrality
+
+    sources = [v for v in range(M) if v % BC_SOURCE_MOD == 0]
+    t = harmonic_centrality(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), sources, GRAPH_PARTITIONS
+    ).to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "harmonic": pa.array(np.round(t["harmonic"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def q_corpus_clean(sf_dir: str):
     """The composed training-data cleaning chain (webtext.corpus_clean):
     PII scrub → Gopher repetition gate → corpus-wide chunk dedup, one row
@@ -1643,6 +1662,26 @@ SELECT v.vid, round(coalesce(b.bc, 0.0), 6) AS bc
 FROM vtx v LEFT JOIN bcv b ON b.vid = v.vid
 """
 
+# Harmonic centrality: same capped UNION-dedup walk as the SSSP oracle,
+# multi-source (the source rides as a column through the recursion);
+# H(v) = Σ_s 1/min_d. Cap soundness as in _BC_SQL: truncation fails loudly.
+_HARMONIC_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+srcs AS (SELECT vid AS s FROM vtx WHERE vid % {BC_SOURCE_MOD} = 0),
+walk(s, vid, d) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.vid
+  WHERE w.d < {BC_ORACLE_CAP}
+),
+dist AS (SELECT s, vid, min(d) AS d FROM walk GROUP BY 1, 2),
+h AS (SELECT vid, sum(1.0 / d) AS harmonic FROM dist WHERE d >= 1 GROUP BY 1)
+SELECT v.vid, round(coalesce(h.harmonic, 0.0), 6) AS harmonic
+FROM vtx v LEFT JOIN h ON h.vid = v.vid
+"""
+
 _QUANTILES_SQL = (
     "WITH n AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
     f"len({_TOKENS_SQL}) END AS v FROM documents) "
@@ -2243,6 +2282,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     # pytest brute-force oracle instead (tests/test_simulation.py)
     "graph_simulation": (q_graph_simulation, None),
     "betweenness": (q_betweenness, _BC_SQL),
+    "harmonic": (q_harmonic, _HARMONIC_SQL),
     "pagerank_pages": (q_pagerank_pages, None),  # vids are custom url hashes
     "pagerank_pages_hostloc": (q_pagerank_pages_hostloc, None),  # host-partitioned
     "extract_pages": (q_extract_pages, _EXTRACT_PAGES_SQL),
@@ -2369,7 +2409,7 @@ _ORDER = [
     # tier 2 — touched or added in round 4
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "degree_assortativity", "katz", "corpus_clean",
-    "betweenness", "wcc_star", "pseudo_diameter",
+    "betweenness", "harmonic", "wcc_star", "pseudo_diameter",
     "modularity", "sssp", "extract_pages", "dedup_clusters",
     # tier 3 — remaining oracle-backed
     "edges", "edge_sample", "out_degrees", "degree_topk",

@@ -60,3 +60,29 @@ def test_betweenness_missing_and_isolated_sources():
     dst = np.array([1, 2], dtype=np.int64)
     # 99 not in the graph; 2 has no out-edges — both must no-op gracefully
     _check(src, dst, [0, 2, 99], "bc_edge_v1", P=2)
+
+
+def test_harmonic_vs_bfs_oracle():
+    from drone_ray.oracles import bfs_oracle
+    from drone_ray.pipelines.analytics import harmonic_centrality
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 60, 300).astype(np.int64)
+    dst = rng.integers(0, 60, 300).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    sources = [0, 5, 11, 40]
+    res = harmonic_centrality(lambda: _ds(src, dst), "harm_rand_v1", sources, num_partitions=3)
+    t = res.to_table()
+    got = dict(zip(t["vid"].to_pylist(), t["harmonic"].to_pylist()))
+    vids = set(np.concatenate([src, dst]).tolist())
+    exp = {int(v): 0.0 for v in vids}
+    for s in sources:
+        if s not in vids:
+            continue
+        for v, d in bfs_oracle(src, dst, s).items():
+            if d >= 1:
+                exp[v] += 1.0 / d
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, f"vid {v}"
