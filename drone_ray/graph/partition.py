@@ -104,6 +104,21 @@ def _spill_vid_candidates(
         )
 
 
+def _check_weights(w: np.ndarray) -> None:
+    """Weighted programs assume nonnegative finite weights: the monotone
+    frontier relaxation (WeightedSSSP) does not terminate/stay-correct with
+    negative edges, and w/W transitions (WeightedPageRank) need W > 0.
+    Reject at BUILD time — a wrong answer later would be silent."""
+    if w.size and (not np.isfinite(w).all() or (w < 0).any()):
+        bad = w[~np.isfinite(w) | (w < 0)][:3]
+        raise ValueError(
+            f"edge weights must be finite and >= 0; found {bad.tolist()} — "
+            "negative-weight shortest paths need a different algorithm "
+            "(Bellman-Ford with cycle detection), not this engine's "
+            "monotone relaxation"
+        )
+
+
 def _tag_edges_dual(
     batch: pa.Table,
     P: int,
@@ -144,6 +159,7 @@ def _tag_edges_dual(
     }
     if wcol is not None:
         w = batch[wcol].to_numpy(zero_copy_only=False).astype(np.float64)
+        _check_weights(w)
         cols["w"] = pa.array(np.concatenate([w, w]), pa.float64())
     return pa.table(cols)
 
@@ -183,6 +199,7 @@ def _tag_edges_spill_vids(
         "part": pa.array(part, pa.int32()),
     }
     if wcol is not None:
+        _check_weights(batch[wcol].to_numpy(zero_copy_only=False).astype(np.float64))
         cols["w"] = batch[wcol].cast(pa.float64())
     return pa.table(cols)
 

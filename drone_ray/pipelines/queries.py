@@ -967,8 +967,11 @@ def q_quality(sf_dir: str):
 def q_minhash_near_dup(sf_dir: str):
     from drone_ray.pipelines.dedup import minhash_near_dups
 
+    # footer-metadata doc count feeds the adaptive band-shuffle fan-out
     return minhash_near_dups(
-        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.5,
+        est_docs=_parquet_rows(sf_dir, "documents"),
     )
 
 

@@ -110,3 +110,13 @@ def test_weighted_sssp_zero_weights_ok():
     dst = np.array([1, 2, 3], dtype=np.int64)
     w = np.array([0.0, 0.0, 2.0])
     _check(src, dst, w, "wsssp_zero_v1", 0, num_partitions=2)
+
+
+def test_negative_weights_rejected_at_build():
+    import pytest
+
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 2], dtype=np.int64)
+    w = np.array([1.0, -2.0])
+    with pytest.raises(Exception, match="finite and >= 0"):
+        sssp_weighted(lambda: _ds(src, dst, w), "wsssp_neg_v1", 0, num_partitions=2)
