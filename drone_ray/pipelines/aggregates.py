@@ -99,13 +99,14 @@ def group_argmax_count(
     group_col: str,
     item_col: str,
     num_buckets: int | None = None,
+    k: int = 1,
 ) -> Dataset:
-    """Per group, the item with the MOST rows — (group, item, n) with ties
-    broken to the smallest item (deterministic, SQL QUALIFY-expressible).
-    Key columns may be int or string.
+    """Per group, the ``k`` items with the MOST rows — (group, item, n),
+    count-descending with ties broken to the smallest item (deterministic,
+    SQL QUALIFY-expressible). Key columns may be int or string.
 
     Two bucketed reduces: exact (group, item) counts in hash(group, item)
-    buckets, then per-group arg-max in hash(group) buckets. Both stages
+    buckets, then per-group top-k in hash(group) buckets. Both stages
     pre-aggregate inside map_batches, so shuffle volume is bounded by
     distinct (group, item) pairs, not input rows."""
     num_buckets = num_buckets or adaptive_buckets(None, floor=32)
@@ -129,11 +130,11 @@ def group_argmax_count(
         return out
 
     def argmax_group(gdf: pd.DataFrame) -> pd.DataFrame:
-        # max count per group, ties to smallest item
+        # top-k counts per group, ties to smallest item
         o = gdf.sort_values(
             [group_col, "n", item_col], ascending=[True, False, True], kind="mergesort"
         )
-        win = o.drop_duplicates(subset=[group_col], keep="first")
+        win = o.groupby(group_col, sort=False).head(k)
         return win[[group_col, item_col, "n"]]
 
     return (
@@ -142,4 +143,48 @@ def group_argmax_count(
         .map_groups(sum_pairs, batch_format="pandas")
         .groupby("_b2")
         .map_groups(argmax_group, batch_format="pandas")
+    )
+
+
+def group_count_distinct(
+    ds: Dataset,
+    group_col: str,
+    item_col: str,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """(group, n_distinct) — EXACT distinct-item count per group, the
+    count(DISTINCT x) GROUP BY primitive. Per-batch (group, item) dedup →
+    hash(group, item) buckets finish the global pair dedup and emit
+    per-group partial counts → hash(group) buckets sum. Shuffle volume is
+    bounded by distinct pairs; the exact counterpart of the HLL sketch
+    (textstats.vocabulary_hll) for when cardinalities fit."""
+    num_buckets = num_buckets or adaptive_buckets(None, floor=32)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.select([group_col, item_col]).to_pandas().drop_duplicates()
+        with np.errstate(over="ignore"):
+            h = (
+                _col_hash(df[group_col].to_numpy()) * np.uint64(0x9E3779B97F4A7C15)
+                + _col_hash(df[item_col].to_numpy())
+            ) % np.uint64(num_buckets)
+        df = df.assign(_b=h.astype(np.int64))
+        return df
+
+    def count_bucket(gdf: pd.DataFrame) -> pd.DataFrame:
+        d = gdf.drop_duplicates(subset=[group_col, item_col])
+        out = d.groupby(group_col, sort=False).size().reset_index(name="n_distinct")
+        out["_b2"] = (
+            _col_hash(out[group_col].to_numpy()) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    def sum_group(gdf: pd.DataFrame) -> pd.DataFrame:
+        return gdf.groupby(group_col, sort=False)["n_distinct"].sum().reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(count_bucket, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(sum_group, batch_format="pandas")
     )

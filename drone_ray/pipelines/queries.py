@@ -633,6 +633,40 @@ def q_katz(sf_dir: str):
     )
 
 
+TOPK_USERS = 3
+
+
+def q_top3_users_per_type(sf_dir: str):
+    """Per event_type, the 3 most active users (count desc, ties to the
+    smallest user_id) — group_argmax_count's k>1 path."""
+    from drone_ray.pipelines.aggregates import group_argmax_count
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return group_argmax_count(ev, "event_type", "user_id", k=TOPK_USERS)
+
+
+_TOP3_USER_SQL = (
+    "SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2 "
+    "QUALIFY row_number() OVER (PARTITION BY event_type "
+    f"ORDER BY count(*) DESC, user_id) <= {TOPK_USERS}"
+)
+
+
+def q_users_per_type(sf_dir: str):
+    """count(DISTINCT user_id) per event_type — the exact bucketed
+    distinct-pair reduce (aggregates.group_count_distinct)."""
+    from drone_ray.pipelines.aggregates import group_count_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return group_count_distinct(ev, "event_type", "user_id")
+
+
+_USERS_PER_TYPE_SQL = (
+    "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+    "FROM events GROUP BY 1"
+)
+
+
 def q_degree_assortativity(sf_dir: str):
     """Out-in degree assortativity (Newman 2002) — distributed two-hop
     degree attach + per-bucket moment rows; oracle is plain SQL corr()."""
@@ -2279,6 +2313,8 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "pagerank_weighted": (q_pagerank_weighted, _PR_W_SQL),
     "doc_length_quantiles": (q_doc_length_quantiles, _QUANTILES_SQL),
     "top_user_per_type": (q_top_user_per_type, _TOP_USER_SQL),
+    "top3_users_per_type": (q_top3_users_per_type, _TOP3_USER_SQL),
+    "users_per_type": (q_users_per_type, _USERS_PER_TYPE_SQL),
     "degree_assortativity": (q_degree_assortativity, _ASSORT_SQL),
     "katz": (q_katz, _KATZ_SQL),
     # greatest-fixpoint removal cascade — not monotone, not CTE-expressible;
@@ -2411,7 +2447,8 @@ _ORDER = [
     "asof_prior_click", "events_hourly", "lineitem_agg", "customer_orders",
     # tier 2 — touched or added in round 4
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
-    "top_user_per_type", "degree_assortativity", "katz", "corpus_clean",
+    "top_user_per_type", "top3_users_per_type", "users_per_type",
+    "degree_assortativity", "katz", "corpus_clean",
     "betweenness", "harmonic", "wcc_star", "pseudo_diameter",
     "modularity", "sssp", "extract_pages", "dedup_clusters",
     # tier 3 — remaining oracle-backed

@@ -62,3 +62,41 @@ def test_group_argmax_count_int_and_string_keys():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_group_topk_and_count_distinct():
+    from drone_ray.pipelines.aggregates import group_count_distinct
+
+    rng = np.random.default_rng(4)
+    n = 20_000
+    g = rng.integers(0, 5, n)
+    it = rng.integers(0, 30, n).astype(np.int64)
+    types = np.array(["a", "b", "c", "d", "e"])
+    df = pd.DataFrame({"t": types[g], "u": it})
+    ds = _ds(pa.Table.from_pandas(df))
+
+    # top-3 per group
+    out = (
+        group_argmax_count(ds, "t", "u", k=3)
+        .to_pandas()
+        .sort_values(["t", "n", "u"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    counts = df.groupby(["t", "u"]).size().reset_index(name="n")
+    exp = (
+        counts.sort_values(["t", "n", "u"], ascending=[True, False, True])
+        .groupby("t", sort=False)
+        .head(3)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+    # exact distinct counts
+    got = (
+        group_count_distinct(ds, "t", "u")
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    expd = df.groupby("t")["u"].nunique().reset_index(name="n_distinct")
+    pd.testing.assert_frame_equal(got, expd, check_dtype=False)
