@@ -165,6 +165,7 @@ def run_vertex_program(
 
     start_step = 0
     resumed = False
+    resume_feedback = None
     if checkpoint_dir and resume:
         latest = _latest_checkpoint(checkpoint_dir)
         if latest is not None:
@@ -177,6 +178,16 @@ def run_vertex_program(
                 and ck.get("graph_token") == manifest.content_token
                 and ck.get("direction") == direction
             ):
+                if getattr(program_cls, "wants_feedback", False):
+                    if "feedback" not in ck:
+                        raise ValueError(
+                            f"checkpoint step={latest} predates driver-feedback "
+                            "persistence; a resumed feedback program would run "
+                            "with a stale global scalar — pass resume=False"
+                        )
+                    # the reduced feedback for step latest+1 (from step
+                    # latest's metrics), persisted at checkpoint commit
+                    resume_feedback = ck["feedback"]
                 ray.get([a.load_checkpoint.remote(checkpoint_dir, latest) for a in actors])
                 start_step = latest + 1
                 resumed = True
@@ -198,15 +209,13 @@ def run_vertex_program(
     # a true global barrier, so the speculation window collapses to 1
     # (launching s+1 before step s's metrics exist would ship stale scalars)
     wants_feedback = bool(getattr(program_cls, "wants_feedback", False))
-    last_feedback = [None]  # boxed so launch() reads the current value
+    last_feedback = [resume_feedback]  # boxed so launch() reads the current value
     if wants_feedback:
         pipeline_depth = 1
         if checkpoint_dir and not getattr(program_cls, "checkpointable", True):
             raise ValueError(
-                f"{program_cls.__name__} is not checkpointable: the driver-side "
-                "feedback scalar is not captured in checkpoint state, so a resumed "
-                "run would compute with a stale normalizer — run without "
-                "checkpoint_dir"
+                f"{program_cls.__name__} declares checkpointable=False — "
+                "run without checkpoint_dir"
             )
     # pipelining: the refs for step s+1 exist as soon as step s is SUBMITTED,
     # so up to ``pipeline_depth`` supersteps are queued on the actors before
@@ -249,21 +258,27 @@ def run_vertex_program(
             for p in range(P)
         ]
 
+    # feedback captured at checkpoint-submit time: for step s it is
+    # reduce_feedback(step-s metrics) — exactly what step s+1 consumes —
+    # because feedback programs run at pipeline_depth=1, where checkpoint(s)
+    # is always submitted after step s's metrics were processed
+    ck_feedback: dict[int, object] = {}
+
     def commit_manifest(s: int):
         step_dir = os.path.join(checkpoint_dir, f"step={s}")
         tmp = os.path.join(step_dir, ".manifest.tmp")
+        doc = {
+            "step": s,
+            "num_partitions": P,
+            "program": program_cls.__name__,
+            "graph_token": manifest.content_token,
+            "graph_dir": manifest.work_dir,
+            "direction": direction,
+        }
+        if wants_feedback:
+            doc["feedback"] = ck_feedback.get(s)
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "step": s,
-                    "num_partitions": P,
-                    "program": program_cls.__name__,
-                    "graph_token": manifest.content_token,
-                    "graph_dir": manifest.work_dir,
-                    "direction": direction,
-                },
-                f,
-            )
+            json.dump(doc, f)
         os.replace(tmp, os.path.join(step_dir, "manifest.json"))
 
     from collections import deque
@@ -284,6 +299,8 @@ def run_vertex_program(
                 ck_pending[next_to_launch - 1] = submit_checkpoint(
                     next_to_launch - 1, last_futs
                 )
+                if wants_feedback:
+                    ck_feedback[next_to_launch - 1] = last_feedback[0]
             last_futs = launch(next_to_launch, last_futs)
             pending.append((next_to_launch, last_futs))
             next_to_launch += 1

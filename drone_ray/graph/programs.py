@@ -688,7 +688,10 @@ class HITS(VertexProgram):
     channels = ()  # generic route() on both views
     sender_precombine = False  # scalar sums: owner-side bincount absorbs dups
     wants_feedback = True
-    checkpointable = False  # feedback scalar is not part of checkpoint state
+    # the driver persists the reduced feedback in each checkpoint manifest
+    # and restores it on resume (harness ck_feedback), so feedback programs
+    # checkpoint like any other: state arrays + aux json + pending inbound
+    checkpointable = True
 
     def __init__(self, iters: int = 40):
         self.K = int(iters)
@@ -801,7 +804,7 @@ class BetweennessCentrality(VertexProgram):
     channels = ()  # generic route() on both views
     sender_precombine = False
     wants_feedback = True
-    checkpointable = False  # multi-phase aux machine not checkpoint-stable
+    checkpointable = True  # aux machine is plain json; feedback persists in the manifest
 
     def __init__(self, sources: list[int]):
         self.sources = [int(s) for s in sources]
@@ -963,7 +966,7 @@ class HarmonicCentrality(VertexProgram):
     channels = ()  # generic route(): one-hop pushes, no local fixpoint
     sender_precombine = False
     wants_feedback = True
-    checkpointable = False
+    checkpointable = True
 
     def __init__(self, sources: list[int]):
         self.sources = [int(s) for s in sources]

@@ -196,3 +196,70 @@ def test_weighted_sssp_resume_identical(tmp_path):
     tc = clean.to_table()
     gclean = dict(zip(tc["vid"].to_pylist(), tc["dist"].to_pylist()))
     assert gclean == got
+
+
+def test_betweenness_resume_identical(tmp_path):
+    """Feedback programs checkpoint too (round 4): the driver's reduced
+    feedback persists in the checkpoint manifest and restores on resume,
+    so the layered phase machine continues exactly where it stopped."""
+    from drone_ray.graph.programs import BetweennessCentrality
+    from drone_ray.oracles import betweenness_oracle
+
+    src, dst = ba_powerlaw(n=250, m=3, seed=21)
+    sources = [0, 3, 9]
+    man = graph_for(lambda: _edges_ds(src, dst), "resume_bc_v1", 3)
+    ck = str(tmp_path / "ck")
+
+    interrupted = run_vertex_program(
+        man, BetweennessCentrality, {"sources": sources},
+        direction="dualview", checkpoint_dir=ck, checkpoint_every=1, max_steps=5,
+    )
+    assert not interrupted.converged
+
+    resumed = run_vertex_program(
+        man, BetweennessCentrality, {"sources": sources},
+        direction="dualview", checkpoint_dir=ck, resume=True,
+    )
+    assert resumed.converged
+    t = resumed.to_table()
+    got = dict(zip(t["vid"].to_pylist(), t["bc"].to_pylist()))
+    exp = betweenness_oracle(src, dst, sources)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, f"vid {v}"
+
+    clean = run_vertex_program(
+        man, BetweennessCentrality, {"sources": sources}, direction="dualview"
+    )
+    tc = clean.to_table()
+    gclean = dict(zip(tc["vid"].to_pylist(), tc["bc"].to_pylist()))
+    assert gclean == got  # bit-equal to the uninterrupted run
+
+
+def test_hits_resume_identical(tmp_path):
+    """HITS (global L1 normalizer through feedback) resumes exactly."""
+    from drone_ray.graph.programs import HITS
+    from drone_ray.oracles import hits_oracle
+
+    src, dst = ba_powerlaw(n=200, m=3, seed=29)
+    man = graph_for(lambda: _edges_ds(src, dst), "resume_hits_v1", 2)
+    ck = str(tmp_path / "ck")
+
+    interrupted = run_vertex_program(
+        man, HITS, {"iters": 8}, direction="dualview",
+        checkpoint_dir=ck, checkpoint_every=3, max_steps=7,
+    )
+    assert not interrupted.converged
+    resumed = run_vertex_program(
+        man, HITS, {"iters": 8}, direction="dualview",
+        checkpoint_dir=ck, resume=True,
+    )
+    assert resumed.converged
+    t = resumed.to_table()
+    o = np.argsort(t["vid"].to_numpy())
+    vids = t["vid"].to_numpy()[o]
+    auth = t["auth"].to_numpy()[o]
+    hub = t["hub"].to_numpy()[o]
+    ovids, oauth, ohub = hits_oracle(src, dst, iters=8)
+    assert np.array_equal(vids, ovids)
+    assert np.abs(auth - oauth).max() < 1e-12
+    assert np.abs(hub - ohub).max() < 1e-12
