@@ -178,18 +178,47 @@ def test_hits_powerlaw_partition_invariance():
         assert np.abs(hub - ohub).max() < 1e-12
 
 
-def test_hits_refuses_checkpointing():
+def test_hits_refuses_legacy_feedback_less_checkpoint(tmp_path):
+    """Feedback programs checkpoint since round 4 — but a manifest WITHOUT
+    the persisted feedback (written by an older engine) must be refused:
+    resuming with a stale/absent global normalizer would silently corrupt
+    scores."""
+    import json
+    import os
+
     from drone_ray.pipelines.analytics import hits
 
     src, dst = ba_powerlaw(n=100, m=2, seed=3)
-    with pytest.raises(ValueError, match="not checkpointable"):
+    ck = str(tmp_path / "ck")
+    hits(
+        lambda: _edges_ds(src, dst),
+        "hits_ckpt_legacy",
+        num_partitions=2,
+        iters=4,
+        checkpoint_dir=ck,
+        checkpoint_every=2,
+        max_steps=5,
+    )
+    # strip the feedback field to simulate a pre-round-4 checkpoint
+    mpaths = sorted(
+        os.path.join(ck, d, "manifest.json") for d in os.listdir(ck) if d.startswith("step=")
+    )
+    assert mpaths
+    for mp in mpaths:
+        with open(mp) as f:
+            doc = json.load(f)
+        assert "feedback" in doc  # the new contract writes it
+        del doc["feedback"]
+        with open(mp, "w") as f:
+            json.dump(doc, f)
+    with pytest.raises(ValueError, match="predates driver-feedback"):
         hits(
             lambda: _edges_ds(src, dst),
-            "hits_ckpt_refuse",
+            "hits_ckpt_legacy",
             num_partitions=2,
             iters=4,
-            checkpoint_dir="/tmp/drone_ray_test/hits_ckpt",
-            checkpoint_every=2,
+            checkpoint_dir=ck,
+            resume=True,
         )
 
 
