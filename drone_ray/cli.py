@@ -6,7 +6,7 @@
 
 Subcommands: build-pages-graph (pages parquet → extract → edges parquet),
 pagerank, pagerank-weighted, katz, wcc, wcc-star, lpa, sssp,
-sssp-weighted, simulation, triangles. Results are written as
+sssp-weighted, betweenness, harmonic, simulation, triangles. Results are written as
 per-partition parquet (resumable layout); superstep jobs write a
 metrics.parquet next to their checkpoints. Owns the Ray session only when
 one is not already initialised (so the driver/pytest can embed it).
@@ -48,7 +48,8 @@ def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(prog="drone_ray")
     ap.add_argument("command", choices=[
         "build-pages-graph", "pagerank", "pagerank-weighted", "katz", "wcc",
-        "wcc-star", "lpa", "sssp", "sssp-weighted", "simulation", "triangles",
+        "wcc-star", "lpa", "sssp", "sssp-weighted", "betweenness", "harmonic",
+        "simulation", "triangles",
     ])
     ap.add_argument("--pages", help="pages parquet dir (build-pages-graph)")
     ap.add_argument("--edges", help="edge-table parquet dir")
@@ -61,6 +62,8 @@ def main(argv=None) -> dict:
     ap.add_argument("--weight-col", default="w",
                     help="edge weight column (pagerank-weighted / sssp-weighted)")
     ap.add_argument("--source", type=int, default=None, help="sssp source vid")
+    ap.add_argument("--sources", default=None,
+                    help="comma-separated source vids (betweenness/harmonic)")
     ap.add_argument("--max-rounds", type=int, default=10, help="lpa round cap")
     ap.add_argument("--pattern", help="pattern graph file (simulation, S6 format)")
     ap.add_argument("--hub-threshold", type=int, default=None)
@@ -170,6 +173,14 @@ def main(argv=None) -> dict:
         hk.pop("ownership", None)
         res = A.sssp_weighted(ef, key + ":w", source, args.partitions,
                               weight_col=args.weight_col, **hk)
+    elif args.command in ("betweenness", "harmonic"):
+        if args.sources:
+            sources = [int(x) for x in args.sources.split(",")]
+        else:
+            sources = [int(ef().min("src"))]
+        hk.pop("ownership", None)
+        fn = A.betweenness if args.command == "betweenness" else A.harmonic_centrality
+        res = fn(ef, key, sources, args.partitions, **hk)
     elif args.command == "wcc":
         res = A.connected_components(ef, key, args.partitions,
                                      hub_threshold=args.hub_threshold, **hk)
