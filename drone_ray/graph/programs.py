@@ -17,6 +17,8 @@ vectorized numpy over the CSR arrays — no per-row Python in supersteps.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pyarrow as pa
 
@@ -490,10 +492,34 @@ class KatzCentrality(PageRank):
     ``x = α·Σ_in x(u) + β`` — the attenuation recurrence WITHOUT the
     1/outdeg division (each in-edge contributes the full upstream score).
     α must satisfy α < 1/λ_max(A) to converge; callers on unknown graphs
-    should bound α by 1/max_in_degree (a lower bound on that). β = 1-α
-    here so the damping/base plumbing is shared verbatim. Extension
-    beyond the reference, same plugin surface
-    (/root/reference/src/protobuf/worker_service.proto:11-22)."""
+    should bound α by 1/max_degree (an upper bound on λ_max, so an α
+    below its reciprocal is guaranteed-safe). β = 1-α here so the
+    damping/base plumbing is shared verbatim. Extension beyond the
+    reference, same plugin surface
+    (/root/reference/src/protobuf/worker_service.proto:11-22).
+
+    Unlike PageRank (whose 0.85 damping is always contractive), a bare
+    α=0.85 diverges on virtually any real graph, so this class has its
+    own conservative default (α=0.01) and a hard divergence guard:
+    scores leaving ±`DIVERGENCE_BOUND` (or going non-finite) raise
+    RuntimeError instead of silently emitting exponential garbage."""
+
+    DIVERGENCE_BOUND = 1e100
+
+    def __init__(self, eps: float = 1e-12, damping: float = 0.01, alpha: float | None = None):
+        # `alpha` is the natural Katz name; `damping` kept for the shared
+        # harness kwarg plumbing (analytics.katz_centrality passes damping=α).
+        super().__init__(eps=eps, damping=alpha if alpha is not None else damping)
+
+    def init_state(self, g):
+        if g.n and g.out_degree.size and self.damping * float(g.out_degree.max()) >= 1.0:
+            warnings.warn(
+                f"KatzCentrality alpha={self.damping} × max out-degree "
+                f"{int(g.out_degree.max())} ≥ 1: the guaranteed-convergence "
+                "bound α < 1/max_degree is violated; the run may diverge "
+                "(it will raise rather than emit garbage if it does)."
+            )
+        return super().init_state(g)
 
     def peval(self, g, st):
         rows = np.flatnonzero(g.out_degree > 0)
@@ -515,6 +541,12 @@ class KatzCentrality(PageRank):
             return None, {"edges": 0, "max_delta": 0.0, "active": 0}
         new_pr = self.damping * st["acc"][targets] + st["base"][targets]
         max_delta = float(np.abs(new_pr - st["pr"][targets]).max())
+        if not np.isfinite(max_delta) or np.abs(new_pr).max() > self.DIVERGENCE_BOUND:
+            raise RuntimeError(
+                f"Katz centrality diverged (|x| > {self.DIVERGENCE_BOUND:g}): "
+                f"alpha={self.damping} exceeds 1/λ_max for this graph — "
+                "pick α < 1/max_degree"
+            )
         st["pr"][targets] = new_pr
         delta = new_pr - st["last_sent"][targets]
         send = (np.abs(delta) > self.eps) & (g.out_degree[targets] > 0)

@@ -50,18 +50,29 @@ def media_dims(payload: bytes) -> tuple[str, int, int] | None:
         while i + 9 <= len(p):
             if p[i] != 0xFF:
                 return None  # marker desync — corrupt
-            marker = p[i + 1]
+            # 0xFF fill bytes are legal padding before a marker (ITU T.81
+            # §B.1.1.2): skip runs of 0xFF, then read the real marker byte
+            j = i + 1
+            while j < len(p) and p[j] == 0xFF:
+                j += 1
+            if j >= len(p):
+                return None
+            marker = p[j]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i = j + 1  # standalone markers carry no length field
                 continue
-            seglen = struct.unpack(">H", p[i + 2 : i + 4])[0]
+            if marker in (0xDA, 0xD9):
+                return None  # entropy-coded data / EOI before any SOF
+            if j + 3 > len(p):
+                return None
+            seglen = struct.unpack(">H", p[j + 1 : j + 3])[0]
             # SOF0-15 except DHT/JPG/DAC (C4, C8, CC) carry dimensions
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                if i + 9 <= len(p):
-                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                if j + 8 <= len(p):
+                    h, w = struct.unpack(">HH", p[j + 4 : j + 8])
                     return ("jpeg", int(w), int(h))
                 return None
-            i += 2 + seglen
+            i = j + 1 + seglen
     return None
 
 

@@ -151,6 +151,13 @@ def sniff_decode(payload: bytes) -> str:
     m = _META_CHARSET_RE.search(payload[:1024])
     if m:
         enc = m.group(1).decode("ascii", errors="replace").lower()
+        # WHATWG encoding-sniffing: a meta-declared utf-16 label must be
+        # treated as UTF-8 (the ASCII prescan that found it proves the bytes
+        # are not actually UTF-16), and x-user-defined maps to windows-1252.
+        if enc in ("utf-16", "utf-16le", "utf-16be", "utf16"):
+            enc = "utf-8"
+        elif enc in ("x-user-defined", "x_user_defined"):
+            enc = "cp1252"
         try:
             return payload.decode(enc, errors="replace")
         except LookupError:  # unknown label → spec fallback

@@ -219,3 +219,18 @@ def test_charset_sniffing_opt_in():
     assert sniffed == "Café\nhello résumé world more tokens"
     default = extract_batch(t)["text"].to_pylist()[0]
     assert default != sniffed
+
+
+def test_sniff_decode_whatwg_utf16_meta_label():
+    """WHATWG encoding sniffing: a <meta charset=utf-16*> label found by the
+    ASCII prescan must decode as UTF-8 (the prescan itself proved the bytes
+    are ASCII-compatible); x-user-defined maps to windows-1252."""
+    from drone_ray.stages.extract import sniff_decode
+
+    body = '<meta charset="utf-16"><p>Café prescan</p>'.encode("utf-8")
+    assert "Café prescan" in sniff_decode(body)
+    body_be = b'<meta charset="UTF-16BE"><p>plain ascii</p>'
+    assert "plain ascii" in sniff_decode(body_be)
+    # x-user-defined → cp1252: 0x93/0x94 are curly quotes there
+    xud = b'<meta charset="x-user-defined"><p>\x93quoted\x94</p>'
+    assert "“quoted”" in sniff_decode(xud)

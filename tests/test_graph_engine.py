@@ -443,3 +443,31 @@ def test_incremental_pagerank_matches_cold_and_is_cheaper():
     assert np.array_equal(wv, cv)
     assert np.abs(ws - cs).max() < 1e-8
     assert r2.edges_traversed < cold.edges_traversed * 0.6
+
+
+def test_katz_safe_default_and_divergence_guard():
+    """ADVICE r4: a bare KatzCentrality() must not inherit PageRank's 0.85
+    damping as the attenuation alpha; a diverging alpha must raise rather
+    than silently emit exponentially-growing scores."""
+    import warnings as _w
+
+    from drone_ray.graph.programs import KatzCentrality
+    from drone_ray.pipelines.analytics import katz_centrality
+    from tests.graphs import cycle
+
+    assert KatzCentrality().damping == 0.01  # conservative default
+    assert KatzCentrality(alpha=0.003).damping == 0.003
+
+    # a cycle alone has the all-ones vector as an exact fixpoint of the
+    # iteration for ANY alpha; add a chord so lambda_max > 1 and the
+    # alpha=2.0 run genuinely diverges: it must raise, not emit garbage
+    src, dst = cycle(12)
+    src = np.concatenate([src, [0]])
+    dst = np.concatenate([dst, [2]])
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # the init_state bound warning is expected
+        with pytest.raises(Exception, match="diverged"):
+            katz_centrality(
+                lambda: _edges_ds(src, dst), "katz_diverge_chord", num_partitions=2,
+                alpha=2.0, max_steps=500,
+            )

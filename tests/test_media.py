@@ -118,3 +118,33 @@ def test_real_decode_with_pil_when_available():
     else:
         with pytest.raises(NotImplementedError):
             stub._decode(_png(8, 8))
+
+
+def test_media_dims_jpeg_fill_bytes_and_sos():
+    """ITU T.81 §B.1.1.2: 0xFF padding before a marker is legal; the scan
+    must skip fill bytes instead of reading the 0xFF as a marker, and must
+    stop at SOS/EOI rather than running into entropy-coded data."""
+    import struct
+
+    from drone_ray.pipelines.media import media_dims
+
+    # fill bytes (0xFF 0xFF 0xFF) padding before the SOF0 marker
+    jpeg_fill = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xff\xff"  # legal padding run
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 123, 456)
+        + b"\x00" * 4
+    )
+    assert media_dims(jpeg_fill) == ("jpeg", 456, 123)
+    # SOS before any SOF: stop cleanly (None), never mis-read entropy data
+    jpeg_sos = (
+        b"\xff\xd8"
+        + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1, 2)
+    )
+    assert media_dims(jpeg_sos) is None
+    # EOI immediately: None, no crash
+    assert media_dims(b"\xff\xd8\xff\xd9") is None
+    # trailing fill bytes then truncation: None, no IndexError
+    assert media_dims(b"\xff\xd8\xff\xff\xff\xff\xff\xff\xff\xff") is None
