@@ -1511,24 +1511,26 @@ class IncrementalPageRank(PageRank):
     def __init__(
         self,
         warm_dir: str,
-        added_src,
-        added_dst,
-        old_deg_vid,
-        old_deg,
+        added_slices: dict,
+        base_edges_dir: str,
         eps: float = 1e-12,
         damping: float = 0.85,
     ):
+        """``added_slices`` maps partition id → the added-edge rows whose
+        src that partition owns, as a pa.Table (src, dst) or an ObjectRef
+        of one — each actor fetches ONLY its own slice, so the driver
+        never materializes the update batch (it holds P refs).
+        ``base_edges_dir`` is the BASE layout's partitioned edges dir;
+        each actor derives old out-degrees of its changed sources from
+        its own part=<p> slice (dir=0 rows), no driver-side count."""
         super().__init__(eps=eps, damping=damping)
         self.warm_dir = warm_dir
-        self.added_src = np.asarray(added_src, dtype=np.int64)
-        self.added_dst = np.asarray(added_dst, dtype=np.int64)
-        order = np.argsort(self.added_src, kind="stable")
-        self.added_src = self.added_src[order]
-        self.added_dst = self.added_dst[order]
-        ov = np.asarray(old_deg_vid, dtype=np.int64)
-        od = np.asarray(old_deg, dtype=np.int64)
-        oo = np.argsort(ov)
-        self._odv, self._odd = ov[oo], od[oo]
+        self.added_slices = added_slices
+        self.base_edges_dir = base_edges_dir
+        self._a_src: np.ndarray | None = None
+        self._a_dst: np.ndarray | None = None
+        self._odv = np.empty(0, dtype=np.int64)
+        self._odd = np.empty(0, dtype=np.int64)
 
     def _old_deg(self, vids: np.ndarray) -> np.ndarray:
         if self._odv.size == 0:
@@ -1538,12 +1540,50 @@ class IncrementalPageRank(PageRank):
         found = (pos < self._odv.size) & (self._odv[safe] == vids)
         return np.where(found, self._odd[safe], 0)
 
+    def _load_slice(self, g) -> None:
+        """Once per actor: fetch this partition's added-edge slice and
+        count the old out-degrees of its changed sources from the base
+        layout's local part file. O(E_added/P + E_base/P) per actor,
+        O(P refs) on the driver."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        sl = self.added_slices.get(g.p) if self.added_slices else None
+        if sl is not None and not isinstance(sl, pa.Table):
+            import ray
+
+            sl = ray.get(sl)
+        if sl is None or sl.num_rows == 0:
+            self._a_src = np.empty(0, dtype=np.int64)
+            self._a_dst = np.empty(0, dtype=np.int64)
+            return
+        a_src = sl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_dst = sl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(a_src, kind="stable")
+        self._a_src, self._a_dst = a_src[order], a_dst[order]
+        changed = np.unique(self._a_src)
+        part_dir = os.path.join(self.base_edges_dir, f"part={g.p}")
+        if os.path.isdir(part_dir):
+            t = pq.read_table(part_dir, columns=["src", "dir", "delegate"])
+            s = t["src"].to_numpy(zero_copy_only=False)
+            fwd = (t["dir"].to_numpy(zero_copy_only=False) == 0) & ~t[
+                "delegate"
+            ].to_numpy(zero_copy_only=False)
+            s = s[fwd]
+            pos = np.searchsorted(changed, s)
+            safe = np.minimum(pos, changed.size - 1)
+            keep = (pos < changed.size) & (changed[safe] == s)
+            self._odv, self._odd = np.unique(s[keep], return_counts=True)
+            self._odd = self._odd.astype(np.int64)
+
     def init_state(self, g):
         if g.hub_vids.size:
             raise NotImplementedError(
                 "IncrementalPageRank correction rows bypass the hub broadcast "
                 "channel — rebuild with hub_threshold=None"
             )
+        self._load_slice(g)
         st = super().init_state(g)
         import os
 
@@ -1572,9 +1612,13 @@ class IncrementalPageRank(PageRank):
         return st
 
     def peval(self, g, st):
-        changed = np.unique(self.added_src)
+        if self._a_src is None:  # resume path: init_state was skipped
+            self._load_slice(g)
+        changed = np.unique(self._a_src)
         if g.n == 0 or changed.size == 0:
             return None, {"edges": 0, "max_delta": 0.0}
+        # slices are keyed by owner(src), so every changed source is owned
+        # here; keep the membership check as a guard against stale refs
         pos = np.searchsorted(g.owned, changed)
         safe = np.minimum(pos, g.n - 1)
         mine = changed[(pos < g.n) & (g.owned[safe] == changed)]
@@ -1590,13 +1634,13 @@ class IncrementalPageRank(PageRank):
         dsts_u, lens = g._gather_slices(g.indptr, g.adj, rows)
         vals_u = np.repeat(pr[hasold] * (1.0 / d2[hasold] - 1.0 / d1[hasold]), lens)
         # extra along the added edges whose source is owned here
-        lo = np.searchsorted(self.added_src, mine)
-        hi = np.searchsorted(self.added_src, mine, side="right")
+        lo = np.searchsorted(self._a_src, mine)
+        hi = np.searchsorted(self._a_src, mine, side="right")
         cnt = hi - lo
         total = int(cnt.sum())
         rep = np.repeat(np.arange(mine.size), cnt)
         offs = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        dsts_a = self.added_dst[offs]
+        dsts_a = self._a_dst[offs]
         share = np.where(d1 > 0, 1.0 / np.maximum(d1, 1.0), 1.0 / d2)
         vals_a = pr[rep] * share[rep]
         vid = np.concatenate([dsts_u, dsts_a])

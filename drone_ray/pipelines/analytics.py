@@ -33,6 +33,40 @@ from drone_ray.graph.programs import (
     WeightedSSSP,
 )
 
+import ray as _ray
+
+
+@_ray.remote
+def _added_slice(p: int, num_partitions: int, own_dict, *blocks):
+    """One task per partition: extract the added-edge rows whose src this
+    partition owns from the update batch's blocks (object-store reads —
+    nothing crosses the driver). The update batch is assumed small
+    relative to the base graph (it is an incremental delta); for deltas
+    comparable to the graph itself, a cold rebuild is the right tool."""
+    import numpy as np
+    import pyarrow as pa
+
+    from drone_ray.hashing import Ownership
+
+    own = Ownership.from_dict(own_dict)
+    srcs, dsts = [], []
+    for t in blocks:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = own.of(s, num_partitions) == p
+        if m.any():
+            srcs.append(s[m])
+            dsts.append(d[m])
+    if not srcs:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            "src": pa.array(np.concatenate(srcs), pa.int64()),
+            "dst": pa.array(np.concatenate(dsts), pa.int64()),
+        }
+    )
+
+
 _CACHE_ROOT = os.environ.get("DRONE_RAY_CACHE", "/tmp/drone_ray/graphs")
 # bump when the on-disk partition layout or ownership hashing changes —
 # invalidates caches left by older code versions across driver rounds
@@ -144,50 +178,53 @@ def pagerank_incremental(
     the base set) — the correction algebra assumes the old share was
     pr/d1 along exactly the old adjacency. Both graphs must use the same
     ownership mode and partition count (the warm files align by slot).
+
+    ``added_src`` may be a Dataset (or zero-arg factory returning one)
+    with columns (src, dst) — the scale path: the update batch is sliced
+    per owner partition by remote tasks and handed to actors as object
+    refs, so the driver holds O(P) refs and never materializes edge rows.
+    Old out-degrees of changed sources are derived by each actor from its
+    OWN slice of the base layout (dir=0 rows of edges/part=<p>) — fully
+    local, no shuffle. Plain int arrays are also accepted (tests / small
+    updates) and go through the same per-partition slicing.
     """
-    import os
     import tempfile
 
-    import numpy as np
+    import pyarrow as pa
+
+    import ray
 
     m1 = graph_for(base_factory, base_key, num_partitions)
     warm = warm_dir or tempfile.mkdtemp(prefix="drone_ray_warm_", dir="/tmp")
     r1 = _run(m1, PageRank, {"eps": eps, "damping": damping}, direction="fwd",
               output_dir=warm, **harness_kwargs)
 
-    # old out-degrees of the changed sources, from the base edge table —
-    # a distributed filtered count; only the (small) changed set reaches
-    # the driver
-    changed = np.unique(np.asarray(added_src, dtype=np.int64))
-    import pyarrow as pa
-
-    def count_changed(b: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        s_ = b["src"].to_numpy(zero_copy_only=False)
-        pos = _np.searchsorted(changed, s_)
-        safe = _np.minimum(pos, max(changed.size - 1, 0))
-        keep = (changed.size > 0) & (pos < changed.size) & (changed[safe] == s_)
-        u, c = _np.unique(s_[keep], return_counts=True)
-        return pa.table({"vid": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
-
-    oc = (
-        base_factory()
-        .map_batches(count_changed, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-        .groupby("vid", as_index=False)["c"]
-        .sum()
-    )
     m2 = graph_for(updated_factory, updated_key, num_partitions)
+    if added_dst is None:
+        added_ds = added_src() if callable(added_src) else added_src
+        block_refs = added_ds.to_arrow_refs()
+    else:
+        import numpy as np
+
+        t = pa.table(
+            {
+                "src": pa.array(np.asarray(added_src, dtype=np.int64), pa.int64()),
+                "dst": pa.array(np.asarray(added_dst, dtype=np.int64), pa.int64()),
+            }
+        )
+        block_refs = [ray.put(t)]
+    own_dict = m2.ownership
+    slices = {
+        p: _added_slice.remote(p, num_partitions, own_dict, *block_refs)
+        for p in range(num_partitions)
+    }
     r2 = _run(
         m2,
         IncrementalPageRank,
         {
             "warm_dir": warm,
-            "added_src": np.asarray(added_src, dtype=np.int64),
-            "added_dst": np.asarray(added_dst, dtype=np.int64),
-            "old_deg_vid": oc["vid"].to_numpy(),
-            "old_deg": oc["c"].to_numpy(),
+            "added_slices": slices,
+            "base_edges_dir": m1.edges_dir,
             "eps": eps,
             "damping": damping,
         },

@@ -260,80 +260,16 @@ def q_scc(sf_dir: str):
 def q_modularity(sf_dir: str):
     """Newman modularity of the 10-round LPA communities on the undirected
     simple graph: Q = Σ_c (m_c/m − (d_c/2m)²). Labels from the oracle-backed
-    LPA run; per-community tallies via two hash joins of the label table
-    onto the edge endpoints plus a degree join — all distributed, with one
-    final few-row aggregate."""
+    LPA run; tallies/Q-terms fully distributed (graphstats.modularity_q) —
+    the driver sees only the final one-row result."""
     from drone_ray.pipelines.analytics import label_propagation
-    from drone_ray.stages.edges import dedup_edges, out_degrees, symmetrize
+    from drone_ray.pipelines.graphstats import modularity_q
 
     res = label_propagation(
         lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS, max_rounds=10
     )
-    labels = res.dataset()
-
-    und = dedup_edges(symmetrize(lg_edges(sf_dir))).map_batches(
-        lambda b: pa.table(
-            {
-                "u": pa.compute.min_element_wise(b["src"], b["dst"]),
-                "v": pa.compute.max_element_wise(b["src"], b["dst"]),
-            }
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    # (u, v) deduped pairs, u < v, self-loops excluded upstream
-    und = dedup_edges(
-        und.map_batches(
-            lambda b: pa.table({"src": b["u"], "dst": b["v"]}),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-    )
-    lu = labels.map_batches(
-        lambda b: pa.table({"src": b["vid"], "lu": b["label"]}),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    lv = labels.map_batches(
-        lambda b: pa.table({"dst": b["vid"], "lv": b["label"]}),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    tagged = und.join(lu, join_type="inner", num_partitions=GRAPH_PARTITIONS, on=("src",)).join(
-        lv, join_type="inner", num_partitions=GRAPH_PARTITIONS, on=("dst",)
-    )
-    # per-community intra-edge counts (few distinct labels → near-free);
-    # intra-edge selection is a vectorized Arrow mask, not a per-row filter
-    from ray.data.aggregate import Count, Sum
-
-    intra = tagged.map_batches(
-        lambda b: b.filter(pa.compute.equal(b["lu"], b["lv"])),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    mc = intra.groupby("lu").aggregate(Count(alias_name="m_c")).to_pandas()
-    deg = out_degrees(
-        dedup_edges(symmetrize(lg_edges(sf_dir)))
-    ).map_batches(
-        lambda b: pa.table({"vid": b["src"], "degree": b["out_degree"]}),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    dc = (
-        labels.join(deg, join_type="inner", num_partitions=GRAPH_PARTITIONS, on=("vid",))
-        .groupby("label")
-        .aggregate(Sum(on="degree", alias_name="d_c"))
-        .to_pandas()
-    )
-    m = und.count()
-    merged = dc.merge(mc.rename(columns={"lu": "label"}), on="label", how="left").fillna(0)
-    q = float((merged["m_c"] / m - (merged["d_c"] / (2.0 * m)) ** 2).sum())
-    return pa.table(
-        {
-            "n_communities": pa.array([len(merged)], pa.int64()),
-            "m_edges": pa.array([int(m)], pa.int64()),
-            "modularity": pa.array([round(q, 6)], pa.float64()),
-        }
+    return modularity_q(
+        lambda: lg_edges(sf_dir), res.dataset(), num_partitions=GRAPH_PARTITIONS
     )
 
 
@@ -495,12 +431,14 @@ def q_pagerank_incremental(sf_dir: str):
     from drone_ray.pipelines.analytics import pagerank_incremental
     from drone_ray.stages.edges import sample_edges
 
-    added = sample_edges(lg_edges(sf_dir), INC_PCT).to_pandas()
+    # the update batch stays a Dataset end-to-end: pagerank_incremental
+    # slices it per owner partition with remote tasks and hands actors
+    # object refs — the driver never materializes edge rows (O(P) refs)
     _, r2 = pagerank_incremental(
         lambda: sample_edges(lg_edges(sf_dir), INC_PCT, invert=True),
         lambda: lg_edges(sf_dir),
-        added["src"].to_numpy(),
-        added["dst"].to_numpy(),
+        lambda: sample_edges(lg_edges(sf_dir), INC_PCT),
+        None,
         _graph_key(sf_dir) + f":incbase{INC_PCT}",
         _graph_key(sf_dir),
         GRAPH_PARTITIONS,

@@ -152,3 +152,30 @@ def test_degree_assortativity_vs_numpy():
     y = idg.loc[e["dst"]].to_numpy(dtype=float)
     exp = np.corrcoef(x, y)[0, 1]
     assert got == round(float(exp), 6)
+
+
+def test_modularity_q_two_communities():
+    """Distributed Q vs the textbook formula on a known two-community
+    labeling: two 5-cliques joined by one bridge (exact arithmetic)."""
+    import ray.data as rd
+
+    from drone_ray.pipelines.graphstats import modularity_q
+    from tests.graphs import two_cliques_bridge
+
+    src, dst = two_cliques_bridge(5)
+    # ground-truth labeling: clique membership (vertices 0-4 → 0, 5-9 → 5)
+    vids = np.arange(10, dtype=np.int64)
+    labels = rd.from_arrow(
+        pa.table({"vid": vids, "label": np.where(vids < 5, 0, 5).astype(np.int64)})
+    )
+    out = modularity_q(
+        lambda: rd.from_arrow(pa.table({"src": src, "dst": dst})),
+        labels,
+        num_partitions=2,
+    ).to_pandas()
+    # m = 2*C(5,2) + 1 = 21; per clique: m_c = 10, d_c = 21 (one endpoint
+    # of the bridge adds 1 to each side); Q = 2*(10/21 - (21/42)^2) = 0.452381
+    assert int(out["n_communities"][0]) == 2
+    assert int(out["m_edges"][0]) == 21
+    q_expected = 2 * (10 / 21 - (21 / 42) ** 2)
+    assert abs(float(out["modularity"][0]) - round(q_expected, 6)) < 1e-9
