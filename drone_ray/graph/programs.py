@@ -1646,3 +1646,132 @@ class IncrementalPageRank(PageRank):
         vid = np.concatenate([dsts_u, dsts_a])
         val = np.concatenate([vals_u, vals_a])
         return _msgs(vid, val), {"edges": int(vid.size), "max_delta": 1.0}
+
+
+def _fetch_part_table(slices: dict | None, p: int):
+    """Resolve a per-partition table handed over as pa.Table or ObjectRef
+    (actors fetch ONLY their own slice; the driver holds O(P) refs)."""
+    sl = slices.get(p) if slices else None
+    if sl is not None and not isinstance(sl, pa.Table):
+        import ray
+
+        sl = ray.get(sl)
+    return sl
+
+
+class _WarmStartMixin:
+    """Shared warm-start loader: each actor reads its OWN base Assemble
+    file (``warm_dir/part-<p>.parquet``) — ownership and P must match, so
+    slot p's vids are a subset of slot p's owned set on the updated graph
+    (same contract as IncrementalPageRank)."""
+
+    warm_dir: str
+
+    def _warm_load(self, g, arr: np.ndarray, col: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.warm_dir, f"part-{g.p}.parquet")
+        if not os.path.exists(path):
+            return
+        t = pq.read_table(path)
+        wv = t["vid"].to_numpy(zero_copy_only=False)
+        ws = t[col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(g.owned, wv)
+        ok = (pos < g.n) & (g.owned[np.minimum(pos, max(g.n - 1, 0))] == wv)
+        if not bool(ok.all()):
+            raise ValueError(
+                "warm-start partition file contains vids not owned by this "
+                "partition — base and updated graphs must share ownership "
+                "mode and partition count"
+            )
+        arr[pos] = ws
+
+
+# ---------------------------------------------------------------------------
+class IncrementalConnectedComponents(_WarmStartMixin, ConnectedComponents):
+    """Warm-start WCC after edge ADDITIONS — the general form of the
+    reference's IncEval contract for CC
+    (/root/reference/src/worker/CCworker.go IncEval): min labels are
+    monotone non-increasing under edge additions, so propagation
+    warm-started from the converged base labels reaches the same unique
+    fixpoint as a cold run on the updated graph, touching only the merged
+    regions. PEval sends each owned endpoint's warm label as a TARGETED
+    message along its added edges only (both orientations arrive via the
+    symmetric per-partition slices — O(P) refs on the driver); the
+    inherited IncEval then min-combines and propagates only through
+    regions the update actually lowered, so traversals scale with the
+    merged regions, not with the seeds' full adjacency."""
+
+    def __init__(self, warm_dir: str, added_slices: dict):
+        self.warm_dir = warm_dir
+        self.added_slices = added_slices
+
+    def init_state(self, g):
+        st = super().init_state(g)  # label = vid (new vertices stay cold)
+        self._warm_load(g, st["label"], "component")
+        return st
+
+    def peval(self, g, st):
+        t = _fetch_part_table(self.added_slices, g.p)
+        if t is None or t.num_rows == 0 or g.n == 0:
+            return None, {"edges": 0, "n_changed": 0}
+        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(g.owned, a)
+        safe = np.minimum(pos, g.n - 1)
+        ok = (pos < g.n) & (g.owned[safe] == a)  # guard against stale refs
+        la, b = pos[ok], b[ok]
+        if la.size == 0:
+            return None, {"edges": 0, "n_changed": 0}
+        return _msgs(b, st["label"][la]), {"edges": int(la.size), "n_changed": 0}
+
+
+# ---------------------------------------------------------------------------
+class IncrementalSSSP(_WarmStartMixin, SSSP):
+    """Warm-start SSSP after edge ADDITIONS — the general form of the
+    reference's IncEval contract for SSSP
+    (/root/reference/src/worker/SSSPworker.go IncEval): distances are
+    monotone non-increasing under edge additions, so relaxation
+    warm-started from the converged base distances (same source) reaches
+    the cold-run fixpoint. PEval sends dist(u)+1 as a TARGETED message
+    along each added edge whose source u is owned and reachable (directed
+    slices keyed by owner(src) — O(P) driver refs); the inherited IncEval
+    relaxes only the improved regions. If the base graph lacked the
+    source (degenerate bases), the source re-seeds a local relax so the
+    run still converges to the cold fixpoint."""
+
+    def __init__(self, source: int, warm_dir: str, added_slices: dict):
+        super().__init__(source)
+        self.warm_dir = warm_dir
+        self.added_slices = added_slices
+
+    def init_state(self, g):
+        st = super().init_state(g)  # dist = inf
+        self._warm_load(g, st["dist"], "dist")
+        return st
+
+    def peval(self, g, st):
+        tv = np.empty(0, dtype=np.int64)
+        vals = np.empty(0, dtype=np.float64)
+        idx = np.searchsorted(g.owned, self.source)
+        if g.n and idx < g.n and g.owned[idx] == self.source and st["dist"][idx] != 0.0:
+            # base run never reached the source (it was absent/new): a
+            # (source, 0.0) self-message lowers it next step and the
+            # inherited IncEval does the full cold relax from there
+            tv, vals = np.array([self.source]), np.array([0.0])
+        t = _fetch_part_table(self.added_slices, g.p)
+        if t is not None and t.num_rows and g.n:
+            a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(g.owned, a)
+            safe = np.minimum(pos, g.n - 1)
+            ok = (pos < g.n) & (g.owned[safe] == a)
+            la, b = pos[ok], b[ok]
+            fin = np.isfinite(st["dist"][la])  # unreachable sources relax nothing
+            tv = np.concatenate([tv, b[fin]])
+            vals = np.concatenate([vals, st["dist"][la[fin]] + 1.0])
+        if tv.size == 0:
+            return None, {"edges": 0}
+        return _msgs(tv, vals), {"edges": int(tv.size)}

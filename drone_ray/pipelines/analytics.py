@@ -37,10 +37,12 @@ import ray as _ray
 
 
 @_ray.remote
-def _added_slice(p: int, num_partitions: int, own_dict, *blocks):
+def _added_slice(p: int, num_partitions: int, own_dict, sym: bool, *blocks):
     """One task per partition: extract the added-edge rows whose src this
     partition owns from the update batch's blocks (object-store reads —
-    nothing crosses the driver). The update batch is assumed small
+    nothing crosses the driver). ``sym``: also include the swapped
+    orientation (dst, src) — incremental WCC wants both endpoints to push
+    along the new undirected edge. The update batch is assumed small
     relative to the base graph (it is an incremental delta); for deltas
     comparable to the graph itself, a cold rebuild is the right tool."""
     import numpy as np
@@ -53,6 +55,8 @@ def _added_slice(p: int, num_partitions: int, own_dict, *blocks):
     for t in blocks:
         s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if sym:
+            s, d = np.concatenate([s, d]), np.concatenate([d, s])
         m = own.of(s, num_partitions) == p
         if m.any():
             srcs.append(s[m])
@@ -64,6 +68,25 @@ def _added_slice(p: int, num_partitions: int, own_dict, *blocks):
             "src": pa.array(np.concatenate(srcs), pa.int64()),
             "dst": pa.array(np.concatenate(dsts), pa.int64()),
         }
+    )
+
+
+def _added_ds(added_src, added_dst):
+    """Normalize the update batch: Dataset / factory / plain arrays."""
+    import numpy as np
+    import pyarrow as pa
+
+    if added_dst is None:
+        return added_src() if callable(added_src) else added_src
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.asarray(added_src, dtype=np.int64), pa.int64()),
+                "dst": pa.array(np.asarray(added_dst, dtype=np.int64), pa.int64()),
+            }
+        )
     )
 
 
@@ -215,7 +238,7 @@ def pagerank_incremental(
         block_refs = [ray.put(t)]
     own_dict = m2.ownership
     slices = {
-        p: _added_slice.remote(p, num_partitions, own_dict, *block_refs)
+        p: _added_slice.remote(p, num_partitions, own_dict, False, *block_refs)
         for p in range(num_partitions)
     }
     r2 = _run(
@@ -228,6 +251,96 @@ def pagerank_incremental(
             "eps": eps,
             "damping": damping,
         },
+        direction="fwd",
+        **harness_kwargs,
+    )
+    return r1, r2
+
+
+def wcc_incremental(
+    base_factory,
+    updated_factory,
+    added_src,
+    added_dst,
+    base_key: str,
+    updated_key: str,
+    num_partitions: int = 8,
+    warm_dir: str | None = None,
+    **harness_kwargs,
+):
+    """Warm-start WCC after edge additions (the general reference IncEval
+    contract, /root/reference/src/worker/CCworker.go): converge on the base
+    graph once (writing per-partition Assemble files), then re-evaluate on
+    base+added by warm-starting labels from those files and seeding
+    propagation ONLY at the added-edge endpoints — min labels are monotone
+    under additions, so the warm run reaches the cold fixpoint exactly, at
+    a fraction of the traversals. Returns (cold_base_result, warm_result).
+
+    ``added_src`` may be a Dataset/factory of (src, dst) rows (then pass
+    ``added_dst=None``) or plain arrays; slicing per owner partition runs
+    in remote tasks, the driver holds O(P) refs. Both graphs must share
+    ownership mode and partition count."""
+    import tempfile
+
+    from drone_ray.graph.programs import IncrementalConnectedComponents
+
+    m1 = graph_for(base_factory, base_key, num_partitions)
+    warm = warm_dir or tempfile.mkdtemp(prefix="drone_ray_warm_", dir="/tmp")
+    r1 = _run(m1, ConnectedComponents, {}, direction="both",
+              output_dir=warm, **harness_kwargs)
+    m2 = graph_for(updated_factory, updated_key, num_partitions)
+    block_refs = _added_ds(added_src, added_dst).to_arrow_refs()
+    seeds = {
+        p: _added_slice.remote(p, num_partitions, m2.ownership, True, *block_refs)
+        for p in range(num_partitions)
+    }
+    r2 = _run(
+        m2,
+        IncrementalConnectedComponents,
+        {"warm_dir": warm, "added_slices": seeds},
+        direction="both",
+        **harness_kwargs,
+    )
+    return r1, r2
+
+
+def sssp_incremental(
+    base_factory,
+    updated_factory,
+    added_src,
+    added_dst,
+    base_key: str,
+    updated_key: str,
+    source: int,
+    num_partitions: int = 8,
+    warm_dir: str | None = None,
+    **harness_kwargs,
+):
+    """Warm-start SSSP after edge additions (the general reference IncEval
+    contract, /root/reference/src/worker/SSSPworker.go): distances are
+    monotone non-increasing under additions, so relaxation warm-started
+    from the converged base distances (same source!) reaches the cold-run
+    fixpoint. Seeds are the owned SOURCES of added edges (directed).
+    Returns (cold_base_result, warm_result). Same slicing/ownership
+    contract as wcc_incremental."""
+    import tempfile
+
+    from drone_ray.graph.programs import IncrementalSSSP
+
+    m1 = graph_for(base_factory, base_key, num_partitions)
+    warm = warm_dir or tempfile.mkdtemp(prefix="drone_ray_warm_", dir="/tmp")
+    r1 = _run(m1, SSSP, {"source": source}, direction="fwd",
+              output_dir=warm, **harness_kwargs)
+    m2 = graph_for(updated_factory, updated_key, num_partitions)
+    block_refs = _added_ds(added_src, added_dst).to_arrow_refs()
+    seeds = {
+        p: _added_slice.remote(p, num_partitions, m2.ownership, False, *block_refs)
+        for p in range(num_partitions)
+    }
+    r2 = _run(
+        m2,
+        IncrementalSSSP,
+        {"source": source, "warm_dir": warm, "added_slices": seeds},
         direction="fwd",
         **harness_kwargs,
     )

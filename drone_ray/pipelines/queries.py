@@ -452,6 +452,50 @@ def q_pagerank_incremental(sf_dir: str):
     )
 
 
+def q_wcc_incremental(sf_dir: str):
+    """Reference IncEval parity for WCC
+    (/root/reference/src/worker/CCworker.go IncEval): converge min labels
+    on 98% of the edges, then warm-start on the full graph pushing only
+    along the remaining 2% — the fixpoint is exact and unique, so the
+    cold-run WCC recursive CTE is a full value oracle (unlike incremental
+    PageRank, whose warm trajectory has no fixed-iteration CTE twin)."""
+    from drone_ray.pipelines.analytics import wcc_incremental
+    from drone_ray.stages.edges import sample_edges
+
+    _, r2 = wcc_incremental(
+        lambda: sample_edges(lg_edges(sf_dir), INC_PCT, invert=True),
+        lambda: lg_edges(sf_dir),
+        lambda: sample_edges(lg_edges(sf_dir), INC_PCT),
+        None,
+        _graph_key(sf_dir) + f":incbase{INC_PCT}",
+        _graph_key(sf_dir),
+        GRAPH_PARTITIONS,
+    )
+    return r2.to_table()
+
+
+def q_sssp_incremental(sf_dir: str):
+    """Reference IncEval parity for SSSP
+    (/root/reference/src/worker/SSSPworker.go IncEval): warm-start BFS
+    distances from the 98%-edge base run, relaxing only along the added
+    2% — exact fixpoint, so the cold-run SSSP CTE is the value oracle."""
+    from drone_ray.pipelines.analytics import sssp_incremental
+    from drone_ray.stages.edges import sample_edges
+
+    source = int(_raw_edges(sf_dir).min("src"))
+    _, r2 = sssp_incremental(
+        lambda: sample_edges(lg_edges(sf_dir), INC_PCT, invert=True),
+        lambda: lg_edges(sf_dir),
+        lambda: sample_edges(lg_edges(sf_dir), INC_PCT),
+        None,
+        _graph_key(sf_dir) + f":incbase{INC_PCT}",
+        _graph_key(sf_dir),
+        source,
+        GRAPH_PARTITIONS,
+    )
+    return r2.to_table()
+
+
 def q_degree_distribution(sf_dir: str):
     from drone_ray.pipelines.graphstats import degree_distribution
 
@@ -2245,6 +2289,9 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "host_pagerank": (q_host_pagerank, _PR_SQL.replace(EDGES_SQL, _HOST_EDGES_SQL)),
     "wcc": (q_wcc, _WCC_SQL),
     "wcc_star": (q_wcc_star, _WCC_SQL),
+    # exact fixpoints ⇒ the cold-run CTEs attest the warm-start runs too
+    "wcc_incremental": (q_wcc_incremental, _WCC_SQL),
+    "sssp_incremental": (q_sssp_incremental, _SSSP_SQL),
     "lpa": (q_lpa, _LPA_SQL),
     "sssp": (q_sssp, _SSSP_SQL),
     "sssp_weighted": (q_sssp_weighted, _SSSP_W_SQL),
@@ -2383,12 +2430,14 @@ _ORDER = [
     # tier 1 — stale in r3, oracle-backed
     "ann_topk", "embedding_near_dup", "sessions", "sliding_counts",
     "asof_prior_click", "events_hourly", "lineitem_agg", "customer_orders",
-    # tier 2 — touched or added in round 4
+    # tier 2 — touched or added in round 5 (incremental IncEval family,
+    # distributed modularity, Katz guard), then round 4
+    "wcc_incremental", "sssp_incremental", "modularity", "katz",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",
-    "degree_assortativity", "katz", "corpus_clean",
+    "degree_assortativity", "corpus_clean",
     "betweenness", "harmonic", "wcc_star", "pseudo_diameter",
-    "modularity", "sssp", "extract_pages", "dedup_clusters",
+    "sssp", "extract_pages", "dedup_clusters",
     # tier 3 — remaining oracle-backed
     "edges", "edge_sample", "out_degrees", "degree_topk",
     "triangle_total", "triangles_per_vertex", "degree_distribution",

@@ -471,3 +471,67 @@ def test_katz_safe_default_and_divergence_guard():
                 lambda: _edges_ds(src, dst), "katz_diverge_chord", num_partitions=2,
                 alpha=2.0, max_steps=500,
             )
+
+
+def _hash_split_edges(n=2000, m=4, seed=47, pct=2):
+    """Deterministic (base, added) split of a power-law graph by edge hash."""
+    src, dst = ba_powerlaw(n=n, m=m, seed=seed)
+    P31 = np.uint64(2**31 - 1)
+    h = (
+        (src.astype(np.uint64) % P31) * np.uint64(1103515245)
+        + (dst.astype(np.uint64) % P31) * np.uint64(12345)
+    ) % P31 % np.uint64(100)
+    addm = h < pct
+    return (src[~addm], dst[~addm]), (src[addm], dst[addm]), (src, dst)
+
+
+def test_incremental_wcc_matches_cold_and_is_cheaper():
+    """IncEval parity for WCC: warm-start on base+added equals a cold run
+    (unique min-label fixpoint) at a fraction of the traversals."""
+    from drone_ray.pipelines.analytics import connected_components, wcc_incremental
+
+    (bs, bd), (as_, ad), (src, dst) = _hash_split_edges(seed=47)
+    assert as_.size > 10
+
+    _, r2 = wcc_incremental(
+        lambda: _edges_ds(bs, bd),
+        lambda: _edges_ds(src, dst),
+        as_,
+        ad,
+        "incwcc_t_base",
+        "incwcc_t_full",
+        num_partitions=3,
+    )
+    cold = connected_components(lambda: _edges_ds(src, dst), "incwcc_t_full", 3)
+    wv, wl = _sorted(r2.to_table(), "component")
+    cv, cl = _sorted(cold.to_table(), "component")
+    assert np.array_equal(wv, cv)
+    assert np.array_equal(wl, cl)
+    assert r2.edges_traversed < cold.edges_traversed * 0.6
+
+
+def test_incremental_sssp_matches_cold_and_is_cheaper():
+    """IncEval parity for SSSP: warm distances equal the cold run on the
+    updated graph, relaxing only the improved regions."""
+    from drone_ray.pipelines.analytics import sssp, sssp_incremental
+
+    (bs, bd), (as_, ad), (src, dst) = _hash_split_edges(seed=53)
+    assert as_.size > 10
+    source = int(src.min())
+
+    _, r2 = sssp_incremental(
+        lambda: _edges_ds(bs, bd),
+        lambda: _edges_ds(src, dst),
+        as_,
+        ad,
+        "incsssp_t_base",
+        "incsssp_t_full",
+        source,
+        num_partitions=3,
+    )
+    cold = sssp(lambda: _edges_ds(src, dst), "incsssp_t_full", source, 3)
+    wt, ct = r2.to_table(), cold.to_table()
+    wmap = dict(zip(wt["vid"].to_numpy().tolist(), wt["dist"].to_numpy().tolist()))
+    cmap = dict(zip(ct["vid"].to_numpy().tolist(), ct["dist"].to_numpy().tolist()))
+    assert wmap == cmap
+    assert r2.edges_traversed < cold.edges_traversed
