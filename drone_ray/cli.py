@@ -54,7 +54,12 @@ def main(argv=None) -> dict:
     ap.add_argument("--pages", help="pages parquet dir (build-pages-graph)")
     ap.add_argument("--edges", help="edge-table parquet dir")
     ap.add_argument("--out", required=True, help="output directory")
-    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument(
+        "--partitions", type=int, default=None,
+        help="graph partition count; default derives from the live cluster "
+             "(CPU count, capped at 64) — pin explicitly for reproducible "
+             "layouts across differently-sized clusters",
+    )
     ap.add_argument("--num-cpus", type=int, default=32)
     ap.add_argument("--eps", type=float, default=1e-10)
     ap.add_argument("--alpha", type=float, default=0.02,
@@ -78,6 +83,15 @@ def main(argv=None) -> dict:
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
     _session(args)
+    if args.partitions is None:
+        # derive P from the LIVE cluster (multi-node: ray job submit against
+        # a running cluster reports the whole fleet's CPUs) — one partition
+        # per ~2 CPUs keeps actors barrier-balanced, capped so tiny test
+        # sessions still get parallelism and huge ones don't over-fragment
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        args.partitions = max(4, min(64, cpus // 2))
 
     if args.command == "build-pages-graph":
         import ray.data as rd
