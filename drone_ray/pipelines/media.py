@@ -8,8 +8,11 @@ Three decode tiers, all behind one stage class:
 * ``real=True`` with Pillow installed — actual pixel decode (import is
   guarded and attempted ONCE per actor in ``__init__``): grayscale
   thumbnail features + intrinsic dimensions.
-* ``real=True`` without Pillow — NotImplementedError at the exact point
-  the PIL call would go (the honest stub this container requires).
+* ``real=True`` without Pillow — pure-stdlib PNG pixel decode
+  (:func:`decode_png_pixels`: zlib inflate + scanline unfilter, 8-bit
+  gray/palette/RGB/RGBA), so the real tier has CI coverage in
+  imaging-library-free containers; non-PNG payloads keep the honest
+  NotImplementedError at the exact point the codec call would go.
 
 Independent of all three, :func:`media_dims` parses intrinsic width/height
 straight out of PNG/GIF/BMP/JPEG headers in pure stdlib python — real
@@ -76,6 +79,120 @@ def media_dims(payload: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def decode_png_pixels(payload: bytes) -> tuple[np.ndarray, int, int] | None:
+    """Pure-stdlib PNG pixel decode (zlib inflate + scanline unfilter) —
+    the testable ``real=True`` tier for containers without an imaging
+    library. Supports 8-bit non-interlaced grayscale / gray+alpha / RGB /
+    RGBA / palette (the overwhelming majority of web PNGs); anything else
+    returns None so callers can fall through to their stub/error path.
+
+    Returns (grayscale float64 H×W in [0, 1], width, height). Grayscale is
+    the ITU-R BT.601 luma (the same weights PIL's convert("L") uses), so a
+    Pillow-present run and this path agree on features to rounding.
+    """
+    import zlib
+
+    p = payload or b""
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(p):
+        (length,) = struct.unpack(">I", p[pos : pos + 4])
+        ctype = p[pos + 4 : pos + 8]
+        data = p[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            return None  # truncated
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0 or color not in _PNG_CHANNELS:
+        return None
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    # unfilter: each scanline is (filter_byte, stride bytes); filters are
+    # defined on bytes with the per-pixel offset = channel count
+    out = np.zeros((h, stride), dtype=np.uint8)
+    raw_rows = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(h, stride + 1)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(raw_rows[y, 0])
+        line = raw_rows[y, 1:].astype(np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up (vectorizable: depends only on prev row)
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    pp = a + b - c
+                    pa_, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None  # invalid filter byte
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch).astype(np.float64)
+    if color == 3:  # palette lookup
+        if plte is None:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+        idx = px[:, :, 0].astype(np.int64)
+        if idx.max(initial=0) >= pal.shape[0]:
+            return None
+        rgb = pal[idx]
+        gray = rgb @ np.array([0.299, 0.587, 0.114])
+    elif color in (0, 4):  # gray / gray+alpha (alpha ignored for features)
+        gray = px[:, :, 0]
+    else:  # RGB / RGBA
+        gray = px[:, :, :3] @ np.array([0.299, 0.587, 0.114])
+    return gray / 255.0, int(w), int(h)
+
+
+def _block_mean_resize(gray: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    """Box-filter resample of an H×W array to (rows, cols) by averaging the
+    pixels each output cell covers — stdlib/numpy stand-in for a thumbnail
+    resize (exact for integer ratios, area-weighted otherwise)."""
+    h, w = gray.shape
+    rows, cols = shape
+    ye = np.linspace(0, h, rows + 1).astype(np.int64)
+    xe = np.linspace(0, w, cols + 1).astype(np.int64)
+    outv = np.empty((rows, cols))
+    for r in range(rows):
+        y0, y1 = ye[r], max(ye[r] + 1, ye[r + 1])
+        band = gray[y0:y1]
+        for c in range(cols):
+            x0, x1 = xe[c], max(xe[c] + 1, xe[c + 1])
+            outv[r, c] = band[:, x0:x1].mean()
+    return outv
+
+
 class MediaDecodeStub:
     """Callable-class stage (one instance per actor). ``__init__`` does the
     once-per-actor setup — including the guarded Pillow import, so the
@@ -98,15 +215,31 @@ class MediaDecodeStub:
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if self.real:
-            if self._pil is None:
-                raise NotImplementedError(
-                    "real media decode requires Pillow, which is not present "
-                    "in this environment; install PIL or use real=False"
-                )
-            return self._decode_pil(payload)[0]
+            if self._pil is not None:
+                return self._decode_pil(payload)[0]
+            return self._decode_stdlib(payload)[0]
         digest = hashlib.blake2b(payload, digest_size=32).digest()
         raw = np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
         return raw @ self.proj
+
+    def _feature_shape(self) -> tuple[int, int]:
+        side = int(np.sqrt(self.feature_dim))
+        return (side, side) if side * side == self.feature_dim else (self.feature_dim, 1)
+
+    def _decode_stdlib(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        """Real pixel decode without Pillow: the pure-stdlib PNG path
+        (zlib unfilter). Non-PNG payloads keep the honest
+        NotImplementedError at the exact point the codec call would go."""
+        d = decode_png_pixels(payload)
+        if d is None:
+            raise NotImplementedError(
+                "real media decode without Pillow supports 8-bit PNG only "
+                "(stdlib zlib path); install PIL for other formats or use "
+                "real=False"
+            )
+        gray, w, h = d
+        feat = _block_mean_resize(gray, self._feature_shape()).reshape(-1)
+        return feat[: self.feature_dim], w, h
 
     def _decode_pil(self, payload: bytes) -> tuple[np.ndarray, int, int]:
         """Actual pixel decode: grayscale thumbnail resampled to
@@ -133,6 +266,8 @@ class MediaDecodeStub:
             sizes[i] = len(p)
             if self.real and self._pil is not None:
                 feats[i], widths[i], heights[i] = self._decode_pil(p)
+            elif self.real:
+                feats[i], widths[i], heights[i] = self._decode_stdlib(p)
             else:
                 feats[i] = self._decode(p)
                 # fake intrinsic dims derived deterministically from content
@@ -151,16 +286,18 @@ def media_features(
     ds: Dataset,
     *,
     feature_dim: int = 16,
+    real: bool = False,
     concurrency: int = 2,
     batch_size: int = 64,
     num_cpus: float = 1,
 ) -> Dataset:
     """Actor-pool decode/feature-extract over a (id, media: binary) dataset.
     Small batch_size on purpose: binary rows are wide, so batch × concurrency
-    must fit the worker heap (SURVEY-level memory note)."""
+    must fit the worker heap (SURVEY-level memory note). ``real=True``
+    decodes actual pixels (Pillow when present, stdlib PNG otherwise)."""
     return ds.map_batches(
         MediaDecodeStub,
-        fn_constructor_kwargs={"feature_dim": feature_dim},
+        fn_constructor_kwargs={"feature_dim": feature_dim, "real": real},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
