@@ -68,7 +68,8 @@ def main(argv=None) -> dict:
                     help="edge weight column (pagerank-weighted / sssp-weighted)")
     ap.add_argument("--source", type=int, default=None, help="sssp source vid")
     ap.add_argument("--sources", default=None,
-                    help="comma-separated source vids (betweenness/harmonic)")
+                    help="comma-separated source vids (betweenness/harmonic), "
+                         "or 'all' for the exact Θ(V·E) source-batched schedule")
     ap.add_argument("--max-rounds", type=int, default=10, help="lpa round cap")
     ap.add_argument("--pattern", help="pattern graph file (simulation, S6 format)")
     ap.add_argument("--hub-threshold", type=int, default=None)
@@ -188,7 +189,9 @@ def main(argv=None) -> dict:
         res = A.sssp_weighted(ef, key + ":w", source, args.partitions,
                               weight_col=args.weight_col, **hk)
     elif args.command in ("betweenness", "harmonic"):
-        if args.sources:
+        if args.sources == "all":
+            sources = "all"  # exact mode: resumable source-batched schedule
+        elif args.sources:
             sources = [int(x) for x in args.sources.split(",")]
         else:
             sources = [int(ef().min("src"))]

@@ -46,7 +46,10 @@ class ProgramResult:
             return pa.concat_tables(self._tables)
         import ray.data as rd
 
-        return rd.read_parquet(self.output_dir).to_arrow()
+        ds = rd.read_parquet(self.output_dir)
+        return pa.concat_tables(
+            ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
 
     def dataset(self):
         import ray.data as rd

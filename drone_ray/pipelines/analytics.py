@@ -470,19 +470,226 @@ def sssp(
     return _run(m, SSSP, {"source": source}, direction=direction, **harness_kwargs)
 
 
+def _distinct_vids(manifest):
+    """Distinct vertex ids of a built layout as a Dataset. In the dual
+    layout every endpoint appears as the ``src`` (u) of some row in its
+    owner's partition — except split hubs, recovered from the hubs table —
+    so one column-pruned read + a bucketed unique reduce yields the vertex
+    set without touching the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from drone_ray.hashing import adaptive_buckets, mix64
+    from drone_ray.pipelines._util import pin_schema
+
+    eds = rd.read_parquet(manifest.edges_dir, columns=["src"])
+    # parquet-metadata row count (2E in the dual layout) — a safe
+    # overestimate of the distinct-vid rows each bucket will hold
+    B = adaptive_buckets(eds.count(), floor=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.unique(b["src"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {
+                "vid": pa.array(v, pa.int64()),
+                "_b": pa.array((mix64(v.astype(np.uint64)) % np.uint64(B)).astype(np.int64)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vid": np.unique(g["vid"].to_numpy(np.int64))})
+
+    schema = pa.schema([("vid", pa.int64())])
+    vds = (
+        eds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
+    )
+    if manifest.hubs_path:
+        hubs = rd.read_parquet(manifest.hubs_path, columns=["vid"])
+        vds = vds.union(hubs.map_batches(pin_schema(schema), batch_format="pyarrow",
+                                         batch_size=None))
+    return vds
+
+
+def _iter_source_batches(manifest, source_batch: int):
+    """Stream the graph's DISTINCT vids in sorted order, ``source_batch`` at
+    a time. The distinct set may still carry duplicates across the hubs
+    union, so the global sort brings equal vids together and the driver
+    dedupes at each batch boundary by carrying the previous batch's last
+    vid — driver memory stays O(source_batch)."""
+    import numpy as np
+
+    vds = _distinct_vids(manifest).sort("vid")
+    last = None
+    pending: list[int] = []
+    for b in vds.iter_batches(batch_size=max(source_batch * 4, 4096), batch_format="pyarrow"):
+        v = np.unique(b["vid"].to_numpy(zero_copy_only=False))
+        if last is not None and v.size and v[0] == last:
+            v = v[1:]
+        if v.size:
+            last = int(v[-1])
+            pending.extend(int(x) for x in v)
+        while len(pending) >= source_batch:
+            yield pending[:source_batch]
+            pending = pending[source_batch:]
+    if pending:
+        yield pending
+
+
+def _sum_by_vid(ds, value_col: str, num_buckets: int = 32):
+    """Bucketed per-vid sum of the per-source-batch partial tables (house
+    pattern: vectorized per-block partial → one hash-bucket shuffle →
+    vectorized per-bucket finish)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from drone_ray.hashing import mix64
+    from drone_ray.pipelines._util import pin_schema
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "vid": b["vid"].to_numpy(zero_copy_only=False),
+                value_col: b[value_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("vid", sort=False)[value_col].sum().reset_index()
+        vid = agg["vid"].to_numpy(np.int64)
+        agg["_b"] = (mix64(vid.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("vid", sort=False)[value_col].sum().reset_index()
+        return agg[["vid", value_col]]
+
+    schema = pa.schema([("vid", pa.int64()), (value_col, pa.float64())])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _exact_all_sources(
+    manifest,
+    program_cls,
+    value_col: str,
+    direction: str,
+    *,
+    source_batch: int = 64,
+    max_steps: int = 2000,
+    output_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = True,
+    **harness_kwargs,
+) -> ProgramResult:
+    """EXACT centrality (every vertex a source) via a source-batched,
+    resumable schedule.
+
+    Cost envelope: exact Brandes/harmonic is Θ(V·E) edge traversals —
+    ~2·ecc(s)+3 supersteps per source, all sources — so it is only payable
+    on graphs where V·E work is (sampled mode with k sources is the
+    100-TB path, cost k·E). The schedule bounds everything else:
+
+      * sources stream from the layout's vertices table in sorted
+        ``source_batch`` chunks (driver memory O(source_batch), never O(V));
+      * each chunk is ONE program run over the cached graph layout writing
+        its partial per-partition parquet to ``…/chunk-NNNNN.tmp`` and
+        atomically renaming on completion — a re-run (``resume=True``,
+        the default) skips finished chunks, so a killed exact job loses at
+        most one chunk of work;
+      * partials merge with one bucketed per-vid sum (no driver state).
+
+    ``checkpoint_dir`` (optional) checkpoints INSIDE each chunk's run under
+    ``<checkpoint_dir>/chunk-NNNNN`` for very large chunks."""
+    import shutil
+
+    import ray.data as rd
+
+    scratch = os.path.join(
+        manifest.work_dir, f"exact_{program_cls.__name__}_b{source_batch}"
+    )
+    final_dir = output_dir or os.path.join(scratch, "result")
+    done = os.path.join(final_dir, "_DONE")
+    if resume and os.path.exists(done):
+        return ProgramResult([], 0, True, 0.0, 0, output_dir=final_dir)
+    os.makedirs(scratch, exist_ok=True)
+    metrics: list[dict] = []
+    steps = edges = 0
+    wall = 0.0
+    part_dirs: list[str] = []
+    for i, batch in enumerate(_iter_source_batches(manifest, source_batch)):
+        pdir = os.path.join(scratch, f"chunk-{i:05d}")
+        part_dirs.append(pdir)
+        if resume and os.path.isdir(pdir):
+            continue
+        tmp = pdir + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        hk = dict(harness_kwargs)
+        if checkpoint_dir:
+            hk["checkpoint_dir"] = os.path.join(checkpoint_dir, f"chunk-{i:05d}")
+            hk["checkpoint_every"] = checkpoint_every
+            hk["resume"] = resume
+        res = run_vertex_program(
+            manifest, program_cls, {"sources": batch},
+            direction=direction, max_steps=max_steps, output_dir=tmp, **hk,
+        )
+        if not res.converged:
+            raise RuntimeError(
+                f"exact {program_cls.__name__} chunk {i} hit max_steps={max_steps} "
+                f"unconverged — raise max_steps or shrink source_batch"
+            )
+        metrics.extend(res.metrics)
+        steps += res.steps
+        edges += res.edges_traversed
+        wall += res.wall_seconds
+        os.replace(tmp, pdir)
+    import glob as _glob
+
+    # read_parquet takes a list of FILES (a single path may be a dir)
+    files = sorted(
+        f for d in part_dirs for f in _glob.glob(os.path.join(d, "**", "*.parquet"),
+                                                 recursive=True)
+    )
+    union = rd.read_parquet(files, columns=["vid", value_col])
+    result = _sum_by_vid(union, value_col)
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    result.write_parquet(final_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return ProgramResult(metrics, steps, True, wall, edges, output_dir=final_dir)
+
+
 def betweenness(
     edges_factory,
     cache_key: str,
-    sources: list[int],
+    sources,
     num_partitions: int = 8,
     max_steps: int = 2000,
+    source_batch: int = 64,
     **harness_kwargs,
 ) -> ProgramResult:
     """Betweenness centrality over ``sources`` (sampled Brandes;
     programs.BetweennessCentrality). Raw directed pair-dependency sums —
     multiply by n/len(sources) for the sampled estimator. Runs on the
-    dualview layout (no hub splitting). Steps ≈ Σ_s 2·ecc(s) + 3."""
+    dualview layout (no hub splitting). Steps ≈ Σ_s 2·ecc(s) + 3.
+
+    ``sources="all"``: EXACT Brandes — every vertex a source, run as a
+    resumable source-batched schedule (see _exact_all_sources; Θ(V·E))."""
     m = graph_for(edges_factory, cache_key, num_partitions)
+    if sources == "all":
+        return _exact_all_sources(
+            m, BetweennessCentrality, "bc", "dualview",
+            source_batch=source_batch, max_steps=max_steps, **harness_kwargs)
     return _run(m, BetweennessCentrality, {"sources": sources},
                 direction="dualview", max_steps=max_steps, **harness_kwargs)
 
@@ -490,14 +697,22 @@ def betweenness(
 def harmonic_centrality(
     edges_factory,
     cache_key: str,
-    sources: list[int],
+    sources,
     num_partitions: int = 8,
     max_steps: int = 2000,
+    source_batch: int = 64,
     **harness_kwargs,
 ) -> ProgramResult:
     """Sampled harmonic centrality H(v) = Σ_s 1/d(s, v) (programs.
-    HarmonicCentrality) — the forward half of the Brandes machinery."""
+    HarmonicCentrality) — the forward half of the Brandes machinery.
+
+    ``sources="all"``: exact harmonic centrality via the same resumable
+    source-batched schedule as exact betweenness (Θ(V·E))."""
     m = graph_for(edges_factory, cache_key, num_partitions)
+    if sources == "all":
+        return _exact_all_sources(
+            m, HarmonicCentrality, "harmonic", "fwd",
+            source_batch=source_batch, max_steps=max_steps, **harness_kwargs)
     return _run(m, HarmonicCentrality, {"sources": sources},
                 direction="fwd", max_steps=max_steps, **harness_kwargs)
 

@@ -1,8 +1,15 @@
 """Driver-gate emulation: run every queries() entry at a given sf and
 compare against its oracle_sql() via DuckDB (row count, column names,
-order-insensitive values). Usage: python scripts/check_queries.py [sf_dir] [names...]
+order-insensitive values).
+
+Usage: python scripts/check_queries.py [--json OUT.json] [sf_dir] [names...]
+
+--json writes the full per-query attestation artifact (the committed
+FULLCHECK_r{N}.json — covers the registry tail beyond the driver's
+prefix cap, VERDICT r4 "what's missing" #1).
 """
 
+import json
 import os
 import sys
 import time
@@ -51,8 +58,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -60,6 +72,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -68,32 +81,53 @@ def main():
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
             failures.append(name)
+            report[name] = {"status": "FAIL", "mode": "error",
+                            "err": f"{type(e).__name__}: {str(e)[:300]}"}
             print(f"FAIL {name}: ray error {type(e).__name__}: {str(e)[:300]}")
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
+            report[name] = {"status": "ok", "mode": "rows-only",
+                            "rows": len(got), "seconds": round(dt, 2)}
             print(f"ok   {name}: rows={len(got)} cols={list(got.columns)} ({dt:.1f}s, rows-only)")
             continue
         exp = canon(con.execute(oracles[name]).df())
         status = "ok  "
+        detail = None
         if list(got.columns) != list(exp.columns):
             status = "FAIL"
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            detail = f"columns {list(got.columns)} != {list(exp.columns)}"
         elif len(got) != len(exp):
             status = "FAIL"
-            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            detail = f"rows {len(got)} != {len(exp)}"
         else:
             try:
                 pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, atol=1e-9)
             except AssertionError as e:
                 status = "FAIL"
-                print(f"FAIL {name}: values differ: {str(e)[:400]}")
+                detail = f"values differ: {str(e)[:400]}"
         if status == "ok  ":
+            report[name] = {"status": "ok", "mode": "oracle",
+                            "rows": len(got), "seconds": round(dt, 2)}
             print(f"ok   {name}: rows={len(got)} matches oracle ({dt:.1f}s)")
         else:
+            report[name] = {"status": "FAIL", "mode": "oracle", "err": detail}
+            print(f"FAIL {name}: {detail}")
             failures.append(name)
     print("----")
     print("FAILURES:", failures if failures else "none")
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(report),
+            "oracle_backed": sum(1 for r in report.values() if r["mode"] == "oracle"),
+            "rows_only": sum(1 for r in report.values() if r["mode"] == "rows-only"),
+            "failures": failures,
+            "queries": report,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_out}")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 

@@ -86,3 +86,54 @@ def test_harmonic_vs_bfs_oracle():
     assert set(got) == set(exp)
     for v in exp:
         assert abs(got[v] - exp[v]) < 1e-9, f"vid {v}"
+
+
+def test_betweenness_exact_all_sources_mode():
+    # sources="all" must equal the brute oracle over every vertex, and a
+    # second call must short-circuit on the _DONE marker (resume schedule)
+    src, dst = ba_powerlaw(n=40, m=2, seed=5)
+    vids = sorted(set(np.concatenate([src, dst]).tolist()))
+    res = betweenness(
+        lambda: _ds(src, dst), "bc_exact_all_v1", "all",
+        num_partitions=3, source_batch=7,
+    )
+    t = res.to_table()
+    got = dict(zip(t["vid"].to_pylist(), t["bc"].to_pylist()))
+    exp = betweenness_oracle(src, dst, vids)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, f"vid {v}: {got[v]} != {exp[v]}"
+    res2 = betweenness(
+        lambda: _ds(src, dst), "bc_exact_all_v1", "all",
+        num_partitions=3, source_batch=7,
+    )
+    assert res2.steps == 0  # cached result, no supersteps re-run
+    t2 = res2.to_table()
+    got2 = dict(zip(t2["vid"].to_pylist(), t2["bc"].to_pylist()))
+    assert got2 == got
+
+
+def test_harmonic_exact_all_sources_mode():
+    from drone_ray.oracles import bfs_oracle
+    from drone_ray.pipelines.analytics import harmonic_centrality
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 35, 150).astype(np.int64)
+    dst = rng.integers(0, 35, 150).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    vids = sorted(set(np.concatenate([src, dst]).tolist()))
+    res = harmonic_centrality(
+        lambda: _ds(src, dst), "harm_exact_all_v1", "all",
+        num_partitions=3, source_batch=6,
+    )
+    t = res.to_table()
+    got = dict(zip(t["vid"].to_pylist(), t["harmonic"].to_pylist()))
+    exp = {int(v): 0.0 for v in vids}
+    for s in vids:
+        for v, d in bfs_oracle(src, dst, s).items():
+            if d >= 1:
+                exp[v] += 1.0 / d
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, f"vid {v}"
