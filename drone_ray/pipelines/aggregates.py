@@ -85,6 +85,107 @@ def exact_quantiles(
     )
 
 
+_DD_OFFSET = np.int64(1) << np.int64(40)  # key-space shift so keys sort in value order
+
+
+def _dd_keys(v: np.ndarray, gamma: float) -> np.ndarray:
+    """DDSketch log-bin key per value: positive x maps to
+    ceil(ln(x)/ln(gamma)) + OFFSET, zero to 0, negative x mirrors. Keys are
+    monotone in the value, so rank statistics on keys are rank statistics
+    on values."""
+    lg = np.log(gamma)
+    key = np.zeros(v.size, np.int64)
+    pos, neg = v > 0, v < 0
+    with np.errstate(divide="ignore"):
+        key[pos] = np.ceil(np.log(v[pos]) / lg).astype(np.int64) + _DD_OFFSET
+        key[neg] = -(np.ceil(np.log(-v[neg]) / lg).astype(np.int64) + _DD_OFFSET)
+    return key
+
+
+def _dd_rep(keys: np.ndarray, gamma: float) -> np.ndarray:
+    """Representative value of each bin key: the geometric midpoint
+    2·gamma^i/(gamma+1), within relative error (gamma-1)/(gamma+1) = alpha
+    of every value in the bin."""
+    rep = np.zeros(keys.size, np.float64)
+    pos, neg = keys > 0, keys < 0
+    rep[pos] = 2.0 * np.power(gamma, (keys[pos] - _DD_OFFSET).astype(np.float64)) / (gamma + 1.0)
+    rep[neg] = -2.0 * np.power(gamma, (-keys[neg] - _DD_OFFSET).astype(np.float64)) / (gamma + 1.0)
+    return rep
+
+
+def ddsketch_quantiles(
+    values: Dataset,
+    col: str,
+    qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    alpha: float = 0.01,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """(q, value) — MERGEABLE quantile sketch for unbounded/float columns:
+    the DDSketch log-binned histogram (Masson, Rim & Lee, "DDSketch: a fast
+    and fully-mergeable quantile sketch with relative-error guarantees",
+    VLDB 2019). Every value lands in bin ceil(log_gamma(x)) with
+    gamma = (1+alpha)/(1-alpha); the returned quantile is the bin's
+    geometric midpoint, within RELATIVE error ``alpha`` of the true
+    quantile value.
+
+    Unlike KLL-style compactor sketches, the bin histogram is a plain
+    count map — merging is addition, so the reduce is deterministic and
+    ORDER-INSENSITIVE (no merge-order seam at any parallelism), exactly
+    the property a 100-TB tree reduce needs. Same two-stage shape as
+    exact_quantiles: per-batch bin histograms → one bucketed shuffle →
+    the driver sees only ~|bins| rows (log-scale: ~231 bins per decade of
+    dynamic range at alpha=0.01). The bin rule is one ln + one divide, so
+    the whole sketch is SQL-expressible and driver-attestable (the md5
+    minhash-oracle move). Rank rule matches quantile_disc (1-based
+    ceil(q·n)) on keys, which by key monotonicity is quantile_disc on
+    values."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    num_buckets = num_buckets or adaptive_buckets(None, floor=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        uk, cnt = np.unique(_dd_keys(v, gamma), return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(uk, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+                "_b": pa.array((mix64(uk) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", sort=False)["c"].sum().reset_index()
+
+    hist_parts = list(
+        values.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if hist_parts:
+        hist = pa.concat_tables(hist_parts)
+        k = hist["v"].to_numpy(zero_copy_only=False)
+        c = hist["c"].to_numpy(zero_copy_only=False)
+    else:
+        k = np.empty(0, np.int64)
+        c = np.empty(0, np.int64)
+    order = np.argsort(k)
+    k, c = k[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if cum.size else 0
+    out_q, out_k = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        rank = max(1, math.ceil(q * n))
+        out_q.append(float(q))
+        out_k.append(int(k[np.searchsorted(cum, rank)]))
+    rep = _dd_rep(np.asarray(out_k, np.int64), gamma)
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(rep, pa.float64())}
+    )
+
+
 def _col_hash(arr) -> np.ndarray:
     """Deterministic process-independent uint64 hash of a key column:
     mix64 for integers, pandas hash_array (fixed-key siphash) otherwise."""

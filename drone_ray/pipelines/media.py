@@ -79,6 +79,97 @@ def media_dims(payload: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+# MPEG audio sample rates by version bits (11=MPEG1, 10=MPEG2, 00=MPEG2.5)
+_MP3_SR = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def audio_info(payload: bytes) -> tuple[str, int, int, float | None] | None:
+    """(format, sample_rate, channels, duration_seconds|None) parsed from
+    audio container headers in pure stdlib — the audio twin of
+    :func:`media_dims` (same 100-TB stance: profile headers, never decode
+    samples). Covers the public header layouts of WAV (RIFF fmt/data
+    chunks), FLAC (STREAMINFO metadata block), and MP3 (ID3v2 skip + first
+    MPEG frame header; frame headers carry no total length, so duration is
+    None). None for unknown/truncated payloads."""
+    p = payload or b""
+    if p[:4] == b"RIFF" and len(p) >= 12 and p[8:12] == b"WAVE":
+        i, sr, ch, block_align, data_size = 12, None, None, None, None
+        while i + 8 <= len(p):
+            cid = p[i : i + 4]
+            (clen,) = struct.unpack("<I", p[i + 4 : i + 8])
+            if cid == b"fmt " and i + 22 <= len(p):
+                _tag, ch, sr = struct.unpack("<HHI", p[i + 8 : i + 16])
+                if i + 22 <= len(p):
+                    (block_align,) = struct.unpack("<H", p[i + 20 : i + 22])
+            elif cid == b"data":
+                data_size = clen
+            i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+        if sr and ch:
+            dur = (
+                data_size / (sr * block_align)
+                if data_size is not None and block_align
+                else None
+            )
+            return ("wav", int(sr), int(ch), dur)
+        return None
+    if p[:4] == b"fLaC" and len(p) >= 42 and (p[4] & 0x7F) == 0:  # STREAMINFO first
+        si = p[8:42]
+        # bits: 20 sample rate | 3 channels-1 | 5 bps-1 | 36 total samples
+        b = int.from_bytes(si[10:18], "big")
+        sr = b >> 44
+        ch = ((b >> 41) & 0x7) + 1
+        total = b & ((1 << 36) - 1)
+        if sr:
+            return ("flac", int(sr), int(ch), (total / sr) if total else None)
+        return None
+    i = 0
+    if p[:3] == b"ID3" and len(p) >= 10:  # ID3v2 tag: syncsafe 28-bit size
+        i = 10 + (
+            ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14)
+            | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        )
+    if i + 4 <= len(p) and p[i] == 0xFF and (p[i + 1] & 0xE0) == 0xE0:
+        version = (p[i + 1] >> 3) & 0x3
+        layer = (p[i + 1] >> 1) & 0x3
+        sr_idx = (p[i + 2] >> 2) & 0x3
+        if version != 1 and layer != 0 and sr_idx != 3:
+            sr = _MP3_SR[version][sr_idx]
+            ch = 1 if (p[i + 3] >> 6) == 3 else 2
+            return ("mp3", int(sr), int(ch), None)
+    return None
+
+
+def _audio_metadata_batch(batch: pa.Table) -> pa.Table:
+    payloads = batch["media"].to_pylist()
+    fmts: list[str | None] = []
+    srs, chs, durs, sizes = [], [], [], []
+    for p in payloads:
+        p = p or b""
+        sizes.append(len(p))
+        d = audio_info(p)
+        if d is None:
+            fmts.append(None), srs.append(None), chs.append(None), durs.append(None)
+        else:
+            fmts.append(d[0]), srs.append(d[1]), chs.append(d[2]), durs.append(d[3])
+    cols = {name: batch[name] for name in batch.column_names if name != "media"}
+    cols["n_bytes"] = pa.array(sizes, pa.int64())
+    cols["format"] = pa.array(fmts, pa.string())
+    cols["sample_rate"] = pa.array(srs, pa.int32())
+    cols["channels"] = pa.array(chs, pa.int32())
+    cols["duration_s"] = pa.array(durs, pa.float64())
+    return pa.table(cols)
+
+
+def audio_metadata(ds: Dataset, *, batch_size: int = 256) -> Dataset:
+    """Header-only audio profiling over a (id, media: binary) dataset:
+    (format, sample_rate, channels, duration_s, n_bytes) per row, NULLs for
+    unrecognized payloads. Stateless map_batches, same shape as
+    :func:`media_metadata`. Sample DECODE (the ffmpeg tier) follows the
+    guarded-import pattern of MediaDecodeStub when a codec library exists;
+    header profiling is the pass that needs no library at any scale."""
+    return ds.map_batches(_audio_metadata_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/pixel
 
 

@@ -686,6 +686,29 @@ def q_doc_length_quantiles(sf_dir: str):
     return exact_quantiles(vals, "v", QUANTILE_QS)
 
 
+DD_ALPHA = 0.01
+
+
+def q_doc_length_quantiles_sketch(sf_dir: str):
+    """Token-count quantiles via the MERGEABLE DDSketch log-bin histogram
+    (aggregates.ddsketch_quantiles) — the unbounded-column counterpart of
+    the exact value-histogram reduce; order-insensitive merge, value within
+    relative error DD_ALPHA. The bin rule (ceil(ln v / ln gamma)) and bin
+    representative are reproduced verbatim in the SQL oracle, numpy/DuckDB
+    bin agreement is domain-tested for 1..2^20 in tests/test_aggregates.py."""
+    from drone_ray.pipelines.aggregates import ddsketch_quantiles
+
+    def nt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": pa.array([len(t.split()) for t in b["text"].to_pylist()], pa.int64())}
+        )
+
+    vals = _read(sf_dir, "documents", ["text"]).map_batches(
+        nt, batch_format="pyarrow", batch_size=None
+    )
+    return ddsketch_quantiles(vals, "v", QUANTILE_QS, alpha=DD_ALPHA)
+
+
 def q_top_user_per_type(sf_dir: str):
     """Per event_type, the most active user (ties to the smallest user_id)
     — the bucketed two-stage arg-max reduce (aggregates.group_argmax_count);
@@ -1710,6 +1733,25 @@ _QUANTILES_SQL = (
     )
 )
 
+# the sketch algebra verbatim in SQL: same gamma (repr-matched float
+# constant), same key space (0 for empty docs, log bin + 2^40 otherwise —
+# token counts are never negative), same quantile_disc rank rule on keys,
+# same geometric-midpoint representative
+_DD_GAMMA = repr((1.0 + DD_ALPHA) / (1.0 - DD_ALPHA))
+_DD_OFF = 1 << 40
+_QUANTILES_DD_SQL = (
+    "WITH n AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
+    f"len({_TOKENS_SQL}) END AS v FROM documents), "
+    "k AS (SELECT CASE WHEN v = 0 THEN 0 ELSE "
+    f"CAST(ceil(ln(v)/ln({_DD_GAMMA})) AS BIGINT) + {_DD_OFF} END AS key FROM n) "
+    + " UNION ALL ".join(
+        f"SELECT {q} AS q, CASE WHEN kk = 0 THEN 0.0 ELSE "
+        f"2*pow({_DD_GAMMA}, kk - {_DD_OFF})/({_DD_GAMMA}+1) END AS value "
+        f"FROM (SELECT quantile_disc(key, {q}) AS kk FROM k)"
+        for q in QUANTILE_QS
+    )
+)
+
 _TOP_USER_SQL = (
     "SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2 "
     "QUALIFY row_number() OVER (PARTITION BY event_type "
@@ -2297,6 +2339,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "sssp_weighted": (q_sssp_weighted, _SSSP_W_SQL),
     "pagerank_weighted": (q_pagerank_weighted, _PR_W_SQL),
     "doc_length_quantiles": (q_doc_length_quantiles, _QUANTILES_SQL),
+    "doc_length_quantiles_sketch": (q_doc_length_quantiles_sketch, _QUANTILES_DD_SQL),
     "top_user_per_type": (q_top_user_per_type, _TOP_USER_SQL),
     "top3_users_per_type": (q_top3_users_per_type, _TOP3_USER_SQL),
     "users_per_type": (q_users_per_type, _USERS_PER_TYPE_SQL),
@@ -2433,6 +2476,7 @@ _ORDER = [
     # tier 2 — touched or added in round 5 (incremental IncEval family,
     # distributed modularity, Katz guard), then round 4
     "wcc_incremental", "sssp_incremental", "modularity", "katz",
+    "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",
     "degree_assortativity", "corpus_clean",

@@ -100,3 +100,52 @@ def test_group_topk_and_count_distinct():
     )
     expd = df.groupby("t")["u"].nunique().reset_index(name="n_distinct")
     pd.testing.assert_frame_equal(got, expd, check_dtype=False)
+
+
+def test_ddsketch_quantiles_relative_error_and_merge_invariance():
+    from drone_ray.pipelines.aggregates import ddsketch_quantiles
+
+    rng = np.random.default_rng(11)
+    v = np.exp(rng.normal(4.0, 2.0, 20_000))  # heavy-tailed positive floats
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    alpha = 0.01
+    t = ddsketch_quantiles(_ds(pa.table({"v": v})), "v", qs, alpha=alpha)
+    got = dict(zip(t["q"].to_pylist(), t["value"].to_pylist()))
+    for q in qs:
+        exact = np.sort(v)[max(1, int(np.ceil(q * v.size))) - 1]  # quantile_disc
+        assert abs(got[q] - exact) <= alpha * exact * 1.0000001, (q, got[q], exact)
+
+    # order-insensitive merge: 64-way split must give the IDENTICAL table
+    ds64 = _ds(pa.table({"v": v})).repartition(64)
+    t64 = ddsketch_quantiles(ds64, "v", qs, alpha=alpha)
+    assert t64.equals(t)
+
+
+def test_ddsketch_zero_and_negative_values():
+    from drone_ray.pipelines.aggregates import ddsketch_quantiles
+
+    v = np.array([-100.0, -1.0, 0.0, 0.0, 1.0, 100.0])
+    t = ddsketch_quantiles(_ds(pa.table({"v": v})), "v", (0.5,), alpha=0.01)
+    # rank ceil(0.5*6)=3 -> the first zero
+    assert t["value"].to_pylist() == [0.0]
+    t2 = ddsketch_quantiles(_ds(pa.table({"v": v})), "v", (0.01, 0.99), alpha=0.01)
+    lo, hi = t2["value"].to_pylist()
+    assert abs(lo + 100.0) <= 1.01 and abs(hi - 100.0) <= 1.01  # mirrored bins
+
+
+def test_ddsketch_bin_rule_matches_duckdb_over_domain():
+    # the SQL oracle reproduces ceil(ln(v)/ln(gamma)) — prove numpy and
+    # DuckDB agree bit-for-bit over the whole token-count domain 1..2^20
+    import duckdb
+
+    from drone_ray.pipelines.aggregates import _dd_keys, _DD_OFFSET
+
+    alpha = 0.01
+    gamma = (1 + alpha) / (1 - alpha)
+    v = np.arange(1, 1 << 20, dtype=np.float64)
+    np_keys = _dd_keys(v, gamma) - _DD_OFFSET
+    db = duckdb.connect().execute(
+        f"SELECT CAST(ceil(ln(v)/ln({gamma!r})) AS BIGINT) AS b "
+        f"FROM range(1, {1 << 20}) t(v)"
+    ).fetchnumpy()["b"]
+    assert int((db != np_keys).sum()) == 0

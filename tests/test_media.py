@@ -287,3 +287,88 @@ def test_real_media_features_via_stdlib_png(ray_session=None):
     stub = MediaDecodeStub(feature_dim=4, real=True)
     feat, w, h = stub._decode_stdlib(pngs[0])
     assert (w, h) == (8, 8) and feat.shape == (4,)
+
+
+# --- audio header profiling -------------------------------------------------
+
+
+def _wav_bytes(sr=16000, ch=2, n_frames=1600):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(ch)
+    w.setsampwidth(2)
+    w.setframerate(sr)
+    w.writeframes(b"\x00\x00" * ch * n_frames)
+    w.close()
+    return buf.getvalue()
+
+
+def _flac_bytes(sr=44100, ch=2, total=44100 * 3):
+    import struct as _s
+
+    # fLaC + STREAMINFO block (type 0, len 34): blocksizes/framesizes zeroed,
+    # then the packed 64-bit field: 20b sr | 3b ch-1 | 5b bps-1 | 36b total
+    packed = (sr << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | total
+    si = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + b"\x80" + _s.pack(">I", 34)[1:] + si
+
+
+def test_audio_info_wav():
+    from drone_ray.pipelines.media import audio_info
+
+    fmt, sr, ch, dur = audio_info(_wav_bytes(sr=16000, ch=2, n_frames=1600))
+    assert (fmt, sr, ch) == ("wav", 16000, 2)
+    assert abs(dur - 0.1) < 1e-9  # 1600 frames at 16 kHz
+
+
+def test_audio_info_flac():
+    from drone_ray.pipelines.media import audio_info
+
+    fmt, sr, ch, dur = audio_info(_flac_bytes(sr=44100, ch=2, total=44100 * 3))
+    assert (fmt, sr, ch) == ("flac", 44100, 2)
+    assert abs(dur - 3.0) < 1e-9
+
+
+def test_audio_info_mp3_and_id3():
+    from drone_ray.pipelines.media import audio_info
+
+    # MPEG1 Layer III, 44.1 kHz, joint stereo frame header
+    frame = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 32
+    assert audio_info(frame) == ("mp3", 44100, 2, None)
+    # same frame behind an ID3v2 tag (10-byte header + 20-byte body)
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    assert audio_info(id3 + frame) == ("mp3", 44100, 2, None)
+    # mono: channel mode bits 11
+    mono = bytes([0xFF, 0xFB, 0x90, 0xC0]) + b"\x00" * 32
+    assert audio_info(mono) == ("mp3", 44100, 1, None)
+
+
+def test_audio_info_rejects_garbage():
+    from drone_ray.pipelines.media import audio_info
+
+    assert audio_info(b"") is None
+    assert audio_info(b"RIFFxxxxWAVE") is None  # no fmt chunk
+    assert audio_info(b"\x89PNG\r\n\x1a\n") is None
+    assert audio_info(None) is None
+
+
+def test_audio_metadata_stage():
+    import ray.data as rd
+
+    from drone_ray.pipelines.media import audio_metadata
+
+    rows = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "media": pa.array(
+                [_wav_bytes(), _flac_bytes(), b"not audio"], pa.binary()
+            ),
+        }
+    )
+    out = audio_metadata(rd.from_arrow(rows)).to_pandas().sort_values("id")
+    assert list(out["format"]) == ["wav", "flac", None]
+    assert out["sample_rate"].tolist()[:2] == [16000, 44100]
+    assert out["n_bytes"].tolist()[2] == 9
