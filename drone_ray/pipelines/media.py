@@ -139,6 +139,63 @@ def audio_info(payload: bytes) -> tuple[str, int, int, float | None] | None:
     return None
 
 
+def video_info(payload: bytes) -> tuple[str, float | None, int, int] | None:
+    """(format, duration_seconds|None, width, height) parsed from video
+    container headers in pure stdlib — completes the image/audio/video
+    profiling trio. Covers the public ISO-BMFF (MP4/MOV) box layout: walks
+    top-level boxes to ``moov``, reads ``mvhd`` (timescale + duration) and
+    the first video ``tkhd`` (track width/height, 16.16 fixed point).
+    WebM/Matroska is recognized by its EBML magic (format only — EBML
+    varint walking is out of scope for a header pass). None otherwise."""
+    p = payload or b""
+    if p[:4] == b"\x1aE\xdf\xa3":  # EBML magic (WebM/MKV)
+        return ("webm", None, 0, 0)
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return None
+    fmt = "mp4"
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", p[i : i + 4])
+            btype = p[i + 4 : i + 8]
+            body = i + 8
+            if size == 1 and i + 16 <= hi:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", p[i + 8 : i + 16])
+                body = i + 16
+            if size == 0:
+                size = hi - i  # box extends to end
+            if size < 8 or i + size > hi:
+                return
+            yield btype, body, i + size
+            i += size
+
+    dur = None
+    w = h = 0
+    for btype, body, end in boxes(0, len(p)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in boxes(body, end):
+            if ctype == b"mvhd" and cbody + 4 <= cend:
+                ver = p[cbody]
+                if ver == 1 and cbody + 28 <= cend:
+                    ts, d = struct.unpack(">IQ", p[cbody + 20 : cbody + 32])
+                elif ver == 0 and cbody + 20 <= cend:
+                    ts, d = struct.unpack(">II", p[cbody + 12 : cbody + 20])
+                else:
+                    continue
+                if ts:
+                    dur = d / ts
+            elif ctype == b"trak" and not (w and h):
+                for ttype, tbody, tend in boxes(cbody, cend):
+                    if ttype == b"tkhd" and tend - tbody >= 84:
+                        tw, th = struct.unpack(">II", p[tend - 8 : tend])
+                        if tw and th:  # audio tracks carry 0x0
+                            w, h = tw >> 16, th >> 16
+        return (fmt, dur, int(w), int(h))
+    return (fmt, dur, int(w), int(h))
+
+
 def _audio_metadata_batch(batch: pa.Table) -> pa.Table:
     payloads = batch["media"].to_pylist()
     fmts: list[str | None] = []
@@ -158,6 +215,36 @@ def _audio_metadata_batch(batch: pa.Table) -> pa.Table:
     cols["channels"] = pa.array(chs, pa.int32())
     cols["duration_s"] = pa.array(durs, pa.float64())
     return pa.table(cols)
+
+
+def _video_metadata_batch(batch: pa.Table) -> pa.Table:
+    payloads = batch["media"].to_pylist()
+    fmts: list[str | None] = []
+    durs, ws, hs, sizes = [], [], [], []
+    for p in payloads:
+        p = p or b""
+        sizes.append(len(p))
+        d = video_info(p)
+        if d is None:
+            fmts.append(None), durs.append(None), ws.append(None), hs.append(None)
+        else:
+            fmts.append(d[0]), durs.append(d[1]), ws.append(d[2]), hs.append(d[3])
+    cols = {name: batch[name] for name in batch.column_names if name != "media"}
+    cols["n_bytes"] = pa.array(sizes, pa.int64())
+    cols["format"] = pa.array(fmts, pa.string())
+    cols["duration_s"] = pa.array(durs, pa.float64())
+    cols["width"] = pa.array(ws, pa.int32())
+    cols["height"] = pa.array(hs, pa.int32())
+    return pa.table(cols)
+
+
+def video_metadata(ds: Dataset, *, batch_size: int = 256) -> Dataset:
+    """Header-only video profiling (format, duration_s, width, height,
+    n_bytes) — stateless map_batches over (id, media: binary), NULLs for
+    unrecognized payloads. Frame decode would follow the guarded-import
+    pattern (ffmpeg/pyav) of MediaDecodeStub; the profiling pass needs no
+    codec at any scale."""
+    return ds.map_batches(_video_metadata_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def audio_metadata(ds: Dataset, *, batch_size: int = 256) -> Dataset:

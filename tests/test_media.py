@@ -372,3 +372,75 @@ def test_audio_metadata_stage():
     assert list(out["format"]) == ["wav", "flac", None]
     assert out["sample_rate"].tolist()[:2] == [16000, 44100]
     assert out["n_bytes"].tolist()[2] == 9
+
+
+# --- video header profiling -------------------------------------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_bytes(timescale=1000, duration=5500, w=640, h=360):
+    import struct as _s
+
+    mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + _s.pack(">II", timescale, duration) + b"\x00" * 80
+    tkhd = bytes([0, 0, 0, 0]) + b"\x00" * 72 + _s.pack(">II", w << 16, h << 16)
+    trak = _box(b"trak", _box(b"tkhd", tkhd))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_video_info_mp4():
+    from drone_ray.pipelines.media import video_info
+
+    fmt, dur, w, h = video_info(_mp4_bytes(timescale=1000, duration=5500, w=640, h=360))
+    assert (fmt, w, h) == ("mp4", 640, 360)
+    assert abs(dur - 5.5) < 1e-9
+
+
+def test_video_info_mvhd_v1_and_audio_track():
+    import struct as _s
+
+    from drone_ray.pipelines.media import video_info
+
+    mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + _s.pack(">IQ", 90000, 90000 * 7) + b"\x00" * 80
+    audio_tkhd = bytes([0, 0, 0, 0]) + b"\x00" * 72 + _s.pack(">II", 0, 0)
+    video_tkhd = bytes([0, 0, 0, 0]) + b"\x00" * 72 + _s.pack(">II", 1280 << 16, 720 << 16)
+    moov = _box(
+        b"moov",
+        _box(b"mvhd", mvhd)
+        + _box(b"trak", _box(b"tkhd", audio_tkhd))   # audio track: 0x0, skipped
+        + _box(b"trak", _box(b"tkhd", video_tkhd)),
+    )
+    fmt, dur, w, h = video_info(_box(b"ftyp", b"mp42" + b"\x00" * 8) + moov)
+    assert (fmt, w, h) == ("mp4", 1280, 720)
+    assert abs(dur - 7.0) < 1e-9
+
+
+def test_video_info_webm_and_garbage():
+    from drone_ray.pipelines.media import video_info
+
+    assert video_info(b"\x1aE\xdf\xa3" + b"\x00" * 20) == ("webm", None, 0, 0)
+    assert video_info(b"") is None
+    assert video_info(b"RIFFxxxxWAVE") is None
+    assert video_info(_wav_bytes()) is None
+
+
+def test_video_metadata_stage():
+    import ray.data as rd
+
+    from drone_ray.pipelines.media import video_metadata
+
+    rows = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "media": pa.array([_mp4_bytes(), b"nope"], pa.binary()),
+        }
+    )
+    out = video_metadata(rd.from_arrow(rows)).to_pandas().sort_values("id")
+    assert list(out["format"]) == ["mp4", None]
+    assert out["width"].tolist()[0] == 640
