@@ -263,17 +263,24 @@ def build_graph(
         # count pass gives an upper bound (raw ≥ deduped always) that
         # selects candidates, and the exact deduped degrees run on the
         # candidate-touching edge rows only.
-        from drone_ray.stages.edges import raw_endpoint_counts
+        from drone_ray.stages.edges import raw_count_slack, raw_endpoint_counts
 
         hubs_path = os.path.join(work_dir, "hubs.parquet")
-        raw = raw_endpoint_counts(e)
+        # pigeonhole pre-filter: per-block, drop vids that cannot reach the
+        # hub threshold (see raw_endpoint_counts) — shrinks the candidate
+        # shuffle from O(blocks·distinct_vids) rows to the power-law tail.
+        # The filtered sums undercount by < raw_count_slack, so the
+        # candidate test widens by exactly that slack (still a superset;
+        # exact deduped degrees are re-derived on candidate rows below).
+        raw = raw_endpoint_counts(e, min_total=hub_threshold)
+        slack = raw_count_slack(hub_threshold)
         bound = (
             pc_.add(pc_.field("n_src"), pc_.field("n_dst"))
             if dual
             else pc_.field("n_src")
         )
         cand_parts = [
-            b.filter(pc_.greater(bound, hub_threshold))
+            b.filter(pc_.greater(bound, hub_threshold - slack))
             for b in raw.iter_batches(batch_format="pyarrow", batch_size=None)
         ]
         cand = (

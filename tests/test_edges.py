@@ -123,3 +123,46 @@ def test_adaptive_buckets_growth():
         b = adaptive_buckets(e, floor=32)
         assert b >= prev
         prev = b
+
+
+def test_raw_endpoint_counts_pigeonhole_filter_superset():
+    """min_total filtering must (a) keep every vid whose GLOBAL raw count
+    exceeds the threshold (pigeonhole superset), (b) undercount surviving
+    sums by at most raw_count_slack."""
+    import ray.data as rd
+
+    from drone_ray.stages.edges import raw_count_slack, raw_endpoint_counts
+
+    rng = np.random.default_rng(7)
+    # one genuine hub (vid 0) spread evenly across blocks + uniform noise
+    hub = np.zeros(3000, np.int64)
+    noise = rng.integers(1, 5000, 20_000).astype(np.int64)
+    src = np.concatenate([hub, noise])
+    dst = rng.integers(1, 5000, src.size).astype(np.int64)
+    perm = rng.permutation(src.size)
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(src[perm]), "dst": pa.array(dst[perm])})
+    ).repartition(16)
+
+    T, B = 2000, 64  # cut = ceil(2000/64) = 32 > 1: the filter engages
+    filt = pa.concat_tables(
+        raw_endpoint_counts(ds, min_total=T, max_blocks=B).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    slack = raw_count_slack(T, B)
+    assert slack > 0
+    got = dict(zip(filt["vid"].to_pylist(),
+                   (np.asarray(filt["n_src"]) + np.asarray(filt["n_dst"])).tolist()))
+    # (a) the true hub survives and passes the widened candidate test
+    assert 0 in got and got[0] > T - slack
+    # (b) no surviving sum exceeds its true total, undercount bounded
+    full = pa.concat_tables(
+        raw_endpoint_counts(ds).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    truth = dict(zip(full["vid"].to_pylist(),
+                     (np.asarray(full["n_src"]) + np.asarray(full["n_dst"])).tolist()))
+    for v, n in got.items():
+        assert n <= truth[v] and truth[v] - n <= slack
+    # and the filtered row count is a small fraction of the unfiltered one
+    assert filt.num_rows < full.num_rows / 5
