@@ -5,11 +5,18 @@ graph, under object-store spill.
 Each phase is ONE process invocation with a fresh Ray session, so a failed
 phase re-runs alone and the measurements are uncontaminated:
 
-    python scripts/scale_demo.py build      --edges 1.2e9 --vertices 1e8
-    python scripts/scale_demo.py pagerank   --max-steps 5        # cold, ckpt@5
-    python scripts/scale_demo.py pagerank   --max-steps 10       # resumes 6-10
-    python scripts/scale_demo.py wcc-star   --edges 1.2e9 --vertices 1e8
-    python scripts/scale_demo.py clean-graph                     # free disk
+    python scripts/scale_demo.py build      --edges 1.0e9 --vertices 1e8
+    python scripts/scale_demo.py pagerank   --max-steps 10   # cold; ckpt of step 4
+    mv /tmp/scale1b/pr_out /tmp/scale1b/pr_out_cold
+    python scripts/scale_demo.py pagerank   --max-steps 10   # resumes at step 5
+    python scripts/scale_demo.py verify-resume                # bit-compare outputs
+    python scripts/scale_demo.py wcc-star   --edges 1.0e9 --vertices 1e8
+    python scripts/scale_demo.py clean-graph                  # free disk
+
+(The harness submits the checkpoint of step s-1 just before launching step
+s at every `s % checkpoint_every == 0`, so a run needs max_steps > the
+checkpoint boundary for a snapshot to exist — max_steps=10, every=5 writes
+exactly one, post-step-4.)
 
 Every phase prints ONE JSON line with wall seconds, peak node memory
 (sampled MemTotal-MemAvailable), the DRIVER's own peak RSS (VmHWM — the
@@ -106,7 +113,10 @@ def _du(path: str) -> int:
 
 def main():
     ap = argparse.ArgumentParser(prog="scale_demo")
-    ap.add_argument("phase", choices=["build", "pagerank", "wcc-star", "clean-graph"])
+    ap.add_argument(
+        "phase",
+        choices=["build", "pagerank", "verify-resume", "wcc-star", "clean-graph"],
+    )
     ap.add_argument("--work", default="/tmp/scale1b")
     ap.add_argument("--edges", type=float, default=1.2e9)
     ap.add_argument("--vertices", type=float, default=1e8)
@@ -122,6 +132,39 @@ def main():
     graph_dir = os.path.join(args.work, "graph")
     out = {"phase": args.phase, "edges_param": E, "vertices_param": V,
            "partitions": args.partitions, "num_cpus": args.num_cpus}
+
+    if args.phase == "verify-resume":
+        # Bit-exact comparison of the cold 10-step output against the
+        # resumed (load ckpt step=4, run 5..9) output — the resume-validity
+        # evidence. DuckDB, no Ray session: symmetric EXCEPT must be empty.
+        import duckdb
+
+        a = os.path.join(args.work, "pr_out_cold")
+        b = os.path.join(args.work, "pr_out")
+        t0 = time.perf_counter()
+        con = duckdb.connect()
+        diff = con.execute(
+            f"""
+            SELECT count(*) FROM (
+              (SELECT * FROM read_parquet('{a}/*.parquet')
+               EXCEPT SELECT * FROM read_parquet('{b}/*.parquet'))
+              UNION ALL
+              (SELECT * FROM read_parquet('{b}/*.parquet')
+               EXCEPT SELECT * FROM read_parquet('{a}/*.parquet'))
+            )
+            """
+        ).fetchone()[0]
+        rows = con.execute(
+            f"SELECT count(*) FROM read_parquet('{a}/*.parquet')"
+        ).fetchone()[0]
+        out.update(
+            rows=rows,
+            mismatched_rows=diff,
+            identical=diff == 0,
+            wall_seconds=round(time.perf_counter() - t0, 1),
+        )
+        print(json.dumps(out))
+        return
 
     if args.phase == "clean-graph":
         for sub in ("graph", "ckpt", "pr_out"):
