@@ -53,6 +53,11 @@ def _added_slice(p: int, num_partitions: int, own_dict, sym: bool, *blocks):
     own = Ownership.from_dict(own_dict)
     srcs, dsts = [], []
     for t in blocks:
+        # Ray Data can hand back empty blocks with an EMPTY schema (no
+        # columns at all) when an upstream operator produced zero rows for
+        # a bundle — seen nondeterministically under load. Skip them.
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            continue
         s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         if sym:

@@ -36,12 +36,16 @@ _NUM_BUCKETS = 64  # floor — actual count grows with est_rows (adaptive_bucket
 
 
 _EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+_ORIENT_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("_b", pa.int64())])
+_EMIT_SCHEMA = pa.schema([("vid", pa.int64()), ("lbl", pa.int64()), ("_b", pa.int64())])
 
 
 def _star_round(edges: Dataset, large: bool, num_buckets: int) -> Dataset:
     """One large- or small-star round: orient, bucket by hash(u), contract."""
 
     def orient(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "u" not in b.schema.names:
+            return _ORIENT_SCHEMA.empty_table()
         a = b["u"].to_numpy(zero_copy_only=False)
         c = b["v"].to_numpy(zero_copy_only=False)
         u = np.concatenate([a, c])
@@ -55,12 +59,12 @@ def _star_round(edges: Dataset, large: bool, num_buckets: int) -> Dataset:
         )
 
     def contract(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "u" not in g.columns:
+            return pd.DataFrame({"u": [], "v": []})
         u = g["u"].to_numpy()
         v = g["v"].to_numpy()
         order = np.lexsort((v, u))
         u, v = u[order], v[order]
-        if u.size == 0:
-            return pd.DataFrame({"u": [], "v": []})
         new = np.empty(u.size, dtype=bool)
         new[0] = True
         new[1:] = u[1:] != u[:-1]
@@ -93,6 +97,8 @@ def _checksum(edges: Dataset) -> tuple[int, int]:
     row per block, never the edges."""
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "u" not in b.schema.names:
+            return pa.table({"n": pa.array([0], pa.int64()), "h": pa.array([0], pa.uint64())})
         u = b["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
         v = b["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
@@ -124,6 +130,8 @@ def _assemble_labels(star_edges: Dataset, num_buckets: int) -> Dataset:
     sees the vertex set."""
 
     def emit(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "u" not in b.schema.names:
+            return _EMIT_SCHEMA.empty_table()
         u = b["u"].to_numpy(zero_copy_only=False)
         v = b["v"].to_numpy(zero_copy_only=False)
         vid = np.concatenate([u, v])
@@ -137,6 +145,8 @@ def _assemble_labels(star_edges: Dataset, num_buckets: int) -> Dataset:
         )
 
     def labels_of(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "vid" not in g.columns:
+            return pd.DataFrame({"vid": [], "component": []})
         vid = g["vid"].to_numpy()
         lbl = g["lbl"].to_numpy()
         order = np.lexsort((lbl, vid))
@@ -175,6 +185,8 @@ def connected_components_star(
         )
 
     def init(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src" not in b.schema.names:
+            return _EDGE_SCHEMA.empty_table()
         return pa.table(
             {
                 "u": b["src"].cast(pa.int64()),
