@@ -64,3 +64,26 @@ def test_two_components_and_isolated_pair():
     t = _labels_table(lds)
     got = dict(zip(t["vid"].to_pylist(), t["component"].to_pylist()))
     assert got == {10: 10, 11: 10, 12: 10, 50: 50, 51: 50, 52: 50}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_added_slice_skips_empty_schema_blocks():
+    """Regression: Ray Data can hand UDFs zero-row blocks whose schema is
+    EMPTY (no columns); indexing t['src'] on one raised KeyError inside
+    the incremental added-edge slicer at the 1e9-edge scale demo."""
+    import pyarrow as pa
+    import ray
+
+    from drone_ray.hashing import Ownership
+    from drone_ray.pipelines.analytics import _added_slice
+
+    own = Ownership(mode="page").to_dict()
+    good = pa.table(
+        {"src": pa.array([0, 1], pa.int64()), "dst": pa.array([1, 2], pa.int64())}
+    )
+    out = ray.get(_added_slice.remote(0, 1, own, False, pa.table({}), good))
+    assert out.column("src").to_pylist() == [0, 1]
+    assert out.column("dst").to_pylist() == [1, 2]
+    # all-empty input still returns a correctly typed empty table
+    out = ray.get(_added_slice.remote(0, 1, own, True, pa.table({})))
+    assert out.num_rows == 0 and out.schema.names == ["src", "dst"]
