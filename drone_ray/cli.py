@@ -5,8 +5,9 @@
         --hub-threshold 100000 --checkpoint-dir /data/ckpt/pr --resume
 
 Subcommands: build-pages-graph (pages parquet → extract → edges parquet),
-pagerank, pagerank-weighted, katz, wcc, wcc-star, lpa, sssp,
-sssp-weighted, betweenness, harmonic, simulation, triangles. Results are written as
+pagerank, pagerank-weighted, katz, wcc, wcc-star, lpa, sssp, sssp-weighted,
+sssp-negative (Bellman-Ford with negative-cycle detection), betweenness,
+harmonic, simulation, triangles. Results are written as
 per-partition parquet (resumable layout); superstep jobs write a
 metrics.parquet next to their checkpoints. Owns the Ray session only when
 one is not already initialised (so the driver/pytest can embed it).
@@ -48,8 +49,8 @@ def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(prog="drone_ray")
     ap.add_argument("command", choices=[
         "build-pages-graph", "pagerank", "pagerank-weighted", "katz", "wcc",
-        "wcc-star", "lpa", "sssp", "sssp-weighted", "betweenness", "harmonic",
-        "simulation", "triangles",
+        "wcc-star", "lpa", "sssp", "sssp-weighted", "sssp-negative",
+        "betweenness", "harmonic", "simulation", "triangles",
     ])
     ap.add_argument("--pages", help="pages parquet dir (build-pages-graph)")
     ap.add_argument("--edges", help="edge-table parquet dir")
@@ -67,6 +68,10 @@ def main(argv=None) -> dict:
     ap.add_argument("--weight-col", default="w",
                     help="edge weight column (pagerank-weighted / sssp-weighted)")
     ap.add_argument("--source", type=int, default=None, help="sssp source vid")
+    ap.add_argument("--n-vertices", type=int, default=None,
+                    help="vertex-count upper bound for sssp-negative's "
+                         "negative-cycle superstep bound; default 2x the "
+                         "edge-row count (always an upper bound)")
     ap.add_argument("--sources", default=None,
                     help="comma-separated source vids (betweenness/harmonic), "
                          "or 'all' for the exact Θ(V·E) source-batched schedule")
@@ -160,7 +165,7 @@ def main(argv=None) -> dict:
 
         ownership = detect_mega_hosts(ef(), args.partitions, host_bits=args.host_bits)
         key += f":host{args.host_bits}"
-    if args.command in ("pagerank-weighted", "sssp-weighted"):
+    if args.command in ("pagerank-weighted", "sssp-weighted", "sssp-negative"):
         # weighted commands read the weight column alongside src/dst
         wc, path = args.weight_col, args.edges
 
@@ -188,6 +193,17 @@ def main(argv=None) -> dict:
         hk.pop("ownership", None)
         res = A.sssp_weighted(ef, key + ":w", source, args.partitions,
                               weight_col=args.weight_col, **hk)
+    elif args.command == "sssp-negative":
+        source = args.source
+        if source is None:
+            source = int(ef().min("src"))
+        n = args.n_vertices
+        if n is None:
+            n = 2 * ef().count()  # distinct vids <= 2 x edge rows, always
+        hk.pop("ownership", None)
+        res = A.bellman_ford_sssp(ef, key + ":wneg", source, n_vertices=n,
+                                  num_partitions=args.partitions,
+                                  weight_col=args.weight_col, **hk)
     elif args.command in ("betweenness", "harmonic"):
         if args.sources == "all":
             sources = "all"  # exact mode: resumable source-batched schedule

@@ -150,7 +150,22 @@ class PartitionGraph:
         "lin_by_src_pos": "_build_lin_by_src",
         "trans_w": "_build_trans",
         "w_out": "_build_trans",
+        "w_has_negative": "_build_w_flags",
     }
+
+    def _build_w_flags(self) -> None:
+        """Negative weight lane present? Monotone-frontier programs
+        (WeightedSSSP/WeightedPageRank) must refuse such layouts — only
+        BellmanFordSSSP (cycle-detecting) may relax negative edges. Lazy so
+        the actor's npz CSR cache (which bypasses __init__) gets it too."""
+        self.w_has_negative = bool(
+            (self.w is not None and self.w.size and float(self.w.min()) < 0)
+            or (
+                self.del_w is not None
+                and self.del_w.size
+                and float(self.del_w.min()) < 0
+            )
+        )
 
     def __getattr__(self, name):
         builder = PartitionGraph._LAZY_BUILDERS.get(name)

@@ -104,18 +104,27 @@ def _spill_vid_candidates(
         )
 
 
-def _check_weights(w: np.ndarray) -> None:
+def _check_weights(w: np.ndarray, allow_negative: bool = False) -> None:
     """Weighted programs assume nonnegative finite weights: the monotone
     frontier relaxation (WeightedSSSP) does not terminate/stay-correct with
     negative edges, and w/W transitions (WeightedPageRank) need W > 0.
-    Reject at BUILD time — a wrong answer later would be silent."""
-    if w.size and (not np.isfinite(w).all() or (w < 0).any()):
-        bad = w[~np.isfinite(w) | (w < 0)][:3]
+    Reject at BUILD time — a wrong answer later would be silent.
+
+    ``allow_negative``: opt-in for layouts built for BellmanFordSSSP (the
+    negative-weight variant with cycle detection); non-finite weights are
+    still rejected (±inf/NaN poison every relaxation)."""
+    if not w.size:
+        return
+    if not np.isfinite(w).all():
+        bad = w[~np.isfinite(w)][:3]
+        raise ValueError(f"edge weights must be finite; found {bad.tolist()}")
+    if not allow_negative and (w < 0).any():
+        bad = w[w < 0][:3]
         raise ValueError(
-            f"edge weights must be finite and >= 0; found {bad.tolist()} — "
-            "negative-weight shortest paths need a different algorithm "
-            "(Bellman-Ford with cycle detection), not this engine's "
-            "monotone relaxation"
+            f"edge weights must be >= 0; found {bad.tolist()} — "
+            "negative-weight shortest paths need Bellman-Ford with cycle "
+            "detection (programs.BellmanFordSSSP; build the layout with "
+            "allow_negative_weights=True), not the monotone relaxation"
         )
 
 
@@ -126,6 +135,7 @@ def _tag_edges_dual(
     hub_ref=None,
     own: Ownership | None = None,
     wcol: str | None = None,
+    allow_negative_w: bool = False,
 ) -> pa.Table:
     """Dual layout: each input edge (s, d) emits (s, d, dir=0)@owner(s) and
     (d, s, dir=1)@owner(d). Hub rows (u in hubs) route by owner(v) and are
@@ -159,7 +169,7 @@ def _tag_edges_dual(
     }
     if wcol is not None:
         w = batch[wcol].to_numpy(zero_copy_only=False).astype(np.float64)
-        _check_weights(w)
+        _check_weights(w, allow_negative=allow_negative_w)
         cols["w"] = pa.array(np.concatenate([w, w]), pa.float64())
     return pa.table(cols)
 
@@ -171,6 +181,7 @@ def _tag_edges_spill_vids(
     hub_ref=None,
     own: Ownership | None = None,
     wcol: str | None = None,
+    allow_negative_w: bool = False,
 ) -> pa.Table:
     """Tag each edge with its owner partition AND side-write this batch's
     distinct vid candidates into per-partition files. The side output makes
@@ -199,7 +210,10 @@ def _tag_edges_spill_vids(
         "part": pa.array(part, pa.int32()),
     }
     if wcol is not None:
-        _check_weights(batch[wcol].to_numpy(zero_copy_only=False).astype(np.float64))
+        _check_weights(
+            batch[wcol].to_numpy(zero_copy_only=False).astype(np.float64),
+            allow_negative=allow_negative_w,
+        )
         cols["w"] = batch[wcol].cast(pa.float64())
     return pa.table(cols)
 
@@ -214,6 +228,7 @@ def build_graph(
     dual: bool = False,
     ownership: Ownership | None = None,
     weight_col: str | None = None,
+    allow_negative_weights: bool = False,
 ) -> GraphManifest:
     """Partition an edge Dataset (src:int64, dst:int64) for the superstep engine.
 
@@ -354,7 +369,10 @@ def build_graph(
     own = ownership or Ownership()
     tag = _tag_edges_dual if dual else _tag_edges_spill_vids
     e.map_batches(
-        lambda b: tag(b, num_partitions, vertices_dir, hub_ref, own, weight_col),
+        lambda b: tag(
+            b, num_partitions, vertices_dir, hub_ref, own, weight_col,
+            allow_negative_weights,
+        ),
         batch_format="pyarrow",
     ).write_parquet(edges_dir, partition_cols=["part"])
 

@@ -161,12 +161,24 @@ class PageRank(VertexProgram):
 
 
 # ---------------------------------------------------------------------------
+class NegativeCycleError(RuntimeError):
+    """A negative-weight cycle is reachable from the SSSP source: shortest
+    path distances are undefined (−∞). Raised by BellmanFordSSSP — inside a
+    partition by the local wave cap (an improving relaxation wave past
+    n_local waves can only come from a non-simple walk, i.e. a negative
+    local cycle), across partitions by the driver's V-superstep bound
+    (synchronous Bellman-Ford converges within V−1 rounds on any
+    negative-cycle-free graph; the subgraph-centric engine is never slower
+    in rounds)."""
+
+
 def _local_min_fixpoint(
     g: PartitionGraph,
     vals: np.ndarray,
     add: float = 0.0,
     seeds: np.ndarray | None = None,
     edge_w: np.ndarray | None = None,
+    max_waves: int | None = None,
 ) -> int:
     """In-partition min-propagation to local fixpoint (the subgraph-centric
     speedup vs one-hop-per-superstep, /root/reference/src/algorithm/CC.go:28-45).
@@ -184,7 +196,14 @@ def _local_min_fixpoint(
     (dst-grouped local edges) — weighted relaxation (asynchronous
     Bellman-Ford over the local subgraph; nonnegative weights keep the
     chaotic iteration terminating at the same fixpoint). Mutually exclusive
-    with scalar ``add``."""
+    with scalar ``add``.
+
+    ``max_waves``: negative-cycle guard (BellmanFordSSSP passes g.n + 1).
+    Each inner wave extends the improving walks by one local hop; on a
+    negative-cycle-free subgraph every improving walk is simple (a cycle on
+    it would have weight ≥ 0 and de-cycling would improve at least as much),
+    so ≤ n_local waves suffice — a still-improving wave past the cap proves
+    a negative local cycle and raises NegativeCycleError."""
     if g.lin_starts.size == 0:
         return 0
     # `+ add` must not promote int64 labels to float64: above 2^53 (any
@@ -205,7 +224,14 @@ def _local_min_fixpoint(
         vals[changed] = mins[upd]  # lin_dsts are unique per group
     else:
         changed = np.asarray(seeds)
+    waves = 0
     while changed.size:
+        waves += 1
+        if max_waves is not None and waves > max_waves:
+            raise NegativeCycleError(
+                f"local relaxation still improving after {max_waves} waves "
+                f"(n_local={g.n}) — negative-weight cycle in partition {g.p}"
+            )
         # edge positions whose source changed → affected dst groups
         pos, _ = g._gather_slices(g.lin_by_src_indptr, g.lin_by_src_pos, changed)
         if pos.size == 0:
@@ -578,6 +604,11 @@ class WeightedPageRank(PageRank):
             raise ValueError(
                 "WeightedPageRank needs a weighted layout — build_graph(weight_col=...)"
             )
+        if g.m and g.w_has_negative:
+            raise ValueError(
+                "WeightedPageRank is undefined on negative edge weights "
+                "(w/W transitions must be a probability distribution)"
+            )
         if g.hub_vids.size:
             raise ValueError(
                 "WeightedPageRank does not support split hubs (W(u) must see "
@@ -637,6 +668,14 @@ class WeightedSSSP(SSSP):
     """
 
     hub_edge_weights = True
+    # negative weight lanes break the termination argument of the monotone
+    # relaxation; only the cycle-detecting subclass may accept them
+    allow_negative = False
+
+    def _waves(self, g) -> int | None:
+        """Inner-wave cap for _local_min_fixpoint (negative-cycle guard);
+        None disables it (nonnegative weights terminate unaided)."""
+        return None
 
     def _boundary(self, g, st, rows):
         rdeg = g.r_indptr[rows + 1] - g.r_indptr[rows]
@@ -651,11 +690,18 @@ class WeightedSSSP(SSSP):
             raise ValueError(
                 "WeightedSSSP needs a weighted layout — build_graph(weight_col=...)"
             )
+        if g.w_has_negative and not self.allow_negative:
+            raise ValueError(
+                "layout carries negative edge weights — monotone relaxation "
+                "is undefined on them; run BellmanFordSSSP instead"
+            )
         idx = np.searchsorted(g.owned, self.source)
         if idx >= g.n or g.owned[idx] != self.source:
             return None, {"edges": 0}
         st["dist"][idx] = 0.0
-        scanned = _local_min_fixpoint(g, st["dist"], edge_w=g.lin_w)
+        scanned = _local_min_fixpoint(
+            g, st["dist"], edge_w=g.lin_w, max_waves=self._waves(g)
+        )
         changed = np.flatnonzero(np.isfinite(st["dist"]))
         msgs, sent = self._boundary(g, st, changed)
         return msgs, {"edges": scanned + sent}
@@ -669,10 +715,46 @@ class WeightedSSSP(SSSP):
             return None, {"edges": 0}
         before = st["dist"].copy()
         np.minimum.at(st["dist"], l[smaller], inbound["val"][smaller])
-        scanned = _local_min_fixpoint(g, st["dist"], seeds=l[smaller], edge_w=g.lin_w)
+        scanned = _local_min_fixpoint(
+            g, st["dist"], seeds=l[smaller], edge_w=g.lin_w, max_waves=self._waves(g)
+        )
         changed = np.flatnonzero(st["dist"] < before)
         msgs, sent = self._boundary(g, st, changed)
         return msgs, {"edges": scanned + sent, "n_changed": int(changed.size)}
+
+
+# ---------------------------------------------------------------------------
+class BellmanFordSSSP(WeightedSSSP):
+    """Weighted SSSP that accepts NEGATIVE edge weights, with negative-cycle
+    detection — the variant the nonnegative engine's build-time weight check
+    points at (partition._check_weights). Same distributed asynchronous
+    relaxation as WeightedSSSP (local relax-to-fixpoint, min-combine on
+    boundaries, hub broadcasts with receiver-side weight add): the
+    Bellman-Ford fixpoint equals shortest-path distances on any graph with
+    no negative cycle reachable from the source, so only the TERMINATION
+    argument changes. Two guards make non-termination a loud error instead
+    of a hang:
+
+    - **local wave cap** (``_waves`` → n_local + 1): a negative cycle lying
+      inside one partition raises NegativeCycleError in that superstep (an
+      improving wave past n_local hops can only be a non-simple walk);
+    - **global superstep bound**: a cross-partition negative cycle keeps
+      messages flowing forever; synchronous Bellman-Ford converges within
+      V − 1 rounds otherwise, and the subgraph-centric engine needs no more
+      rounds than the synchronous schedule. Run with
+      ``max_steps = n_vertices + 2`` and treat a non-converged result as a
+      negative cycle — ``analytics.bellman_ford_sssp`` does exactly that.
+
+    Layouts must be built with ``allow_negative_weights=True``; non-finite
+    weights stay rejected. Extension beyond the reference (its loader forces
+    weight 1.0, /root/reference/src/graph/graph.go:357-362); the detection
+    bounds are the textbook SPFA/Bellman-Ford ones (Cormen et al. §24.1).
+    """
+
+    allow_negative = True
+
+    def _waves(self, g) -> int | None:
+        return g.n + 1
 
 
 # ---------------------------------------------------------------------------

@@ -267,6 +267,36 @@ def dijkstra_oracle(src: np.ndarray, dst: np.ndarray, w: np.ndarray, source: int
     return dist
 
 
+def bellman_ford_oracle(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, source: int
+):
+    """Textbook Bellman-Ford with min-weight dedup of duplicate (src, dst)
+    edges — negative weights allowed. Returns dict vid -> dist for reachable
+    vertices, or None when a negative cycle is reachable from ``source``
+    (round V still relaxes). Pure-python pytest oracle, never a pipeline."""
+    best_edge: dict[tuple[int, int], float] = {}
+    verts: set[int] = {int(source)}
+    for a, b, ww in zip(
+        np.asarray(src).tolist(), np.asarray(dst).tolist(), np.asarray(w, np.float64).tolist()
+    ):
+        key = (int(a), int(b))
+        verts.add(int(a))
+        verts.add(int(b))
+        if key not in best_edge or ww < best_edge[key]:
+            best_edge[key] = ww
+    edges = [(a, b, ww) for (a, b), ww in best_edge.items()]
+    dist: dict[int, float] = {int(source): 0.0}
+    for rnd in range(len(verts)):
+        improved = False
+        for a, b, ww in edges:
+            if a in dist and dist[a] + ww < dist.get(b, float("inf")):
+                dist[b] = dist[a] + ww
+                improved = True
+        if not improved:
+            return dist
+    return None  # still improving after V rounds: negative cycle
+
+
 def pagerank_weighted_oracle(
     src: np.ndarray,
     dst: np.ndarray,

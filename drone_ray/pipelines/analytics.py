@@ -20,6 +20,7 @@ from drone_ray.graph.programs import (
     HITS,
     SCC,
     SSSP,
+    BellmanFordSSSP,
     BetweennessCentrality,
     HarmonicCentrality,
     IncrementalPageRank,
@@ -28,6 +29,7 @@ from drone_ray.graph.programs import (
     KatzCentrality,
     KCore,
     LabelPropagation,
+    NegativeCycleError,
     PageRank,
     WeightedPageRank,
     WeightedSSSP,
@@ -127,6 +129,7 @@ def graph_for(
     dual: bool = True,
     ownership=None,
     weight_col: str | None = None,
+    allow_negative_weights: bool = False,
 ) -> GraphManifest:
     """Build the partitioned layout once per (cache_key, P, layout, hub,
     ownership).
@@ -142,7 +145,8 @@ def graph_for(
     own_tok = ownership.token() if ownership is not None else "page"
     token = hashlib.blake2b(
         f"v{_LAYOUT_VERSION}|{cache_key}|P={num_partitions}|{layout}|hub={hub_threshold}"
-        f"|own={own_tok}|w={weight_col}".encode(),
+        f"|own={own_tok}|w={weight_col}"
+        f"{'|negw' if allow_negative_weights else ''}".encode(),
         digest_size=8,
     ).hexdigest()
     work_dir = os.path.join(_CACHE_ROOT, token)
@@ -158,6 +162,7 @@ def graph_for(
         dual=dual,
         ownership=ownership,
         weight_col=weight_col,
+        allow_negative_weights=allow_negative_weights,
     )
 
 
@@ -785,6 +790,54 @@ def sssp_weighted(
         weight_col=weight_col,
     )
     return _run(m, WeightedSSSP, {"source": source}, direction=direction, **harness_kwargs)
+
+
+def bellman_ford_sssp(
+    edges_factory,
+    cache_key: str,
+    source: int,
+    n_vertices: int,
+    num_partitions: int = 8,
+    hub_threshold: int | None = None,
+    ownership=None,
+    direction: str = "fwd",
+    weight_col: str = "w",
+    **harness_kwargs,
+) -> ProgramResult:
+    """Weighted single-source shortest paths over a graph that may carry
+    NEGATIVE edge weights (programs.BellmanFordSSSP). ``n_vertices`` must
+    upper-bound the vertex count: it sets the V-superstep detection bound —
+    synchronous Bellman-Ford converges within V − 1 rounds on any
+    negative-cycle-free graph, so a run still messaging past that proves a
+    negative cycle reachable from ``source`` and raises NegativeCycleError
+    (intra-partition cycles raise earlier via the local wave cap)."""
+    m = graph_for(
+        edges_factory,
+        cache_key,
+        num_partitions,
+        hub_threshold=hub_threshold,
+        ownership=ownership,
+        weight_col=weight_col,
+        allow_negative_weights=True,
+    )
+    max_steps = int(n_vertices) + 2
+    if harness_kwargs.pop("max_steps", None) is not None:
+        raise ValueError("max_steps is derived from n_vertices (the cycle bound)")
+    res = _run(
+        m,
+        BellmanFordSSSP,
+        {"source": source},
+        direction=direction,
+        max_steps=max_steps,
+        **harness_kwargs,
+    )
+    if not res.converged:
+        raise NegativeCycleError(
+            f"Bellman-Ford still relaxing after {res.steps} supersteps "
+            f"(V bound {n_vertices}) — negative-weight cycle reachable from "
+            f"source {source}"
+        )
+    return res
 
 
 def pseudo_diameter(

@@ -585,6 +585,58 @@ def q_sssp_weighted(sf_dir: str):
     return t
 
 
+# Negative-weight SSSP is only defined on graphs without negative cycles, so
+# the derived graph must PROVE cycle-freeness: edges keep only
+# src < dst (a DAG — every cycle needs a descending edge) with a minimum vid
+# stride, which also bounds every path at ceil((M-1)/STRIDE) hops — the
+# provable round count for the synchronous-Bellman-Ford oracle below.
+SSSP_NEG_STRIDE = 16
+SSSP_NEG_K = (M - 2) // SSSP_NEG_STRIDE + 1  # max path hops on the strided DAG
+
+
+def _derive_edges_neg_batch(b: pa.Table) -> pa.Table:
+    """(src, dst, w) with w = (l_orderkey + l_partkey) % 11 − 3 ∈ [−3, 7] —
+    ~27% of edges negative; rows kept only when dst − src ≥ SSSP_NEG_STRIDE
+    (strided DAG, see above). Duplicates keep MIN(w) downstream."""
+    ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+    pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+    s = ok % M
+    d = pk % M
+    keep = (d - s) >= SSSP_NEG_STRIDE
+    w = ((ok + pk) % 11 - 3).astype(np.float64)
+    return pa.table(
+        {
+            "src": pa.array(s[keep], pa.int64()),
+            "dst": pa.array(d[keep], pa.int64()),
+            "w": pa.array(w[keep], pa.float64()),
+        }
+    )
+
+
+def _raw_edges_neg(sf_dir: str) -> Dataset:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return li.map_batches(_derive_edges_neg_batch, batch_format="pyarrow", batch_size=None)
+
+
+def q_sssp_negative(sf_dir: str):
+    """Negative-weight shortest paths (programs.BellmanFordSSSP — cycle
+    detection armed, layout built with allow_negative_weights=True) from the
+    smallest source vid of the strided-DAG edge set. The DAG guarantees no
+    negative cycle exists, so the run must converge — the wrapper raises
+    NegativeCycleError otherwise. Integer-valued weights keep every distance
+    an exact integer sum (hash-safe vs the oracle)."""
+    from drone_ray.pipelines.analytics import bellman_ford_sssp
+
+    source = int(_raw_edges_neg(sf_dir).min("src"))
+    return bellman_ford_sssp(
+        lambda: _raw_edges_neg(sf_dir),
+        _graph_key(sf_dir) + f":neg{SSSP_NEG_STRIDE}",
+        source,
+        n_vertices=M,
+        num_partitions=GRAPH_PARTITIONS,
+    ).to_table()
+
+
 # Katz: α far below 1/λ_max at every gate sf (λ_max ≤ √(max_in·max_out)
 # ≈ 411 at sf0.1) so the fixed-iteration scores stay O(1); repr'd into the
 # SQL so both sides parse the identical float64 constants.
@@ -1862,6 +1914,33 @@ walk(vid, dist) AS (
 SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM walk GROUP BY vid
 """
 
+# Negative-weight SSSP oracle: synchronous Bellman-Ford as a recursive CTE —
+# each iteration joins the previous round's distance table with the edge set
+# (one relaxation round) and min-merges with the carried distances. The
+# strided DAG (dst − src ≥ SSSP_NEG_STRIDE) bounds every path at SSSP_NEG_K
+# hops, and synchronous BF provably converges within max-path-hops rounds,
+# so iterating exactly SSSP_NEG_K rounds IS the fixpoint — no heuristic cap.
+_SSSP_NEG_SQL = f"""
+WITH RECURSIVE
+e0 AS (SELECT l_orderkey % {M} AS src, l_partkey % {M} AS dst,
+       CAST((l_orderkey + l_partkey) % 11 - 3 AS BIGINT) AS w
+       FROM lineitem
+       WHERE (l_partkey % {M}) - (l_orderkey % {M}) >= {SSSP_NEG_STRIDE}),
+e AS (SELECT src, dst, min(w) AS w FROM e0 GROUP BY src, dst),
+bf(iter, vid, dist) AS (
+  SELECT 0 AS iter, (SELECT min(src) FROM e) AS vid, CAST(0 AS BIGINT) AS dist
+  UNION ALL
+  SELECT iter + 1 AS iter, vid, min(dist) AS dist FROM (
+    SELECT b.iter AS iter, e.dst AS vid, b.dist + e.w AS dist
+    FROM bf b JOIN e ON e.src = b.vid WHERE b.iter < {SSSP_NEG_K}
+    UNION ALL
+    SELECT iter, vid, dist FROM bf WHERE iter < {SSSP_NEG_K}
+  ) GROUP BY iter, vid
+)
+SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM bf
+WHERE iter = {SSSP_NEG_K} GROUP BY vid
+"""
+
 # LPA: 10 synchronous rounds over symmetrized edges; per round each vertex
 # takes its neighbors' most frequent label, ties to the lowest label —
 # exactly drone_ray.graph.programs.LabelPropagation (if the engine stops
@@ -2337,6 +2416,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "lpa": (q_lpa, _LPA_SQL),
     "sssp": (q_sssp, _SSSP_SQL),
     "sssp_weighted": (q_sssp_weighted, _SSSP_W_SQL),
+    "sssp_negative": (q_sssp_negative, _SSSP_NEG_SQL),
     "pagerank_weighted": (q_pagerank_weighted, _PR_W_SQL),
     "doc_length_quantiles": (q_doc_length_quantiles, _QUANTILES_SQL),
     "doc_length_quantiles_sketch": (q_doc_length_quantiles_sketch, _QUANTILES_DD_SQL),
@@ -2474,8 +2554,10 @@ _ORDER = [
     "ann_topk", "embedding_near_dup", "sessions", "sliding_counts",
     "asof_prior_click", "events_hourly", "lineitem_agg", "customer_orders",
     # tier 2 — touched or added in round 5 (incremental IncEval family,
-    # distributed modularity, Katz guard), then round 4
-    "wcc_incremental", "sssp_incremental", "modularity", "katz",
+    # Bellman-Ford negatives, distributed modularity, Katz guard), then
+    # round 4
+    "wcc_incremental", "sssp_incremental", "sssp_negative", "modularity",
+    "katz",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

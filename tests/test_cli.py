@@ -36,3 +36,33 @@ def test_cli_end_to_end(tmp_path):
     tri_out = str(tmp_path / "tri")
     main(["triangles", "--edges", edges, "--out", tri_out, "--partitions", "2", "--num-cpus", "4"])
     assert glob.glob(os.path.join(tri_out, "*.parquet"))
+
+
+def test_cli_sssp_negative(tmp_path):
+    import pyarrow as pa
+
+    from drone_ray.oracles import bellman_ford_oracle
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 80, 400).astype(np.int64)
+    b = rng.integers(0, 80, 400).astype(np.int64)
+    src, dst = np.minimum(a, b), np.maximum(a, b)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]  # DAG: no cycle of any sign
+    w = rng.integers(-3, 8, src.size).astype(np.float64)
+    edges = str(tmp_path / "edges")
+    os.makedirs(edges)
+    pq.write_table(
+        pa.table({"src": src, "dst": dst, "w": w}),
+        os.path.join(edges, "e.parquet"),
+    )
+    out = str(tmp_path / "bf")
+    res = main([
+        "sssp-negative", "--edges", edges, "--out", out,
+        "--partitions", "2", "--num-cpus", "4",
+    ])
+    assert res["converged"]
+    t = pq.read_table(out)
+    got = dict(zip(t["vid"].to_pylist(), t["dist"].to_pylist()))
+    exp = bellman_ford_oracle(src, dst, w, int(src.min()))
+    assert got == exp

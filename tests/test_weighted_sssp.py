@@ -118,5 +118,5 @@ def test_negative_weights_rejected_at_build():
     src = np.array([0, 1], dtype=np.int64)
     dst = np.array([1, 2], dtype=np.int64)
     w = np.array([1.0, -2.0])
-    with pytest.raises(Exception, match="finite and >= 0"):
-        sssp_weighted(lambda: _ds(src, dst, w), "wsssp_neg_v1", 0, num_partitions=2)
+    with pytest.raises(Exception, match="must be >= 0"):
+        sssp_weighted(lambda: _ds(src, dst, w), "wsssp_neg_v2", 0, num_partitions=2)
