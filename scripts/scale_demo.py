@@ -124,6 +124,9 @@ def main():
     ap.add_argument("--num-cpus", type=int, default=32)
     ap.add_argument("--hub-threshold", type=int, default=1_000_000)
     ap.add_argument("--max-steps", type=int, default=10)
+    ap.add_argument("--eps", type=float, default=0.0,
+                    help="pagerank convergence threshold; 0 = fixed-iteration "
+                         "run of exactly --max-steps steps")
     ap.add_argument("--blocks", type=int, default=256)
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
@@ -201,7 +204,7 @@ def main():
 
         m = GraphManifest.load(graph_dir)
         res = run_vertex_program(
-            m, PageRank, {"eps": 0.0},  # fixed-iteration run, like the 250M demo
+            m, PageRank, {"eps": args.eps},  # 0.0 = fixed-iteration run
             max_steps=args.max_steps,
             checkpoint_dir=os.path.join(args.work, "ckpt"),
             checkpoint_every=5,
