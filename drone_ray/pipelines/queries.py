@@ -520,6 +520,12 @@ def q_cocitation(sf_dir: str):
     return cocitation(lg_edges(sf_dir), min_common=COCITE_MIN_COMMON)
 
 
+def q_adamic_adar(sf_dir: str):
+    from drone_ray.pipelines.graphstats import adamic_adar
+
+    return adamic_adar(lg_edges(sf_dir), min_common=COCITE_MIN_COMMON)
+
+
 def q_sssp(sf_dir: str):
     from drone_ray.pipelines.analytics import sssp
 
@@ -2373,6 +2379,16 @@ _REGISTRY_DEF: dict[str, tuple] = {
         "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
         f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
     ),
+    "adamic_adar": (
+        q_adamic_adar,
+        f"WITH e AS ({EDGES_SQL}), "
+        "d AS (SELECT src, count(*) AS od FROM e GROUP BY src) "
+        "SELECT x.dst AS a, y.dst AS b, count(*) AS n_common, "
+        "round(sum(1.0 / ln(d.od)), 6) AS aa_score "
+        "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
+        "JOIN d ON d.src = x.src "
+        f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
+    ),
     "component_sizes": (
         q_component_sizes,
         f"{_WCC_SQL.rstrip()[:-len('SELECT vid, min(label) AS component FROM walk GROUP BY vid')]}"
@@ -2557,7 +2573,7 @@ _ORDER = [
     # Bellman-Ford negatives, distributed modularity, Katz guard), then
     # round 4
     "wcc_incremental", "sssp_incremental", "sssp_negative", "modularity",
-    "katz",
+    "katz", "adamic_adar",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

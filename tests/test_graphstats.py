@@ -105,6 +105,60 @@ def test_cocitation_matches_brute(sized_graph=None):
         assert gmap == exp
 
 
+def test_adamic_adar_planted():
+    from drone_ray.pipelines.graphstats import adamic_adar
+
+    # sources 10,11,12 all cite {1,2}; 10 also cites 3 (outdeg 3)
+    src = [10, 10, 10, 11, 11, 12, 12]
+    dst = [1, 2, 3, 1, 2, 1, 2]
+    got = adamic_adar(_ds(src, dst), min_common=2).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["a"], r["b"], r["n_common"]) == (1, 2, 3)
+    # 1/ln(3) from source 10 + 1/ln(2) from 11 and 12
+    exp = 1.0 / np.log(3) + 2.0 / np.log(2)
+    assert abs(r["aa_score"] - round(exp, 6)) < 1e-12
+
+
+def test_adamic_adar_matches_brute():
+    """Random graph vs O(n²) numpy oracle (counts and weighted scores)."""
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, 600).astype(np.int64)
+    dst = rng.integers(0, 40, 600).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    pairs = {(int(s), int(d)) for s, d in zip(src, dst)}
+    src = np.array([p[0] for p in sorted(pairs)], np.int64)
+    dst = np.array([p[1] for p in sorted(pairs)], np.int64)
+
+    from collections import Counter, defaultdict
+    from drone_ray.pipelines.graphstats import adamic_adar
+
+    outs = defaultdict(set)
+    for s, d in zip(src, dst):
+        outs[int(s)].add(int(d))
+    cnt, score = Counter(), defaultdict(float)
+    for s, ns in outs.items():
+        if len(ns) < 2:
+            continue
+        w = 1.0 / np.log(len(ns))
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                cnt[(ns[i], ns[j])] += 1
+                score[(ns[i], ns[j])] += w
+    got = adamic_adar(_ds(src, dst), min_common=3).to_pandas()
+    exp = {k: (v, round(score[k], 6)) for k, v in cnt.items() if v >= 3}
+    gmap = {
+        (int(r["a"]), int(r["b"])): (int(r["n_common"]), float(r["aa_score"]))
+        for _, r in got.iterrows()
+    }
+    assert set(gmap) == set(exp)
+    for k, (c, w) in exp.items():
+        assert gmap[k][0] == c
+        assert abs(gmap[k][1] - w) <= 1e-6
+
+
 def test_contract_edges():
     from collections import Counter
 
