@@ -895,6 +895,140 @@ def pseudo_diameter(
     )
 
 
+def bowtie(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    num_buckets: int = 32,
+    scc_max_steps: int = 500,
+    **harness_kwargs,
+):
+    """Broder-et-al bowtie decomposition of a directed web graph ("Graph
+    structure in the Web", WWW 2000): classify every vertex as
+
+    - ``core``          — member of the largest SCC (ties → smallest label),
+    - ``in``            — reaches the core but is not in it,
+    - ``out``           — reachable from the core but is not in it,
+    - ``tendril``       — same weak component as the core, touching neither
+                          reach set (tendrils and tubes),
+    - ``disconnected``  — a different weak component.
+
+    Composition over the shared layout: one SCC run picks the core; because
+    the core is strongly connected, forward/backward reachability from the
+    WHOLE core equals reachability from any single member, so two
+    single-source BFS runs (directed + reversed view) from the core's label
+    vertex (labels are the max member vid, hence itself a member) replace
+    the multi-source sweeps; one WCC run separates tendrils from other
+    components. Label assembly is one bucketed per-vid merge — the driver
+    holds only the core label and its weak-component id (two ints).
+
+    Returns a Dataset of (vid, bowtie_class)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from drone_ray.hashing import mix64
+    from drone_ray.pipelines._util import pin_schema
+
+    scc_ds = scc(
+        edges_factory, cache_key, num_partitions,
+        max_steps=scc_max_steps, **harness_kwargs,
+    ).dataset()
+    from ray.data.aggregate import Count
+
+    top = (
+        scc_ds.groupby("scc")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "scc"], descending=[True, False])
+        .limit(1)
+        .take_all()
+    )
+    core_label = int(top[0]["scc"])
+
+    fwd = sssp(edges_factory, cache_key, core_label, num_partitions,
+               direction="fwd", **harness_kwargs).dataset()
+    bwd = sssp(edges_factory, cache_key, core_label, num_partitions,
+               direction="rev", **harness_kwargs).dataset()
+    wcc_ds = connected_components(
+        edges_factory, cache_key, num_partitions, **harness_kwargs
+    ).dataset()
+
+    def _rep_component(b: pa.Table) -> pa.Table:
+        vid = b["vid"].to_numpy(zero_copy_only=False)
+        hit = vid == core_label
+        return pa.table(
+            {"component": pa.array(b["component"].to_numpy(zero_copy_only=False)[hit])}
+        )
+
+    core_wcc = int(
+        wcc_ds.map_batches(_rep_component, batch_format="pyarrow", batch_size=None)
+        .take_all()[0]["component"]
+    )
+
+    # (vid, f, v) union rows: f=0 SCC label, f=1 reaches-core, f=2
+    # reached-from-core, f=3 weak-component label
+    def _tag(f: int, val_col: str | None):
+        def fn(b: pa.Table) -> pa.Table:
+            vid = b["vid"].to_numpy(zero_copy_only=False)
+            v = (
+                b[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                if val_col is not None
+                else np.zeros(vid.size, np.int64)
+            )
+            return pa.table(
+                {
+                    "vid": pa.array(vid, pa.int64()),
+                    "f": pa.array(np.full(vid.size, f, np.int64)),
+                    "v": pa.array(v, pa.int64()),
+                    "_b": pa.array(
+                        (mix64(vid.astype(np.uint64)) % np.uint64(num_buckets)).astype(
+                            np.int64
+                        )
+                    ),
+                }
+            )
+
+        return fn
+
+    u = (
+        scc_ds.map_batches(_tag(0, "scc"), batch_format="pyarrow", batch_size=None)
+        .union(bwd.map_batches(_tag(1, None), batch_format="pyarrow", batch_size=None))
+        .union(fwd.map_batches(_tag(2, None), batch_format="pyarrow", batch_size=None))
+        .union(
+            wcc_ds.map_batches(_tag(3, "component"), batch_format="pyarrow", batch_size=None)
+        )
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["f"] == 0].set_index("vid")["v"]  # every vertex has an SCC row
+        w = g[g["f"] == 3].set_index("vid")["v"]
+        vids = s.index.to_numpy(np.int64)
+        has_bwd = s.index.isin(g.loc[g["f"] == 1, "vid"])
+        has_fwd = s.index.isin(g.loc[g["f"] == 2, "vid"])
+        wccl = w.reindex(s.index).to_numpy(np.int64)
+        cls = np.where(
+            s.to_numpy(np.int64) == core_label,
+            "core",
+            np.where(
+                has_bwd,
+                "in",
+                np.where(
+                    has_fwd,
+                    "out",
+                    np.where(wccl == core_wcc, "tendril", "disconnected"),
+                ),
+            ),
+        )
+        return pd.DataFrame({"vid": vids, "bowtie_class": cls})
+
+    schema = pa.schema([("vid", pa.int64()), ("bowtie_class", pa.string())])
+    return (
+        u.groupby("_b")
+        .map_groups(classify, batch_format="pandas")
+        .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
 def graph_simulation(
     edges_factory,
     cache_key: str,

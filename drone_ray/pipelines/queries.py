@@ -526,6 +526,15 @@ def q_adamic_adar(sf_dir: str):
     return adamic_adar(lg_edges(sf_dir), min_common=COCITE_MIN_COMMON)
 
 
+def q_bowtie(sf_dir: str):
+    """Broder bowtie decomposition (core/in/out/tendril/disconnected) —
+    SCC pick + two single-source BFS sweeps + WCC, assembled in one
+    bucketed per-vid pass (analytics.bowtie)."""
+    from drone_ray.pipelines.analytics import bowtie
+
+    return bowtie(lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS)
+
+
 def q_sssp(sf_dir: str):
     from drone_ray.pipelines.analytics import sssp
 
@@ -2379,6 +2388,47 @@ _REGISTRY_DEF: dict[str, tuple] = {
         "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
         f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
     ),
+    "bowtie": (
+        q_bowtie,
+        # same reach closure as _SCC_SQL, reused for the in/out tests; the
+        # CASE order (core → in → out → tendril → disconnected) mirrors the
+        # Ray-side classify exactly
+        f"""WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+reach(a, b) AS (
+  SELECT vid, vid FROM vtx
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+sc AS (
+  SELECT r1.a AS vid, max(r1.b) AS scc
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY 1
+),
+core AS (
+  SELECT scc AS lbl FROM (SELECT scc, count(*) AS n FROM sc GROUP BY 1)
+  ORDER BY n DESC, scc LIMIT 1
+),
+ue AS (SELECT DISTINCT src, dst FROM
+       (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)),
+walk(vid, label) AS (
+  SELECT vid, vid FROM vtx
+  UNION
+  SELECT ue.dst, w.label FROM walk w JOIN ue ON ue.src = w.vid WHERE w.label < ue.dst
+),
+wc AS (SELECT vid, min(label) AS component FROM walk GROUP BY vid)
+SELECT v.vid,
+  CASE WHEN s.scc = (SELECT lbl FROM core) THEN 'core'
+       WHEN EXISTS (SELECT 1 FROM reach r
+                    WHERE r.a = v.vid AND r.b = (SELECT lbl FROM core)) THEN 'in'
+       WHEN EXISTS (SELECT 1 FROM reach r
+                    WHERE r.a = (SELECT lbl FROM core) AND r.b = v.vid) THEN 'out'
+       WHEN w.component = (SELECT component FROM wc
+                           WHERE vid = (SELECT lbl FROM core)) THEN 'tendril'
+       ELSE 'disconnected' END AS bowtie_class
+FROM vtx v JOIN sc s ON s.vid = v.vid JOIN wc w ON w.vid = v.vid""",
+    ),
     "adamic_adar": (
         q_adamic_adar,
         f"WITH e AS ({EDGES_SQL}), "
@@ -2573,7 +2623,7 @@ _ORDER = [
     # Bellman-Ford negatives, distributed modularity, Katz guard), then
     # round 4
     "wcc_incremental", "sssp_incremental", "sssp_negative", "modularity",
-    "katz", "adamic_adar",
+    "katz", "adamic_adar", "bowtie",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",
