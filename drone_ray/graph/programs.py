@@ -1857,3 +1857,109 @@ class IncrementalSSSP(_WarmStartMixin, SSSP):
         if tv.size == 0:
             return None, {"edges": 0}
         return _msgs(tv, vals), {"edges": int(tv.size)}
+
+
+# ---------------------------------------------------------------------------
+class RandomWalks(VertexProgram):
+    """Deterministic random-walk corpus (DeepWalk / node2vec p=q=1 sampling;
+    Perozzi et al. KDD 2014): start ``num_walks`` walks at every vertex and
+    advance each one hop per superstep for ``walk_length`` hops along
+    out-edges, stopping early at dangling vertices. Output is the walk
+    corpus in long form — (walk_id, step, vid) — the sampling stage a
+    graph-embedding trainer consumes.
+
+    The next-hop choice is a pure function of (walk_id, step): neighbor
+    rank = ``md5_lower64(f"rw-{wid}-{step}") % outdeg`` over the CSR's
+    (src, dst)-lexsorted adjacency — the same DuckDB-reproducible md5
+    primitive the MinHash chain uses (functions/minhash.py), which is what
+    makes even this sampler an oracle-backed query (a recursive CTE joining
+    on ``row_number() OVER (PARTITION BY src ORDER BY dst)``) instead of a
+    trust-me RNG. No replicated RNG state, no cross-partition coordination:
+    a walk is wholly described by the (wid, step, vid) message that carries
+    it, so partitioning cannot change the corpus.
+
+    Messages ride the generic extra-key route (one row per walk, keyed
+    (vid, wid)); each superstep's traffic is O(active walks), and per-actor
+    memory is O(walks seeded here + rows recorded here)."""
+
+    combine_op = "min"  # identity: (vid, wid) keys are unique per step
+    extra_key = "wid"
+    default_direction = "fwd"
+    channels = ()  # generic route path
+    sender_precombine = False
+
+    def __init__(self, walk_length: int = 8, num_walks: int = 1):
+        if walk_length < 0 or num_walks < 1:
+            raise ValueError("walk_length must be >= 0 and num_walks >= 1")
+        self.walk_length = int(walk_length)
+        self.num_walks = int(num_walks)
+
+    def init_state(self, g):
+        if g.hub_vids.size:
+            raise NotImplementedError(
+                "random-walk messages carry walk identity, which the hub "
+                "broadcast channel collapses — rebuild with hub_threshold=None"
+            )
+        return {"rows": [], "aux": {}}
+
+    def _advance(self, g, st, wid, l, step):
+        """One hop for the walks sitting at local rows ``l`` with current
+        step ``step`` (per-walk array). Returns messages to the owners of
+        the next vertices (self-owned rows ride the in-actor stash)."""
+        from drone_ray.functions.minhash import md5_lower64
+
+        od = g.out_degree[l]
+        alive = od > 0
+        if not alive.any():
+            return None, 0
+        wid, l, step, od = wid[alive], l[alive], step[alive], od[alive]
+        # int(d): md5_lower64 yields full-range uint64 Python ints; a numpy
+        # int64 modulus would coerce through float64 and corrupt low bits
+        idx = np.fromiter(
+            (md5_lower64(f"rw-{w}-{s}") % int(d) for w, s, d in zip(wid, step, od)),
+            dtype=np.int64,
+            count=wid.size,
+        )
+        nxt = g.adj[g.indptr[l] + idx]
+        return _msgs(nxt, step + 1, wid=wid), int(wid.size)
+
+    def peval(self, g, st):
+        nw = self.num_walks
+        vids = np.repeat(g.owned, nw)
+        wid = vids * nw + np.tile(np.arange(nw, dtype=np.int64), g.n)
+        step = np.zeros(wid.size, dtype=np.int64)
+        st["rows"].append((wid, step, vids))
+        if self.walk_length == 0:
+            return None, {"edges": 0}
+        l = np.repeat(np.arange(g.n, dtype=np.int64), nw)
+        msgs, sent = self._advance(g, st, wid, l, step)
+        return msgs, {"edges": sent}
+
+    def inceval(self, g, st, inbound):
+        if inbound is None:
+            return None, {"edges": 0}
+        wid = inbound["wid"].astype(np.int64)
+        step = inbound["val"].astype(np.int64)
+        vid = inbound["vid"].astype(np.int64)
+        st["rows"].append((wid, step, vid))
+        cont = step < self.walk_length
+        if not cont.any():
+            return None, {"edges": 0}
+        l = g.local_index(vid[cont])
+        msgs, sent = self._advance(g, st, wid[cont], l, step[cont])
+        return msgs, {"edges": sent}
+
+    def emit(self, g, st):
+        if st["rows"]:
+            wid = np.concatenate([r[0] for r in st["rows"]])
+            step = np.concatenate([r[1] for r in st["rows"]])
+            vid = np.concatenate([r[2] for r in st["rows"]])
+        else:  # pragma: no cover - empty partition
+            wid = step = vid = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "walk_id": pa.array(wid, pa.int64()),
+                "step": pa.array(step, pa.int64()),
+                "vid": pa.array(vid, pa.int64()),
+            }
+        )

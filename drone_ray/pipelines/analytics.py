@@ -895,6 +895,30 @@ def pseudo_diameter(
     )
 
 
+def random_walks(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    walk_length: int = 8,
+    num_walks: int = 1,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Deterministic DeepWalk-style random-walk corpus: ``num_walks`` walks
+    per vertex, ``walk_length`` hops along out-edges, md5-derived next-hop
+    choice (programs.RandomWalks). No hub_threshold: walk messages carry
+    walk identity, which hub broadcasts would collapse."""
+    from drone_ray.graph.programs import RandomWalks
+
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    return _run(
+        m,
+        RandomWalks,
+        {"walk_length": walk_length, "num_walks": num_walks},
+        direction="fwd",
+        **harness_kwargs,
+    )
+
+
 def bowtie(
     edges_factory,
     cache_key: str,

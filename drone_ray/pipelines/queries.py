@@ -526,6 +526,24 @@ def q_adamic_adar(sf_dir: str):
     return adamic_adar(lg_edges(sf_dir), min_common=COCITE_MIN_COMMON)
 
 
+RW_LEN = 6  # gate-scale walk length (one walk per vertex)
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus: 1 walk per vertex, RW_LEN hops,
+    md5-derived next-hop choice (oracle: recursive CTE over ranked
+    neighbors — the sampler is a pure function of (walk_id, step))."""
+    from drone_ray.pipelines.analytics import random_walks
+
+    return random_walks(
+        lambda: lg_edges(sf_dir),
+        _graph_key(sf_dir),
+        GRAPH_PARTITIONS,
+        walk_length=RW_LEN,
+        num_walks=1,
+    ).to_table()
+
+
 def q_bowtie(sf_dir: str):
     """Broder bowtie decomposition (core/in/out/tendril/disconnected) —
     SCC pick + two single-source BFS sweeps + WCC, assembled in one
@@ -2388,6 +2406,27 @@ _REGISTRY_DEF: dict[str, tuple] = {
         "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
         f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
     ),
+    "random_walks": (
+        q_random_walks,
+        # walk_id = start vid (1 walk/vertex); hop t→t+1 picks neighbor rank
+        # md5_number_lower('rw-' || wid || '-' || t) % outdeg over the
+        # dst-ordered out-list — the exact Python rule (md5_lower64 is the
+        # DuckDB-md5_number_lower twin, functions/minhash.py:35)
+        f"""WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+nb AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+              count(*) OVER (PARTITION BY src) AS od FROM e),
+walk(wid, step, vid) AS (
+  SELECT vid, 0, vid FROM vtx
+  UNION ALL
+  SELECT w.wid, w.step + 1, nb.dst
+  FROM walk w JOIN nb ON nb.src = w.vid
+   AND nb.rn = CAST(md5_number_lower('rw-' || w.wid || '-' || w.step) % nb.od AS BIGINT)
+  WHERE w.step < {RW_LEN}
+)
+SELECT wid AS walk_id, step, vid FROM walk""",
+    ),
     "bowtie": (
         q_bowtie,
         # same reach closure as _SCC_SQL, reused for the in/out tests; the
@@ -2623,7 +2662,7 @@ _ORDER = [
     # Bellman-Ford negatives, distributed modularity, Katz guard), then
     # round 4
     "wcc_incremental", "sssp_incremental", "sssp_negative", "modularity",
-    "katz", "adamic_adar", "bowtie",
+    "katz", "adamic_adar", "bowtie", "random_walks",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",
