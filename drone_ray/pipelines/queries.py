@@ -527,6 +527,16 @@ def q_adamic_adar(sf_dir: str):
 
 
 RW_LEN = 6  # gate-scale walk length (one walk per vertex)
+KTRUSS_K = 4  # every ktruss edge lies on >= 2 triangles
+
+
+def q_ktruss(sf_dir: str):
+    """k-truss subgraph (greatest fixpoint of support-based edge peeling —
+    like graph_simulation, a removal cascade with no CTE twin; conformance
+    gate is the brute-force pytest oracle in tests/test_triangles.py)."""
+    from drone_ray.pipelines.triangles import ktruss
+
+    return ktruss(lg_edges(sf_dir), KTRUSS_K, num_partitions=GRAPH_PARTITIONS)
 
 
 def q_random_walks(sf_dir: str):
@@ -1176,6 +1186,45 @@ def q_bpe_token_stats(sf_dir: str):
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         bpe_token_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_anchor_terms(sf_dir: str):
+    """Per-target anchor-text aggregation over the pages fixture:
+    (dst_url, anchor, n_refs) — the classic web-search anchor signal.
+    Anchors extract per row (stages/extract.extract_anchors), hrefs
+    canonicalize per row (M9 contract: resolve relative, strip fragment,
+    http/https only), then one grouped count."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from drone_ray.sources.pages import write_pages
+    from drone_ray.stages.canonicalize import canonicalize
+    from drone_ray.stages.extract import anchor_batch
+
+    pages_dir = write_pages(EXTRACT_PAGES_DIR, EXTRACT_PAGES_N, seed=EXTRACT_PAGES_SEED)
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        hrefs = b["href"].to_pylist()
+        dst = [canonicalize(u, h) for u, h in zip(urls, hrefs)]
+        keep = [d is not None for d in dst]
+        return pa.table(
+            {
+                "dst_url": pa.array([d for d in dst if d is not None], pa.string()),
+                "anchor": pa.array(
+                    [a for a, k in zip(b["anchor"].to_pylist(), keep) if k],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return (
+        pages.map_batches(anchor_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(canon, batch_format="pyarrow", batch_size=None)
+        .groupby(["dst_url", "anchor"])
+        .aggregate(Count(alias_name="n_refs"))
     )
 
 
@@ -2533,6 +2582,8 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     # greatest-fixpoint removal cascade — not monotone, not CTE-expressible;
     # pytest brute-force oracle instead (tests/test_simulation.py)
     "graph_simulation": (q_graph_simulation, None),
+    # greatest-fixpoint edge peeling — same no-CTE class as graph_simulation
+    "ktruss": (q_ktruss, None),
     "betweenness": (q_betweenness, _BC_SQL),
     "harmonic": (q_harmonic, _HARMONIC_SQL),
     "pagerank_pages": (q_pagerank_pages, None),  # vids are custom url hashes
@@ -2560,6 +2611,29 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
         "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens, "
         "len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) "
         "AS n_uniq_bpe_tokens FROM documents",
+    ),
+    "anchor_terms": (
+        q_anchor_terms,
+        # the fixture's anchors are plain `<a href="...">word</a>` (ASCII
+        # html, no entities/inner tags in anchor text), so a regex pair-zip
+        # plus the M9 canonicalization rules reproduce extraction exactly ON
+        # THIS TABLE — the engine-side extractor handles the general forms
+        f"""WITH p AS (SELECT url, decode(html) AS h
+           FROM read_parquet('{EXTRACT_PAGES_DIR}/*.parquet')),
+m AS (SELECT url,
+        regexp_extract_all(h, '<a href="([^"]*)">([^<]*)</a>', 1) AS hrefs,
+        regexp_extract_all(h, '<a href="([^"]*)">([^<]*)</a>', 2) AS texts
+      FROM p),
+x AS (SELECT url, unnest(hrefs) AS href, unnest(texts) AS anchor FROM m),
+c AS (SELECT anchor,
+        CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+               THEN string_split(href, '#')[1]
+             WHEN href LIKE '/%'
+               THEN regexp_extract(url, '^(https?://[^/]+)', 1) || string_split(href, '#')[1]
+             ELSE NULL END AS dst_url
+      FROM x)
+SELECT dst_url, anchor, count(*) AS n_refs FROM c
+WHERE dst_url IS NOT NULL GROUP BY 1, 2""",
     ),
     "host_page_stats": (
         q_host_page_stats,
@@ -2662,7 +2736,7 @@ _ORDER = [
     # Bellman-Ford negatives, distributed modularity, Katz guard), then
     # round 4
     "wcc_incremental", "sssp_incremental", "sssp_negative", "modularity",
-    "katz", "adamic_adar", "bowtie", "random_walks",
+    "katz", "adamic_adar", "bowtie", "random_walks", "anchor_terms",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",
@@ -2684,7 +2758,7 @@ _ORDER = [
     "token_stats", "doc_fingerprint", "bpe_token_stats",
     # tier 5 — no_oracle by design (approximate / non-SQL-expressible),
     # each pytest-gated
-    "pagerank_incremental", "graph_simulation", "pagerank_pages",
+    "pagerank_incremental", "graph_simulation", "ktruss", "pagerank_pages",
     "pagerank_pages_hostloc", "vocabulary_hll", "ann_topk_lsh",
     "ann_topk_ivf", "ann_topk_ivf_dist", "embedding_near_dup_lsh",
 ]

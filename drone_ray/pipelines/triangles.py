@@ -268,3 +268,160 @@ def triangles_per_vertex(edges: Dataset, num_partitions: int = 16) -> Dataset:
         .aggregate(Sum("_c", alias_name="triangles"))
         .map_batches(_pin(out_schema), batch_format="pyarrow", batch_size=None)
     )
+
+
+def edge_support(edges: Dataset, num_partitions: int = 16) -> Dataset:
+    """(u, v, support) — triangles through each undirected edge (u < v).
+    One melt pass over the triangle rows (each triangle credits its three
+    edges) + a grouped sum; edges in no triangle emit no row."""
+    tri = triangles(edges, num_partitions)
+
+    def melt(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        c = b["center"].to_numpy(zero_copy_only=False)
+        # orientation is degree-ordered; normalize each edge to vid order
+        e1u, e1v = np.minimum(x, y), np.maximum(x, y)
+        e2u, e2v = np.minimum(c, x), np.maximum(c, x)
+        e3u, e3v = np.minimum(c, y), np.maximum(c, y)
+        u = np.concatenate([e1u, e2u, e3u])
+        v = np.concatenate([e1v, e2v, e3v])
+        key = np.stack([u, v], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "u": pa.array(uk[:, 0], pa.int64()),
+                "v": pa.array(uk[:, 1], pa.int64()),
+                "_c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()), ("support", pa.int64())])
+    return (
+        tri.map_batches(melt, batch_format="pyarrow", batch_size=None)
+        .groupby(["u", "v"])
+        .aggregate(Sum("_c", alias_name="support"))
+        .map_batches(_pin(out_schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
+def ktruss(edges: Dataset, k: int, num_partitions: int = 16, max_rounds: int = 200) -> Dataset:
+    """k-truss: the maximal subgraph in which every edge lies on ≥ k-2
+    triangles (Cohen, "Trusses: cohesive subgraphs for social network
+    analysis", 2008; iterated as his MapReduce formulation — count support,
+    drop light edges, repeat to fixpoint — "Graph twiddling in a MapReduce
+    world", Computing in Science & Engineering 2009).
+
+    A greatest fixpoint via a removal cascade (like graph simulation), so
+    not recursive-CTE-expressible — conformance is the brute-force pytest
+    oracle. Triangles are enumerated ONCE (4 bucketed exchanges); the peel
+    then iterates over the (edge, triangle) INCIDENCE table only — three
+    rows per triangle, one chained execution per round:
+
+      bucket by (u, v): drop rows of edges with support < k-2
+      bucket by triangle key: keep only triangles with all 3 rows alive
+
+    Edges outside any triangle never enter the incidence and are dead by
+    construction. Rounds are bounded by the peel depth (a handful on web
+    graphs); the driver holds one row count per round. At 10^12-doc scale
+    the incidence is O(#triangles) rows streamed through hash-bucket
+    shuffles with spill — the storage/recompute trade every distributed
+    truss algorithm makes.
+
+    Returns undirected edges (u, v), u < v — every edge of the k-truss."""
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    import ray.data as rd
+
+    num_buckets = max(16, num_partitions * 4)
+    sup_min = k - 2
+    empty_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    tri = triangles(edges, num_partitions)
+
+    inc_schema = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("v", pa.int64()),
+            ("tx", pa.int64()),
+            ("ty", pa.int64()),
+            ("tc", pa.int64()),
+        ]
+    )
+
+    def melt_inc(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        c = b["center"].to_numpy(zero_copy_only=False)
+        u = np.concatenate([np.minimum(x, y), np.minimum(c, x), np.minimum(c, y)])
+        v = np.concatenate([np.maximum(x, y), np.maximum(c, x), np.maximum(c, y)])
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "tx": pa.array(np.tile(x, 3), pa.int64()),
+                "ty": pa.array(np.tile(y, 3), pa.int64()),
+                "tc": pa.array(np.tile(c, 3), pa.int64()),
+            }
+        )
+
+    def _ebucket(b: pa.Table) -> pa.Table:
+        if not b.num_columns or len(b) == 0:
+            return inc_schema.empty_table().append_column("_b", pa.array([], pa.int64()))
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return b.append_column("_b", pa.array(_pair_bucket(u, v, num_buckets)))
+
+    def _tbucket(b: pa.Table) -> pa.Table:
+        if not b.num_columns or len(b) == 0:
+            return inc_schema.empty_table().append_column("_b", pa.array([], pa.int64()))
+        x = b["tx"].to_numpy(zero_copy_only=False)
+        y = b["ty"].to_numpy(zero_copy_only=False)
+        c = b["tc"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = mix64(x) * np.uint64(0x9E3779B97F4A7C15) + mix64(y) + mix64(c)
+        return b.append_column(
+            "_b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def drop_light(g: pd.DataFrame) -> pd.DataFrame:
+        sup = g.groupby(["u", "v"], sort=False)["tx"].transform("size")
+        return g.loc[sup.to_numpy() >= sup_min, ["u", "v", "tx", "ty", "tc"]]
+
+    def keep_full(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby(["tx", "ty", "tc"], sort=False)["u"].transform("size")
+        return g.loc[sz.to_numpy() == 3, ["u", "v", "tx", "ty", "tc"]]
+
+    inc = tri.map_batches(melt_inc, batch_format="pyarrow", batch_size=None).materialize()
+    n = inc.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            return rd.from_arrow(empty_schema.empty_table())
+        nxt = (
+            inc.map_batches(_ebucket, batch_format="pyarrow", batch_size=None)
+            .groupby("_b")
+            .map_groups(drop_light, batch_format="pandas")
+            .map_batches(_tbucket, batch_format="pyarrow", batch_size=None)
+            .groupby("_b")
+            .map_groups(keep_full, batch_format="pandas")
+            .map_batches(_pin(inc_schema), batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        m = nxt.count()
+        if m == n:
+            break
+        inc, n = nxt, m
+    if n == 0:
+        return rd.from_arrow(empty_schema.empty_table())
+
+    # fixpoint: every edge still in the incidence has support >= k-2
+    def edge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["u", "v"]].drop_duplicates()
+        return pd.DataFrame({"src": d["u"], "dst": d["v"]})
+
+    return (
+        inc.map_batches(_ebucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(edge_rows, batch_format="pandas")
+        .map_batches(_pin(empty_schema), batch_format="pyarrow", batch_size=None)
+    )

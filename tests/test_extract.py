@@ -234,3 +234,38 @@ def test_sniff_decode_whatwg_utf16_meta_label():
     # x-user-defined → cp1252: 0x93/0x94 are curly quotes there
     xud = b'<meta charset="x-user-defined"><p>\x93quoted\x94</p>'
     assert "“quoted”" in sniff_decode(xud)
+
+
+def test_extract_anchors_pairs_and_normalization():
+    from drone_ray.stages.extract import extract_anchors
+
+    html = (
+        '<html><body><p>x <a href="/p/1">one  word</a> y '
+        '<a class="z" href=\'https://a.example/p/2#s\'><b>bold</b> &amp; text</a>'
+        "<a name='no-href'>skipped</a>"
+        '<a href="/p/1">one word</a></p></body></html>'
+    )
+    got = extract_anchors(html)
+    assert got == [
+        ("/p/1", "one word"),
+        ("https://a.example/p/2#s", "bold & text"),
+        ("/p/1", "one word"),
+    ]
+
+
+def test_anchor_batch_flat_rows_batch_invariant():
+    import pyarrow as pa
+
+    from drone_ray.sources.pages import pages_batch
+    from drone_ray.stages.extract import anchor_batch
+    import numpy as np
+
+    pages = pages_batch(np.arange(40), 40, seed=7)
+    whole = anchor_batch(pages).to_pandas()
+    parts = [anchor_batch(pages.slice(i, 10)).to_pandas() for i in range(0, 40, 10)]
+    import pandas as pd
+
+    joined = pd.concat(parts, ignore_index=True)
+    assert whole.equals(joined)
+    assert list(whole.columns) == ["url", "href", "anchor"]
+    assert len(whole) > 0
