@@ -7,7 +7,9 @@
 Subcommands: build-pages-graph (pages parquet → extract → edges parquet),
 pagerank, pagerank-weighted, katz, wcc, wcc-star, lpa, sssp, sssp-weighted,
 sssp-negative (Bellman-Ford with negative-cycle detection), betweenness,
-harmonic, simulation, triangles. Results are written as
+harmonic, simulation, triangles, ktruss (support-peeling cohesion),
+bowtie (Broder core/in/out/tendril/disconnected classes), random-walks
+(deterministic DeepWalk corpus). Results are written as
 per-partition parquet (resumable layout); superstep jobs write a
 metrics.parquet next to their checkpoints. Owns the Ray session only when
 one is not already initialised (so the driver/pytest can embed it).
@@ -50,7 +52,8 @@ def main(argv=None) -> dict:
     ap.add_argument("command", choices=[
         "build-pages-graph", "pagerank", "pagerank-weighted", "katz", "wcc",
         "wcc-star", "lpa", "sssp", "sssp-weighted", "sssp-negative",
-        "betweenness", "harmonic", "simulation", "triangles",
+        "betweenness", "harmonic", "simulation", "triangles", "ktruss",
+        "bowtie", "random-walks",
     ])
     ap.add_argument("--pages", help="pages parquet dir (build-pages-graph)")
     ap.add_argument("--edges", help="edge-table parquet dir")
@@ -76,6 +79,11 @@ def main(argv=None) -> dict:
                     help="comma-separated source vids (betweenness/harmonic), "
                          "or 'all' for the exact Θ(V·E) source-batched schedule")
     ap.add_argument("--max-rounds", type=int, default=10, help="lpa round cap")
+    ap.add_argument("--k", type=int, default=4, help="ktruss k (>= 3)")
+    ap.add_argument("--walk-length", type=int, default=8,
+                    help="random-walks hops per walk")
+    ap.add_argument("--num-walks", type=int, default=1,
+                    help="random-walks walks started per vertex")
     ap.add_argument("--pattern", help="pattern graph file (simulation, S6 format)")
     ap.add_argument("--hub-threshold", type=int, default=None)
     ap.add_argument(
@@ -144,6 +152,19 @@ def main(argv=None) -> dict:
         )
         tri.write_parquet(args.out)
         return {"command": args.command, "out": args.out}
+
+    if args.command == "ktruss":
+        import ray.data as rd
+
+        from drone_ray.pipelines.triangles import ktruss
+
+        out = ktruss(
+            rd.read_parquet(args.edges, columns=["src", "dst"]), args.k,
+            args.partitions,
+        ).materialize()
+        out.write_parquet(args.out)
+        return {"command": args.command, "out": args.out, "k": args.k,
+                "n_edges": out.count()}
 
     from drone_ray.pipelines import analytics as A
 
@@ -226,6 +247,24 @@ def main(argv=None) -> dict:
             source = int(ef().min("src"))
         res = A.sssp(ef, key, source, args.partitions,
                      hub_threshold=args.hub_threshold, **hk)
+    elif args.command == "bowtie":
+        hk.pop("ownership", None)
+        for c in ("checkpoint_dir", "checkpoint_every", "resume", "output_dir"):
+            hk.pop(c, None)
+        ds = A.bowtie(ef, key, args.partitions, **hk).materialize()
+        ds.write_parquet(args.out)
+        return {"command": args.command, "out": args.out,
+                "n_vertices": ds.count()}
+    elif args.command == "random-walks":
+        hk.pop("ownership", None)
+        # walks are deterministic — a rerun beats a checkpoint (see
+        # analytics.random_walks guard)
+        hk.pop("checkpoint_dir", None)
+        hk.pop("checkpoint_every", None)
+        hk.pop("resume", None)
+        res = A.random_walks(ef, key, args.partitions,
+                             walk_length=args.walk_length,
+                             num_walks=args.num_walks, **hk)
     elif args.command == "simulation":
         from drone_ray.sources.text import PatternGraph
 

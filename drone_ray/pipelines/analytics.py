@@ -909,6 +909,13 @@ def random_walks(
     walk identity, which hub broadcasts would collapse."""
     from drone_ray.graph.programs import RandomWalks
 
+    if harness_kwargs.get("checkpoint_dir") and harness_kwargs.get("checkpoint_every"):
+        raise NotImplementedError(
+            "random-walk state is per-walk visit rows, not per-vertex arrays "
+            "— the vertex-state checkpoint layout cannot represent it; rerun "
+            "instead (walks are deterministic, a rerun is bit-identical)"
+        )
+
     m = graph_for(edges_factory, cache_key, num_partitions)
     return _run(
         m,

@@ -66,3 +66,30 @@ def test_cli_sssp_negative(tmp_path):
     got = dict(zip(t["vid"].to_pylist(), t["dist"].to_pylist()))
     exp = bellman_ford_oracle(src, dst, w, int(src.min()))
     assert got == exp
+
+
+def test_cli_new_graph_commands(tmp_path):
+    pages = write_pages(str(tmp_path / "pages"), 200, seed=43)
+    edges = str(tmp_path / "edges2")
+    main(["build-pages-graph", "--pages", pages, "--out", edges, "--num-cpus", "4"])
+
+    kt = str(tmp_path / "kt")
+    res = main(["ktruss", "--edges", edges, "--out", kt, "--k", "3",
+                "--partitions", "2", "--num-cpus", "4"])
+    assert res["k"] == 3 and res["n_edges"] >= 0
+    assert glob.glob(os.path.join(kt, "*.parquet"))
+
+    bt = str(tmp_path / "bt")
+    res = main(["bowtie", "--edges", edges, "--out", bt,
+                "--partitions", "2", "--num-cpus", "4"])
+    assert res["n_vertices"] > 0
+    t = pq.read_table(bt)
+    assert set(t.column_names) == {"vid", "bowtie_class"}
+
+    rw = str(tmp_path / "rw")
+    res = main(["random-walks", "--edges", edges, "--out", rw,
+                "--walk-length", "3", "--partitions", "2", "--num-cpus", "4"])
+    assert res["steps"] >= 1
+    t = pq.read_table(rw)
+    assert set(t.column_names) == {"walk_id", "step", "vid"}
+    assert t.num_rows > 0
