@@ -289,3 +289,93 @@ def group_count_distinct(
         .groupby("_b2")
         .map_groups(sum_group, batch_format="pandas")
     )
+
+
+def group_sample(
+    ds: Dataset,
+    group_col: str,
+    id_col: str,
+    r: int,
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
+) -> Dataset:
+    """Deterministic fixed-size sample per group: the ``r`` rows of each
+    group with the smallest md5 priority ``md5_lower64(f"gs-{id}")`` — the
+    order-free equivalent of per-group reservoir sampling (uniform over
+    ids, reproducible at any parallelism / partitioning, and expressible
+    in SQL as a row_number() over the same md5 ordering, which is what
+    makes this sampler oracle-backed instead of a trust-me RNG).
+
+    Mergeable by construction: "r smallest priorities" is a semilattice,
+    so each batch keeps at most r rows per group (vectorized lexsort +
+    rank mask) and one hash(group) bucket shuffle of those O(r·G) partial
+    rows finishes the reduce — the per-source subsampling pattern a
+    100-TB corpus needs (cap each site/language/domain at r documents
+    without a global sort).
+
+    Returns (group_col, id_col) rows."""
+    from drone_ray.functions.minhash import md5_lower64
+
+    if num_buckets is None:
+        num_buckets = adaptive_buckets(est_rows, floor=32)
+
+    def _prio(ids) -> np.ndarray:
+        return np.fromiter(
+            (md5_lower64(f"gs-{i}") for i in ids), dtype=np.uint64, count=len(ids)
+        )
+
+    def _keep_r(g: np.ndarray, i: np.ndarray, p: np.ndarray):
+        """Rows of the r smallest priorities per group (ties impossible:
+        ids are unique per group in the driver tables; a duplicate id
+        would tie deterministically on the id itself). Groups sort by
+        integer code, not raw value — string keys lexsort slowly and
+        hashes could collide two groups into one rank sequence."""
+        _, code = np.unique(g, return_inverse=True)
+        order = np.lexsort((i, p, code))
+        code, g, i, p = code[order], g[order], i[order], p[order]
+        new = np.empty(code.size, dtype=bool)
+        if code.size:
+            new[0] = True
+            new[1:] = code[1:] != code[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(code.size) - np.repeat(
+            starts, np.diff(np.append(starts, code.size))
+        )
+        keep = rank < r
+        return g[keep], i[keep], p[keep]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        i = b[id_col].to_numpy(zero_copy_only=False)
+        if g.size == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "_p": pa.array([], pa.uint64()),
+                    "_b": pa.array([], pa.int64()),
+                }
+            )
+        gk, ik, pk = _keep_r(g, i, _prio(i))
+        bk = (_col_hash(gk) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: pa.array(gk),
+                id_col: pa.array(ik),
+                "_p": pa.array(pk, pa.uint64()),
+                "_b": pa.array(bk),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_col].to_numpy()
+        i = df[id_col].to_numpy()
+        p = df["_p"].to_numpy()
+        gk, ik, _pk = _keep_r(g, i, p)
+        return pd.DataFrame({group_col: gk, id_col: ik})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -527,6 +527,22 @@ def q_adamic_adar(sf_dir: str):
 
 
 RW_LEN = 6  # gate-scale walk length (one walk per vertex)
+GROUP_SAMPLE_R = 20  # deterministic per-group sample size
+
+
+def q_sample_per_type(sf_dir: str):
+    """Deterministic fixed-size sample per event_type: the R rows with the
+    smallest md5 priority per group — order-free reservoir sampling,
+    reproducible at any parallelism and in SQL (aggregates.group_sample)."""
+    from drone_ray.pipelines.aggregates import group_sample
+
+    return group_sample(
+        _read(sf_dir, "events", ["event_type", "event_id"]),
+        "event_type",
+        "event_id",
+        GROUP_SAMPLE_R,
+        est_rows=_parquet_rows(sf_dir, "events"),
+    )
 KTRUSS_K = 4  # every ktruss edge lies on >= 2 triangles
 
 
@@ -2455,6 +2471,15 @@ _REGISTRY_DEF: dict[str, tuple] = {
         "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
         f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
     ),
+    "sample_per_type": (
+        q_sample_per_type,
+        f"""SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5_number_lower('gs-' || event_id), event_id) AS rn
+  FROM events)
+WHERE rn <= {GROUP_SAMPLE_R}""",
+    ),
     "random_walks": (
         q_random_walks,
         # walk_id = start vid (1 walk/vertex); hop t→t+1 picks neighbor rank
@@ -2737,6 +2762,7 @@ _ORDER = [
     # round 4
     "wcc_incremental", "sssp_incremental", "sssp_negative", "modularity",
     "katz", "adamic_adar", "bowtie", "random_walks", "anchor_terms",
+    "sample_per_type",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

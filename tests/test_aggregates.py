@@ -149,3 +149,48 @@ def test_ddsketch_bin_rule_matches_duckdb_over_domain():
         f"FROM range(1, {1 << 20}) t(v)"
     ).fetchnumpy()["b"]
     assert int((db != np_keys).sum()) == 0
+
+
+def test_group_sample_matches_brute_and_batching_invariant():
+    import numpy as np
+    import pyarrow as pa
+
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.pipelines.aggregates import group_sample
+
+    rng = np.random.default_rng(3)
+    n = 500
+    groups = np.array(["abc"[int(x)] for x in rng.integers(0, 3, n)], dtype=object)
+    ids = rng.permutation(10_000)[:n].astype(np.int64)  # unique ids
+    t = pa.table({"g": pa.array(groups, pa.string()), "i": pa.array(ids, pa.int64())})
+
+    def brute(r):
+        out = {}
+        for g, i in zip(groups, ids):
+            out.setdefault(g, []).append((md5_lower64(f"gs-{i}"), int(i)))
+        keep = set()
+        for g, rows in out.items():
+            for _, i in sorted(rows)[:r]:
+                keep.add((g, i))
+        return keep
+
+    import ray.data as rd
+
+    for r, blocks in ((7, 1), (7, 8), (25, 4)):
+        ds = rd.from_arrow(t).repartition(blocks)
+        got = group_sample(ds, "g", "i", r).to_pandas()
+        gset = {(row["g"], int(row["i"])) for _, row in got.iterrows()}
+        assert gset == brute(r), (r, blocks)
+
+
+def test_group_sample_small_groups_kept_whole():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from drone_ray.pipelines.aggregates import group_sample
+
+    t = pa.table(
+        {"g": pa.array(["x", "x", "y"], pa.string()), "i": pa.array([1, 2, 3], pa.int64())}
+    )
+    got = group_sample(rd.from_arrow(t), "g", "i", 10).to_pandas()
+    assert len(got) == 3  # groups smaller than r pass through entirely
