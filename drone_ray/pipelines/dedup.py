@@ -463,6 +463,7 @@ def ngram_jaccard_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 64,
+    metric: str = "jaccard",
 ) -> Dataset:
     """EXACT token-n-gram Jaccard pairs (a < b, jaccard ≥ threshold) — the
     oracle-able member of the near-dup family (MinHash/SimHash above are its
@@ -559,19 +560,34 @@ def ngram_jaccard_near_dups(
             .agg(na=("na", "first"), nb=("nb", "first"), c=("c", "sum"))
             .reset_index()
         )
-        j = agg["c"].to_numpy() / (
-            agg["na"].to_numpy() + agg["nb"].to_numpy() - agg["c"].to_numpy()
-        )
+        a = agg["a"].to_numpy()
+        b = agg["b"].to_numpy()
+        na = agg["na"].to_numpy()
+        nb = agg["nb"].to_numpy()
+        c = agg["c"].to_numpy()
+        if metric == "containment":
+            # Broder containment c/|A|: DIRECTED rows (contained, container)
+            # — catches doc-inside-doc (boilerplate wrappers, quoting) that
+            # symmetric Jaccard dilutes when the container is much larger
+            ca = c / na
+            cb = c / nb
+            ka = ca >= threshold
+            kb = cb >= threshold
+            return pd.DataFrame(
+                {
+                    "a": np.concatenate([a[ka], b[kb]]),
+                    "b": np.concatenate([b[ka], a[kb]]),
+                    "containment": np.round(np.concatenate([ca[ka], cb[kb]]), 6),
+                }
+            )
+        j = c / (na + nb - c)
         keep = j >= threshold
         return pd.DataFrame(
-            {
-                "a": agg["a"].to_numpy()[keep],
-                "b": agg["b"].to_numpy()[keep],
-                "jaccard": np.round(j[keep], 6),
-            }
+            {"a": a[keep], "b": b[keep], "jaccard": np.round(j[keep], 6)}
         )
 
-    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
+    val_col = "containment" if metric == "containment" else "jaccard"
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), (val_col, pa.float64())])
     return (
         docs.select_columns([id_col, text_col])
         .map_batches(shingle_rows, batch_format="pyarrow", batch_size=None)

@@ -1146,6 +1146,23 @@ def q_ngram_jaccard_near_dup(sf_dir: str):
     )
 
 
+CONTAINMENT_T = 0.8
+
+
+def q_ngram_containment(sf_dir: str):
+    """EXACT 3-gram containment pairs (Broder's c/|A|, DIRECTED
+    contained→container rows) — the doc-inside-doc signal symmetric
+    Jaccard dilutes when the container is much larger."""
+    from drone_ray.pipelines.dedup import ngram_jaccard_near_dups
+
+    return ngram_jaccard_near_dups(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=CONTAINMENT_T,
+        n=3,
+        metric="containment",
+    )
+
+
 
 
 def q_vocabulary_hll(sf_dir: str):
@@ -2675,6 +2692,23 @@ WHERE dst_url IS NOT NULL GROUP BY 1, 2""",
     "minhash_near_dup": (q_minhash_near_dup, _MINHASH_SQL),
     "simhash_near_dup": (q_simhash_near_dup, _SIMHASH_SQL),
     "ngram_jaccard_near_dup": (q_ngram_jaccard_near_dup, _NGRAMJ_SQL),
+    "ngram_containment": (
+        q_ngram_containment,
+        f"""WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents WHERE trim(text) <> ''),
+i AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 2)) AS p, tk FROM t WHERE len(tk) >= 3),
+s AS (SELECT DISTINCT doc_id, tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] AS sh FROM i),
+z AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1),
+c AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c FROM s x
+      JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+d AS (
+  SELECT a, b, CAST(c AS DOUBLE) / za.nsh AS ct
+  FROM c JOIN z za ON za.doc_id = a
+  UNION ALL
+  SELECT c.b AS a, c.a AS b, CAST(c AS DOUBLE) / zb.nsh AS ct
+  FROM c JOIN z zb ON zb.doc_id = c.b
+)
+SELECT a, b, round(ct, 6) AS containment FROM d WHERE ct >= {CONTAINMENT_T}""",
+    ),
     "decontaminate": (q_decontaminate, _DECONTAM_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, _TFIDF_SQL),
     "dedup_clusters": (
@@ -2762,7 +2796,7 @@ _ORDER = [
     # round 4
     "wcc_incremental", "sssp_incremental", "sssp_negative", "modularity",
     "katz", "adamic_adar", "bowtie", "random_walks", "anchor_terms",
-    "sample_per_type",
+    "sample_per_type", "ngram_containment",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

@@ -195,3 +195,29 @@ def test_dedup_clusters_transitive():
     assert out.cluster_id[0] == out.cluster_id[1] == out.cluster_id[2] == 0
     assert out.cluster_id[3] == 3 and out.cluster_id[4] == 4
     assert out.is_canonical.tolist() == [True, False, False, True, True]
+
+
+def test_ngram_containment_directed_pairs():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from drone_ray.pipelines.dedup import ngram_jaccard_near_dups
+
+    small = "alpha beta gamma delta epsilon"            # 3 shingles
+    big = small + " zeta eta theta iota kappa lambda"   # contains all of small's
+    other = "one two three four five six"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([small, big, other], pa.string()),
+        }
+    )
+    got = ngram_jaccard_near_dups(
+        rd.from_arrow(t), threshold=0.9, metric="containment"
+    ).to_pandas()
+    rows = {(int(r["a"]), int(r["b"])): float(r["containment"]) for _, r in got.iterrows()}
+    # small ⊂ big: containment(1 in 2) = 1.0; the reverse is 3/9 < 0.9
+    assert rows == {(1, 2): 1.0}
+    # symmetric Jaccard misses it at the same bar: 3/9 = 0.333
+    j = ngram_jaccard_near_dups(rd.from_arrow(t), threshold=0.9).to_pandas()
+    assert len(j) == 0
