@@ -1925,6 +1925,11 @@ class RandomWalks(VertexProgram):
 
     def peval(self, g, st):
         nw = self.num_walks
+        if g.n and nw > 1 and int(g.owned.max()) > (np.iinfo(np.int64).max - (nw - 1)) // nw:
+            raise OverflowError(
+                "walk_id = vid * num_walks + k overflows int64 for these "
+                "vids (63-bit url-hash ids) — use num_walks=1 or remap vids"
+            )
         vids = np.repeat(g.owned, nw)
         wid = vids * nw + np.tile(np.arange(nw, dtype=np.int64), g.n)
         step = np.zeros(wid.size, dtype=np.int64)

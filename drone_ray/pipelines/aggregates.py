@@ -348,10 +348,13 @@ def group_sample(
         g = b[group_col].to_numpy(zero_copy_only=False)
         i = b[id_col].to_numpy(zero_copy_only=False)
         if g.size == 0:
+            # pin the INPUT's key types (generic API — int or string groups);
+            # hardcoded types here would break schema unification at the
+            # shuffle whenever an upstream filter leaves an empty block
             return pa.table(
                 {
-                    group_col: pa.array([], pa.string()),
-                    id_col: pa.array([], pa.int64()),
+                    group_col: pa.array([], b.schema.field(group_col).type),
+                    id_col: pa.array([], b.schema.field(id_col).type),
                     "_p": pa.array([], pa.uint64()),
                     "_b": pa.array([], pa.int64()),
                 }

@@ -958,6 +958,16 @@ def bowtie(
     import pandas as pd
     import pyarrow as pa
 
+    for kw in ("output_dir", "checkpoint_dir", "checkpoint_every", "resume"):
+        if harness_kwargs.get(kw):
+            # four sub-runs would share one directory: lazy part-file reads
+            # would all see the LAST writer's files, and the second sub-run
+            # would refuse the first's checkpoint (program-type guard)
+            raise ValueError(
+                f"bowtie composes four program runs and cannot forward {kw!r}; "
+                "write the returned Dataset instead"
+            )
+
     from drone_ray.hashing import mix64
     from drone_ray.pipelines._util import pin_schema
 

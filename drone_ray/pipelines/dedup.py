@@ -465,7 +465,10 @@ def ngram_jaccard_near_dups(
     num_buckets: int = 64,
     metric: str = "jaccard",
 ) -> Dataset:
-    """EXACT token-n-gram Jaccard pairs (a < b, jaccard ≥ threshold) — the
+    """EXACT token-n-gram similarity pairs. ``metric="jaccard"`` (default):
+    symmetric (a < b, jaccard ≥ threshold) rows. ``metric="containment"``:
+    DIRECTED (contained, container, c/|A| ≥ threshold) rows — Broder's
+    containment, the doc-inside-doc signal. Jaccard notes below; this is the
     oracle-able member of the near-dup family (MinHash/SimHash above are its
     approximations). SQL-equivalent semantics: whitespace tokens of the
     trimmed text, distinct n-token shingles, docs with fewer than n tokens
@@ -486,6 +489,9 @@ def ngram_jaccard_near_dups(
     verify_jaccard, which this operator's semantics anchor."""
     from drone_ray.functions.minhash import _token_hashes
     from drone_ray.hashing import mix64
+
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
 
     def shingle_rows(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)

@@ -235,22 +235,22 @@ def avg_neighbor_degree(edges: Dataset, num_buckets: int = _B) -> Dataset:
     )
 
 
-def cocitation(
+def _copair(
     edges: Dataset,
-    min_common: int = 2,
-    max_source_degree: int | None = None,
-    num_buckets: int = _B,
+    min_common: int,
+    max_source_degree: int | None,
+    num_buckets: int,
+    weighted: bool,
 ) -> Dataset:
-    """(a, b, n_common) pairs of vertices co-cited by ≥ ``min_common``
-    common sources (a < b) — the related-page signal of Dean & Henzinger,
-    "Finding related pages in the World Wide Web" (1999).
-
-    Stage 1 groups each source's out-list into one hash(src) bucket and
-    expands its neighbor pairs fully vectorized (repeat/cumsum, the
-    triangles.py wedge pattern); stage 2 sums partial pair counts through a
-    hash(a,b) shuffle and filters. ``max_source_degree`` skips sources
-    with larger out-lists (the Σd² guard at web scale; None = no cap, used
-    where the oracle must see every pair)."""
+    """Shared co-citation pair pipeline (cocitation / adamic_adar). Stage 1
+    groups each source's out-list into one hash(src) bucket and expands its
+    neighbor pairs fully vectorized (repeat/cumsum, the triangles.py wedge
+    pattern); because the grouping key is the source, the run length IS the
+    global out-degree, so the Adamic-Adar weight 1/ln(deg) is a per-run
+    constant. Stage 2 sums partial (count[, weight]) rows through a
+    hash(a, b) shuffle and filters. ``max_source_degree`` skips sources with
+    larger out-lists (the Σd² guard at web scale; None = no cap, used where
+    the oracle must see every pair)."""
 
     def tag(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False)
@@ -258,11 +258,21 @@ def cocitation(
             "_b", pa.array((mix64(s) % np.uint64(num_buckets)).astype(np.int64))
         )
 
+    def _empty() -> pd.DataFrame:
+        cols = {
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "c": pd.Series([], dtype=np.int64),
+        }
+        if weighted:
+            cols["w"] = pd.Series([], dtype=np.float64)
+        return pd.DataFrame(cols)
+
     def expand(g: pd.DataFrame) -> pd.DataFrame:
         s = g["src"].to_numpy()
         d = g["dst"].to_numpy()
         if s.size == 0:
-            return pd.DataFrame({"a": [], "b": [], "c": []})
+            return _empty()
         order = np.lexsort((d, s))
         s, d = s[order], d[order]
         new = np.empty(s.size, dtype=bool)
@@ -273,10 +283,12 @@ def cocitation(
         if max_source_degree is not None:
             keep = lens <= max_source_degree
             starts, lens = starts[keep], lens[keep]
+        keep = lens >= 2  # runs of one emit no pairs (and ln(1) = 0)
+        starts, lens = starts[keep], lens[keep]
         npairs = lens * (lens - 1) // 2
         total = int(npairs.sum())
         if total == 0:
-            return pd.DataFrame({"a": [], "b": [], "c": []})
+            return _empty()
         # vectorized pair expansion (the triangles.py wedge pattern): each
         # row at within-run position p pairs with the L-1-p rows after it
         rows = np.repeat(starts, lens) + (
@@ -289,37 +301,47 @@ def cocitation(
         j_glob = i_glob + j_off + 1
         a = d[i_glob]
         b = d[j_glob]
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
-        # partial-aggregate within the bucket before the pair shuffle
-        key = np.stack([lo, hi], axis=1)
+        key = np.stack([a, b], axis=1)  # within-run d is sorted ⇒ a < b
         uk, inv = np.unique(key, axis=0, return_inverse=True)
-        cnt = np.bincount(inv)
-        return pd.DataFrame({"a": uk[:, 0], "b": uk[:, 1], "c": cnt})
+        out = {"a": uk[:, 0], "b": uk[:, 1], "c": np.bincount(inv)}
+        if weighted:
+            # per-occurrence weight = the source run's 1/ln(outdeg)
+            run_w = 1.0 / np.log(lens.astype(np.float64))
+            w_occ = np.repeat(np.repeat(run_w, lens), rep)
+            out["w"] = np.bincount(inv, weights=w_occ)
+        return pd.DataFrame(out)
+
+    fields = [("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())] + (
+        [("w", pa.float64())] if weighted else []
+    )
+    mid_schema = pa.schema(fields)
 
     def rebucket(b: pa.Table) -> pa.Table:
         if not b.num_columns or len(b) == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "c": pa.array([], pa.int64()),
-                    "_b2": pa.array([], pa.int64()),
-                }
-            )
-        b = b.cast(pa.schema([("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())]))
+            t = mid_schema.empty_table()
+            return t.append_column("_b2", pa.array([], pa.int64()))
+        b = b.cast(mid_schema)
         a = b["a"].to_numpy(zero_copy_only=False)
         bb = b["b"].to_numpy(zero_copy_only=False)
         return b.append_column("_b2", pa.array(_pair_bucket(a, bb, num_buckets)))
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(["a", "b"], sort=False)["c"].sum().reset_index()
+        aggs = {"c": ("c", "sum")}
+        if weighted:
+            aggs["w"] = ("w", "sum")
+        agg = g.groupby(["a", "b"], sort=False).agg(**aggs).reset_index()
         agg = agg[agg["c"] >= min_common]
-        return pd.DataFrame(
-            {"a": agg["a"], "b": agg["b"], "n_common": agg["c"]}
-        )
+        out = {"a": agg["a"], "b": agg["b"], "n_common": agg["c"]}
+        if weighted:
+            # round after the final sum so value hashes are stable across
+            # summation orders (float error ~1e-16·n ≪ the 1e-6 grid)
+            out["aa_score"] = np.round(agg["w"].to_numpy(), 6)
+        return pd.DataFrame(out)
 
-    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("n_common", pa.int64())])
+    schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("n_common", pa.int64())]
+        + ([("aa_score", pa.float64())] if weighted else [])
+    )
     return (
         edges.select_columns(["src", "dst"])
         .map_batches(tag, batch_format="pyarrow", batch_size=None)
@@ -330,6 +352,19 @@ def cocitation(
         .map_groups(finish, batch_format="pandas")
         .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
     )
+
+
+def cocitation(
+    edges: Dataset,
+    min_common: int = 2,
+    max_source_degree: int | None = None,
+    num_buckets: int = _B,
+) -> Dataset:
+    """(a, b, n_common) pairs of vertices co-cited by ≥ ``min_common``
+    common sources (a < b) — the related-page signal of Dean & Henzinger,
+    "Finding related pages in the World Wide Web" (1999). See _copair for
+    the two-shuffle shape and the Σd² guard."""
+    return _copair(edges, min_common, max_source_degree, num_buckets, weighted=False)
 
 
 def adamic_adar(
@@ -342,129 +377,9 @@ def adamic_adar(
     (a, b) with ≥ ``min_common`` common in-linking sources,
     ``aa_score = Σ_{u: u→a, u→b} 1 / ln(outdeg(u))`` (Adamic & Adar,
     "Friends and neighbors on the Web", Social Networks 2003) — the
-    rare-source-weighted twin of :func:`cocitation`, standard for
-    related-page ranking and link prediction.
-
-    Same two-shuffle shape as cocitation: stage 1 groups each source's
-    out-list into one hash(src) bucket — so the run length IS the global
-    out-degree and the per-pair weight 1/ln(deg) is a per-run constant —
-    and emits partial (count, weight-sum) rows; stage 2 reduces through a
-    hash(a,b) shuffle. Scores are rounded to 6 decimals after the final
-    sum so value hashes are stable across summation orders (float error
-    ~1e-16·n_common ≪ the 1e-6 grid)."""
-
-    def tag(b: pa.Table) -> pa.Table:
-        s = b["src"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "_b", pa.array((mix64(s) % np.uint64(num_buckets)).astype(np.int64))
-        )
-
-    def expand(g: pd.DataFrame) -> pd.DataFrame:
-        s = g["src"].to_numpy()
-        d = g["dst"].to_numpy()
-        empty = pd.DataFrame(
-            {
-                "a": pd.Series([], dtype=np.int64),
-                "b": pd.Series([], dtype=np.int64),
-                "c": pd.Series([], dtype=np.int64),
-                "w": pd.Series([], dtype=np.float64),
-            }
-        )
-        if s.size == 0:
-            return empty
-        order = np.lexsort((d, s))
-        s, d = s[order], d[order]
-        new = np.empty(s.size, dtype=bool)
-        new[0] = True
-        new[1:] = s[1:] != s[:-1]
-        starts = np.flatnonzero(new)
-        lens = np.diff(np.append(starts, s.size))
-        if max_source_degree is not None:
-            keep = lens <= max_source_degree
-            starts, lens = starts[keep], lens[keep]
-        # pairs only come from runs of length >= 2, where ln(len) > 0
-        keep = lens >= 2
-        starts, lens = starts[keep], lens[keep]
-        npairs = lens * (lens - 1) // 2
-        total = int(npairs.sum())
-        if total == 0:
-            return empty
-        run_w = 1.0 / np.log(lens.astype(np.float64))
-        rows = np.repeat(starts, lens) + (
-            np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
-        )
-        p = rows - np.repeat(starts, lens)
-        rep = np.repeat(lens, lens) - 1 - p
-        i_glob = np.repeat(rows, rep)
-        j_off = np.arange(total) - np.repeat(np.cumsum(rep) - rep, rep)
-        j_glob = i_glob + j_off + 1
-        # per-occurrence weight = the source run's 1/ln(outdeg)
-        w_occ = np.repeat(np.repeat(run_w, lens), rep)
-        a = d[i_glob]
-        b = d[j_glob]
-        key = np.stack([a, b], axis=1)  # within-run d is sorted ⇒ a < b
-        uk, inv = np.unique(key, axis=0, return_inverse=True)
-        cnt = np.bincount(inv)
-        ws = np.bincount(inv, weights=w_occ)
-        return pd.DataFrame({"a": uk[:, 0], "b": uk[:, 1], "c": cnt, "w": ws})
-
-    def rebucket(b: pa.Table) -> pa.Table:
-        if not b.num_columns or len(b) == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "c": pa.array([], pa.int64()),
-                    "w": pa.array([], pa.float64()),
-                    "_b2": pa.array([], pa.int64()),
-                }
-            )
-        b = b.cast(
-            pa.schema(
-                [
-                    ("a", pa.int64()),
-                    ("b", pa.int64()),
-                    ("c", pa.int64()),
-                    ("w", pa.float64()),
-                ]
-            )
-        )
-        a = b["a"].to_numpy(zero_copy_only=False)
-        bb = b["b"].to_numpy(zero_copy_only=False)
-        return b.append_column("_b2", pa.array(_pair_bucket(a, bb, num_buckets)))
-
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(["a", "b"], sort=False).agg(
-            c=("c", "sum"), w=("w", "sum")
-        ).reset_index()
-        agg = agg[agg["c"] >= min_common]
-        return pd.DataFrame(
-            {
-                "a": agg["a"],
-                "b": agg["b"],
-                "n_common": agg["c"],
-                "aa_score": np.round(agg["w"].to_numpy(), 6),
-            }
-        )
-
-    schema = pa.schema(
-        [
-            ("a", pa.int64()),
-            ("b", pa.int64()),
-            ("n_common", pa.int64()),
-            ("aa_score", pa.float64()),
-        ]
-    )
-    return (
-        edges.select_columns(["src", "dst"])
-        .map_batches(tag, batch_format="pyarrow", batch_size=None)
-        .groupby("_b")
-        .map_groups(expand, batch_format="pandas")
-        .map_batches(rebucket, batch_format="pyarrow", batch_size=None)
-        .groupby("_b2")
-        .map_groups(finish, batch_format="pandas")
-        .map_batches(pin_schema(schema), batch_format="pyarrow", batch_size=None)
-    )
+    rare-source-weighted twin of :func:`cocitation`. Same pipeline
+    (_copair) with the per-run weight column enabled."""
+    return _copair(edges, min_common, max_source_degree, num_buckets, weighted=True)
 
 
 def contract_edges(

@@ -394,6 +394,7 @@ def ktruss(edges: Dataset, k: int, num_partitions: int = 16, max_rounds: int = 2
 
     inc = tri.map_batches(melt_inc, batch_format="pyarrow", batch_size=None).materialize()
     n = inc.count()
+    converged = n == 0
     for _ in range(max_rounds):
         if n == 0:
             return rd.from_arrow(empty_schema.empty_table())
@@ -409,8 +410,15 @@ def ktruss(edges: Dataset, k: int, num_partitions: int = 16, max_rounds: int = 2
         )
         m = nxt.count()
         if m == n:
+            converged = True
             break
         inc, n = nxt, m
+    if not converged:
+        # the contract is the exact greatest fixpoint — a silent partial
+        # peel would disagree with it (deep cascades: raise the budget)
+        raise RuntimeError(
+            f"ktruss peel did not reach fixpoint within max_rounds={max_rounds}"
+        )
     if n == 0:
         return rd.from_arrow(empty_schema.empty_table())
 
