@@ -382,6 +382,171 @@ def adamic_adar(
     return _copair(edges, min_common, max_source_degree, num_buckets, weighted=True)
 
 
+def jaccard_pairs(
+    edges: Dataset,
+    min_common: int = 2,
+    max_source_degree: int | None = None,
+    num_buckets: int = _B,
+) -> Dataset:
+    """In-neighborhood Jaccard link prediction over co-cited pairs: for
+    every (a, b) with ≥ ``min_common`` common in-linking sources,
+    ``jaccard = |in(a) ∩ in(b)| / |in(a) ∪ in(b)|``, with the union
+    expanded as ``indeg(a) + indeg(b) − common`` so no neighbor set is
+    ever materialized (Salton/Jaccard neighborhood similarity; see
+    Liben-Nowell & Kleinberg, "The link-prediction problem for social
+    networks", 2003). Returns (a, b, n_common, jaccard).
+
+    Shape: the :func:`_copair` pair expansion (one hash(src) bucket pass +
+    one hash(a,b) reduce) followed by TWO more bucketed degree-attach
+    exchanges — indeg(a) in hash(a) buckets, indeg(b) in hash(b) buckets —
+    the degree_assortativity pattern: the O(|V|) in-degree table rides the
+    shuffle as tagged rows, never a broadcast, never a driver join."""
+    from drone_ray.stages.edges import in_degrees
+
+    pairs = _copair(edges, min_common, max_source_degree, num_buckets, weighted=False)
+    idg = in_degrees(edges)
+
+    hop1_schema = pa.schema(
+        [
+            ("key", pa.int64()),  # the vertex whose indeg we look up this hop
+            ("other", pa.int64()),
+            ("c", pa.int64()),
+            ("deg", pa.int64()),
+            ("side", pa.int8()),  # 0 = pair row, 1 = degree row
+            ("_b", pa.int64()),
+        ]
+    )
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.schema.names:
+            return hop1_schema.empty_table()
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        c = b["n_common"].to_numpy(zero_copy_only=False)
+        z = np.zeros(a.size, np.int64)
+        return pa.table(
+            {
+                "key": pa.array(a, pa.int64()),
+                "other": pa.array(bb, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+                "deg": pa.array(z),
+                "side": pa.array(np.zeros(a.size, np.int8)),
+                "_b": pa.array((mix64(a) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dst" not in b.schema.names:
+            return hop1_schema.empty_table()
+        v = b["dst"].to_numpy(zero_copy_only=False)
+        dg = b["in_degree"].to_numpy(zero_copy_only=False)
+        z = np.zeros(v.size, np.int64)
+        return pa.table(
+            {
+                "key": pa.array(v, pa.int64()),
+                "other": pa.array(z),
+                "c": pa.array(z),
+                "deg": pa.array(dg.astype(np.int64)),
+                "side": pa.array(np.ones(v.size, np.int8)),
+                "_b": pa.array((mix64(v) % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def _deg_lookup(g: pd.DataFrame):
+        """(pair-row mask rows, looked-up degree) inside one bucket."""
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy()
+        dk = key[side == 1]
+        dv = g["deg"].to_numpy()[side == 1]
+        order = np.argsort(dk, kind="stable")
+        dk, dv = dk[order], dv[order]
+        pk = key[side == 0]
+        # every pair endpoint is an edge dst ⇒ it HAS an in-degree row
+        pos = np.minimum(np.searchsorted(dk, pk), max(dk.size - 1, 0))
+        deg = dv[pos] if dk.size else np.zeros(pk.size, np.int64)
+        return side == 0, pk, deg
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "key" not in g.columns:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=t)
+                    for c, t in (
+                        ("key", np.int64), ("other", np.int64), ("c", np.int64),
+                        ("deg", np.int64), ("side", np.int8), ("_b", np.int64),
+                    )
+                }
+            )
+        is_pair, pk, da = _deg_lookup(g)
+        b_v = g["other"].to_numpy()[is_pair]  # rekey on b for hop 2
+        out = pd.DataFrame(
+            {
+                "key": b_v,
+                "other": pk,
+                "c": g["c"].to_numpy()[is_pair],
+                "deg": da,
+                "side": np.int8(0),
+            }
+        )
+        out["_b"] = (mix64(b_v) % np.uint64(num_buckets)).astype(np.int64)
+        return out
+
+    out_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("n_common", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "key" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                    "n_common": pd.Series([], dtype=np.int64),
+                    "jaccard": pd.Series([], dtype=np.float64),
+                }
+            )
+        is_pair, bk, db = _deg_lookup(g)
+        a_v = g["other"].to_numpy()[is_pair]
+        c = g["c"].to_numpy()[is_pair]
+        da = g["deg"].to_numpy()[is_pair]
+        union = da + db - c
+        j = c / union.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "a": a_v,
+                "b": bk,
+                "n_common": c,
+                # half-AWAY-from-zero to the 1e-6 grid (DuckDB round()):
+                # jaccard is a small rational (e.g. 5/128 = 0.0390625) that
+                # lands exactly on .5 ulps, where np.round's half-to-even
+                # diverges from the oracle
+                "jaccard": np.floor(j * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    hop1 = pairs.map_batches(pair_rows, batch_format="pyarrow", batch_size=None).union(
+        idg.map_batches(deg_rows, batch_format="pyarrow", batch_size=None)
+    )
+    hop2 = (
+        hop1.groupby("_b")
+        .map_groups(attach_a, batch_format="pandas")
+        # union() requires uniform block types: re-pin the pandas groups to
+        # Arrow so they can join the Arrow-formatted degree stream
+        .map_batches(pin_schema(hop1_schema), batch_format="pyarrow", batch_size=None)
+        .union(idg.map_batches(deg_rows, batch_format="pyarrow", batch_size=None))
+    )
+    return (
+        hop2.groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(pin_schema(out_schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
 def contract_edges(
     edges: Dataset,
     block: int,

@@ -528,6 +528,10 @@ def q_adamic_adar(sf_dir: str):
 
 RW_LEN = 6  # gate-scale walk length (one walk per vertex)
 GROUP_SAMPLE_R = 20  # deterministic per-group sample size
+PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_BUCKETS = 16  # fixed shard count at gate scale (bucket is an OUTPUT
+#                    column, so the registry pins it; production paths use
+#                    webtext.pack_sequences' adaptive default)
 
 
 def q_sample_per_type(sf_dir: str):
@@ -543,6 +547,37 @@ def q_sample_per_type(sf_dir: str):
         GROUP_SAMPLE_R,
         est_rows=_parquet_rows(sf_dir, "events"),
     )
+
+
+def q_link_jaccard(sf_dir: str):
+    """In-neighborhood Jaccard link prediction — the union-normalized twin
+    of cocitation/adamic_adar; indeg(a)+indeg(b)−common via two bucketed
+    degree-attach exchanges (graphstats.jaccard_pairs)."""
+    from drone_ray.pipelines.graphstats import jaccard_pairs
+
+    return jaccard_pairs(lg_edges(sf_dir), min_common=COCITE_MIN_COMMON)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Deterministic concat-and-chunk sequence packing (webtext
+    .pack_sequences): md5-sharded token streams cut every PACK_BUDGET
+    tokens; fully window-cumsum-attestable in SQL."""
+    from drone_ray.pipelines.webtext import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        budget=PACK_BUDGET,
+        num_buckets=PACK_BUCKETS,
+    )
+
+
+def q_corpus_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split report stratified by
+    lang (webtext.corpus_split) — md5(doc_id) % 100 bins, O(splits×langs)
+    driver-visible rows."""
+    from drone_ray.pipelines.webtext import corpus_split
+
+    return corpus_split(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
 KTRUSS_K = 4  # every ktruss edge lies on >= 2 triangles
 
 
@@ -2488,6 +2523,44 @@ _REGISTRY_DEF: dict[str, tuple] = {
         "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
         f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
     ),
+    "link_jaccard": (
+        q_link_jaccard,
+        f"""WITH e AS ({EDGES_SQL}),
+ind AS (SELECT dst AS v, count(*) AS d FROM e GROUP BY 1),
+c AS (SELECT x.dst AS a, y.dst AS b, count(*) AS c
+      FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON})
+SELECT a, b, c AS n_common,
+       round(CAST(c AS DOUBLE) / (ia.d + ib.d - c), 6) AS jaccard
+FROM c JOIN ind ia ON ia.v = a JOIN ind ib ON ib.v = b""",
+    ),
+    "pack_sequences": (
+        q_pack_sequences,
+        f"""WITH t AS (SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END AS n_tokens
+  FROM documents),
+k AS (SELECT doc_id, n_tokens, md5_number_lower('sp-' || doc_id) AS pr
+      FROM t WHERE n_tokens > 0),
+c AS (SELECT doc_id, n_tokens, CAST(pr % {PACK_BUCKETS} AS BIGINT) AS bucket,
+        CAST(COALESCE(sum(n_tokens) OVER (
+          PARTITION BY pr % {PACK_BUCKETS} ORDER BY pr, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM k)
+SELECT doc_id, bucket, cum // {PACK_BUDGET} AS seq, cum % {PACK_BUDGET} AS tok_offset,
+       (cum + n_tokens - 1) // {PACK_BUDGET} - cum // {PACK_BUDGET} + 1 AS n_seqs,
+       n_tokens
+FROM c""",
+    ),
+    "corpus_split": (
+        q_corpus_split,
+        f"""WITH t AS (SELECT lang,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END AS nt,
+    md5_number_lower('split-' || doc_id) % 100 AS h
+  FROM documents)
+SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1, 2""",
+    ),
     "sample_per_type": (
         q_sample_per_type,
         f"""SELECT event_type, event_id FROM (
@@ -2797,6 +2870,7 @@ _ORDER = [
     "wcc_incremental", "sssp_incremental", "sssp_negative", "modularity",
     "katz", "adamic_adar", "bowtie", "random_walks", "anchor_terms",
     "sample_per_type", "ngram_containment",
+    "link_jaccard", "pack_sequences", "corpus_split",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

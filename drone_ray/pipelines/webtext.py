@@ -396,3 +396,177 @@ def corpus_clean(
     return chunk_dedup(
         survivors, width=width, id_col=id_col, text_col=text_col, est_chunks=est_chunks
     )
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_BUCKETS = 16  # gate-scale stream-shard count (production: adaptive)
+
+
+def pack_sequences(
+    docs: Dataset,
+    *,
+    budget: int = PACK_BUDGET,
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Pretraining sequence packing by deterministic concat-and-chunk: shard
+    the corpus into ``num_buckets`` independent token streams (shard =
+    md5(doc_id) % B — the order-free equivalent of "shuffle, then
+    concatenate"), lay each shard's documents end-to-end in (md5 priority,
+    doc_id) order, and cut the stream every ``budget`` tokens. One row per
+    non-empty document:
+
+        (doc_id, bucket, seq, tok_offset, n_seqs, n_tokens)
+
+    where ``seq`` is the within-shard index of the packed sequence the
+    document STARTS in, ``tok_offset`` its token offset inside that
+    sequence, and ``n_seqs`` how many consecutive sequences it spans
+    (documents longer than the residual budget wrap — the standard
+    GPT-style "concat + chunk" packing, not padding-based binning).
+
+    Every quantity is a pure function of (doc_id, n_tokens) and the md5
+    order, so the whole packer is SQL-attestable as one window cumsum —
+    no RNG, reproducible at any parallelism. Scale shape: one stateless
+    map_batches (token count + priority) and ONE hash(bucket) shuffle;
+    each shard packs independently inside its group, which is exactly how
+    a 100-TB tokenization job shards its output anyway. Token counts use
+    the whitespace convention of functions/text.token_stats_batch."""
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.hashing import adaptive_buckets
+
+    if num_buckets is None:
+        num_buckets = adaptive_buckets(est_rows, floor=PACK_BUCKETS)
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("bucket", pa.int64()),
+            ("seq", pa.int64()),
+            ("tok_offset", pa.int64()),
+            ("n_seqs", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+    mid_schema = pa.schema(
+        [(id_col, pa.int64()), ("n_tokens", pa.int64()), ("_p", pa.uint64()), ("_b", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or id_col not in b.schema.names:
+            return mid_schema.empty_table()
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        nt = np.fromiter((len(t.split()) for t in texts), np.int64, len(texts))
+        pr = np.fromiter(
+            (md5_lower64(f"sp-{i}") for i in ids), np.uint64, len(ids)
+        )
+        keep = nt > 0  # empty docs contribute no tokens to any stream
+        ids, nt, pr = ids[keep], nt[keep], pr[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt),
+                "_p": pa.array(pr, pa.uint64()),
+                "_b": pa.array((pr % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or id_col not in g.columns:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in out_schema.names}
+            )
+        i = g[id_col].to_numpy()
+        n = g["n_tokens"].to_numpy()
+        p = g["_p"].to_numpy()
+        bk = g["_b"].to_numpy()
+        order = np.lexsort((i, p))
+        i, n, p, bk = i[order], n[order], p[order], bk[order]
+        cum = np.cumsum(n) - n  # exclusive prefix: tokens before this doc
+        seq = cum // budget
+        return pd.DataFrame(
+            {
+                id_col: i,
+                "bucket": bk,
+                "seq": seq,
+                "tok_offset": cum % budget,
+                "n_seqs": (cum + n - 1) // budget - seq + 1,
+                "n_tokens": n,
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(pack, batch_format="pandas")
+        .map_batches(_pin(out_schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
+SPLIT_BINS = ((80, "train"), (90, "val"), (100, "test"))  # md5 % 100 cutoffs
+
+
+def corpus_split(
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strat_col: str = "lang",
+) -> Dataset:
+    """Deterministic train/val/test split report, stratified by
+    ``strat_col``: each document lands in the bin of md5(doc_id) % 100
+    (80/10/10 — hash-based so membership is reproducible at any
+    parallelism, under resharding, and in SQL), and the report is one row
+    per (split, stratum): (split, lang, n_docs, n_tokens). The per-doc
+    assignment never materializes anywhere — each batch pre-aggregates to
+    at most 3×|strata| partial rows and a tiny groupby finishes, so the
+    driver-visible state is O(splits × strata) at any corpus size."""
+    from drone_ray.functions.minhash import md5_lower64
+
+    mid = pa.schema(
+        [
+            ("split", pa.string()),
+            (strat_col, pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or id_col not in b.schema.names:
+            return mid.empty_table()
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        strata = b[strat_col].to_pylist()
+        nt = np.fromiter((len(t.split()) for t in texts), np.int64, len(texts))
+        h = np.fromiter(
+            (md5_lower64(f"split-{i}") % 100 for i in ids), np.int64, len(ids)
+        )
+        split = np.full(len(ids), "test", dtype=object)
+        split[h < SPLIT_BINS[1][0]] = "val"
+        split[h < SPLIT_BINS[0][0]] = "train"
+        df = pd.DataFrame(
+            {"split": split, strat_col: strata, "n_docs": 1, "n_tokens": nt}
+        )
+        agg = (
+            df.groupby(["split", strat_col], sort=False)
+            .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, schema=mid, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["split", strat_col], sort=False)
+            .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+            .reset_index()
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["split", strat_col])
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(_pin(mid), batch_format="pyarrow", batch_size=None)
+    )

@@ -233,3 +233,35 @@ def test_modularity_q_two_communities():
     assert int(out["m_edges"][0]) == 21
     q_expected = 2 * (10 / 21 - (21 / 42) ** 2)
     assert abs(float(out["modularity"][0]) - round(q_expected, 6)) < 1e-9
+
+
+def test_jaccard_pairs_matches_brute():
+    """jaccard = |in(a) ∩ in(b)| / |in(a) ∪ in(b)| vs a dict brute force on a
+    random 400-edge digraph; also cross-checks n_common against cocitation."""
+    from drone_ray.pipelines.graphstats import jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 40, 400)
+    dst = rng.integers(0, 25, 400)
+    keep = src != dst
+    pairs = sorted(set(zip(src[keep].tolist(), dst[keep].tolist())))
+    src = [p[0] for p in pairs]
+    dst = [p[1] for p in pairs]
+
+    ins: dict[int, set] = {}
+    for s, d in zip(src, dst):
+        ins.setdefault(d, set()).add(s)
+    expect = {}
+    vs = sorted(ins)
+    for i, a in enumerate(vs):
+        for b in vs[i + 1:]:
+            c = len(ins[a] & ins[b])
+            if c >= 2:
+                expect[(a, b)] = (c, len(ins[a] | ins[b]))
+
+    got = jaccard_pairs(_ds(src, dst), min_common=2).to_pandas()
+    assert len(got) == len(expect)
+    for row in got.itertuples():
+        c, u = expect[(row.a, row.b)]
+        assert row.n_common == c
+        assert abs(row.jaccard - c / u) < 2e-6

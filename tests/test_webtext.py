@@ -212,3 +212,72 @@ def test_corpus_clean_composed_chain():
     # doc 1 lost exactly its boiler chunk
     row1 = out[out.doc_id == 1].iloc[0]
     assert row1["n_chunks"] - row1["n_kept"] >= 1
+
+
+def test_pack_sequences_brute():
+    """Concat-and-chunk packing vs a sequential brute force: per bucket,
+    docs in (md5 priority, id) order, exclusive cumsum cut every `budget`
+    tokens; empty docs dropped."""
+    import ray.data as rd
+
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.pipelines.webtext import pack_sequences
+
+    texts = ["w " * n for n in [3, 7, 1, 12, 5, 0, 9, 2, 30, 4]]
+    texts[5] = "   "  # whitespace-only → 0 tokens → excluded
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    budget, B = 10, 4
+    got = (
+        pack_sequences(docs, budget=budget, num_buckets=B)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+
+    items = []
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        if n:
+            items.append((md5_lower64(f"sp-{i}"), i, n))
+    expect = {}
+    for b in range(B):
+        cum = 0
+        for pr, i, n in sorted(x for x in items if x[0] % B == b):
+            expect[i] = (b, cum // budget, cum % budget,
+                         (cum + n - 1) // budget - cum // budget + 1, n)
+            cum += n
+    assert len(got) == len(expect)
+    for i, (b, seq, off, nseq, n) in expect.items():
+        row = got.loc[i]
+        assert (row.bucket, row.seq, row.tok_offset, row.n_seqs, row.n_tokens) \
+            == (b, seq, off, nseq, n)
+
+
+def test_corpus_split_stratified_counts():
+    """80/10/10 md5 split report vs a per-row brute force over two strata."""
+    import ray.data as rd
+
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.pipelines.webtext import corpus_split
+
+    n = 500
+    langs = ["en" if i % 3 else "de" for i in range(n)]
+    texts = [("tok " * (i % 7)).strip() for i in range(n)]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(langs, pa.string())})
+    )
+    got = corpus_split(docs).to_pandas().set_index(["split", "lang"]).sort_index()
+
+    expect: dict[tuple, list] = {}
+    for i in range(n):
+        h = md5_lower64(f"split-{i}") % 100
+        s = "train" if h < 80 else ("val" if h < 90 else "test")
+        e = expect.setdefault((s, langs[i]), [0, 0])
+        e[0] += 1
+        e[1] += len(texts[i].split())
+    assert len(got) == len(expect)
+    for k, (nd, nt) in expect.items():
+        assert got.loc[k, "n_docs"] == nd and got.loc[k, "n_tokens"] == nt
