@@ -134,10 +134,17 @@ def combine_inbound_local(g, payloads: list[Messages | None], op: str) -> Messag
             np.minimum.at(acc, idx, val)
             touched = np.flatnonzero(acc != sentinel)
         out_val = acc[touched]
-    else:  # pragma: no cover - max unused by built-ins
-        acc = np.full(g.n, -np.inf)
-        np.maximum.at(acc, idx, val)
-        touched = np.flatnonzero(np.isfinite(acc))
+    else:  # max — HyperANF register rows (2-D unsigned, identity 0) or floats
+        if val.ndim == 2:
+            acc = np.zeros((g.n, val.shape[1]), dtype=val.dtype)
+            np.maximum.at(acc, idx, val)
+            # HLL register rows always carry at least one rank ≥ 1, so a row
+            # that stayed all-zero received nothing
+            touched = np.flatnonzero(acc.any(axis=1))
+        else:
+            acc = np.full(g.n, -np.inf)
+            np.maximum.at(acc, idx, val)
+            touched = np.flatnonzero(np.isfinite(acc))
         out_val = acc[touched]
     return {"vid": g.owned[touched], "li": touched, "val": out_val}
 

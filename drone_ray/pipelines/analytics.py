@@ -895,6 +895,55 @@ def pseudo_diameter(
     )
 
 
+def hyperanf(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    p: int = 6,
+    **harness_kwargs,
+):
+    """HyperANF neighborhood function + effective diameter (programs
+    .HyperANF): per-vertex HLL sketches merged along reversed edges until
+    no register changes. Returns one row per superstep:
+    (step, nf_estimate, frac_of_final, effective_diameter) where NF(t) is
+    the estimated number of (v, u) pairs with dist(v→u) ≤ t and the
+    effective diameter is the smallest t with NF(t) ≥ 0.9 · NF(final) —
+    the standard webgraph distance report (Broder et al. 2000 measure it
+    exactly; HyperANF is how it's done at 10^12 docs). Approximate by
+    design (HLL σ ≈ 1.04/√2^p) → rows-only registry entry; the pytest gate
+    bounds it against exact BFS neighborhood functions."""
+    import pyarrow as pa
+
+    from drone_ray.graph.programs import HyperANF
+
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    res = _run(m, HyperANF, {"p": p}, direction="rev", **harness_kwargs)
+    per_step: dict[int, float] = {}
+    for mt in res.metrics:
+        if "nf_sum" in mt:
+            per_step[mt["step"]] = per_step.get(mt["step"], 0.0) + mt["nf_sum"]
+    steps = sorted(per_step)
+    nf = [per_step[s] for s in steps]
+    # trailing steps with a bit-identical estimate are the engine's
+    # fixpoint-confirmation rounds (the quiet superstep that proves no
+    # register changed, plus any speculative no-ops) — not distance levels
+    while len(nf) >= 2 and nf[-1] == nf[-2]:
+        nf.pop()
+        steps.pop()
+    final = nf[-1] if nf else 0.0
+    eff = next((s for s, v in zip(steps, nf) if final and v >= 0.9 * final), 0)
+    return pa.table(
+        {
+            "step": pa.array(steps, pa.int64()),
+            "nf_estimate": pa.array([round(v, 4) for v in nf], pa.float64()),
+            "frac_of_final": pa.array(
+                [round(v / final, 6) if final else 0.0 for v in nf], pa.float64()
+            ),
+            "effective_diameter": pa.array([eff] * len(steps), pa.int64()),
+        }
+    )
+
+
 def random_walks(
     edges_factory,
     cache_key: str,

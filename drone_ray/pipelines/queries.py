@@ -605,6 +605,15 @@ def q_random_walks(sf_dir: str):
     ).to_table()
 
 
+def q_hyperanf(sf_dir: str):
+    """HyperANF neighborhood function + effective diameter — per-vertex HLL
+    sketches merged along reversed edges (analytics.hyperanf). Approximate
+    sketch → rows-only; pytest bounds it against exact BFS."""
+    from drone_ray.pipelines.analytics import hyperanf
+
+    return hyperanf(lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS)
+
+
 def q_bowtie(sf_dir: str):
     """Broder bowtie decomposition (core/in/out/tendril/disconnected) —
     SCC pick + two single-source BFS sweeps + WCC, assembled in one
@@ -2789,6 +2798,7 @@ SELECT a, b, round(ct, 6) AS containment FROM d WHERE ct >= {CONTAINMENT_T}""",
         _DEDUP_CLUSTERS_SQL.format(NGRAMJ=_NGRAMJ_SQL),
     ),
     "vocabulary_hll": (q_vocabulary_hll, None),  # approximate sketch — pytest-bounded
+    "hyperanf": (q_hyperanf, None),  # approximate sketch — pytest-bounded vs exact BFS
     "vocabulary": (
         q_vocabulary,
         "SELECT count(DISTINCT t.w) AS n_distinct_tokens FROM documents, "
@@ -2892,7 +2902,8 @@ _ORDER = [
     "token_stats", "doc_fingerprint", "bpe_token_stats",
     # tier 5 — no_oracle by design (approximate / non-SQL-expressible),
     # each pytest-gated
-    "pagerank_incremental", "graph_simulation", "ktruss", "pagerank_pages",
+    "pagerank_incremental", "graph_simulation", "ktruss", "hyperanf",
+    "pagerank_pages",
     "pagerank_pages_hostloc", "vocabulary_hll", "ann_topk_lsh",
     "ann_topk_ivf", "ann_topk_ivf_dist", "embedding_near_dup_lsh",
 ]
