@@ -1860,6 +1860,97 @@ class IncrementalSSSP(_WarmStartMixin, SSSP):
 
 
 # ---------------------------------------------------------------------------
+class SALSA(VertexProgram):
+    """SALSA hubs & authorities (Lempel & Moran, "SALSA: the stochastic
+    approach for link-structure analysis", ACM TOIS 2001): HITS with both
+    walk steps made stochastic —
+
+        a_k(v) = Σ_{u→v} h_{k-1}(u) / outdeg(u)
+        h_k(u) = Σ_{u→v} a_k(v)   / indeg(v)
+
+    i.e. the power iteration of the bipartite back-forward random walk.
+    Because every push distributes the sender's FULL score across its
+    edges, L1 mass is conserved by construction (up to dangling leakage,
+    identically in the oracle), so unlike :class:`HITS` there is NO global
+    normalizer: no feedback channel, no driver barrier — the K fixed
+    iterations pipeline like any message-driven program (pipeline_depth
+    applies). Runs on the dual layout (``direction="dualview"``), hub
+    scores flowing down out-edges and authority scores back up in-edges;
+    the division happens at the SENDER (h/outdeg along fwd, a/indeg along
+    rev), so receivers just sum.
+
+    Superstep schedule, 2K+1 steps for ``iters`` = K: step 0 pushes
+    h_0/outdeg = 1/outdeg forward; odd step 2k−1 lands a_k and pushes
+    a_k/indeg backward; even step 2k lands h_k and pushes forward (the
+    last even step 2K reports done instead). Fixed-iteration semantics →
+    the driver-gate oracle is a recursive CTE running the identical K
+    unnormalized stochastic iterations (queries._SALSA_SQL).
+
+    The reference engine has no SALSA; this extends the same
+    (PEval, IncEval, Assemble) plugin surface its algorithms use
+    (/root/reference/src/protobuf/worker_service.proto:11-22)."""
+
+    default_direction = "dualview"
+    channels = ()  # generic route() on both views
+    sender_precombine = False  # scalar sums: owner-side bincount absorbs dups
+
+    def __init__(self, iters: int = 20):
+        self.K = int(iters)
+
+    @classmethod
+    def should_stop(cls, step_metrics, step) -> bool:
+        return any(m.get("done") for m in step_metrics)
+
+    def init_state(self, g):
+        if not hasattr(g, "rev_view"):
+            raise ValueError(
+                "SALSA needs both adjacency directions in one actor — run on "
+                "a dual layout with direction='dualview'"
+            )
+        return {"auth": np.zeros(g.n), "hub": np.ones(g.n), "aux": {"step": 0}}
+
+    def peval(self, g, st):
+        rows = np.flatnonzero(g.out_degree > 0)
+        dsts, vals = g.push(rows, st["hub"][rows] / g.out_degree[rows])
+        return _msgs(dsts, vals), {"edges": int(vals.size)}
+
+    def inceval(self, g, st, inbound):
+        if st["aux"]["step"] >= 2 * self.K:
+            # speculative no-op steps past the fixed schedule (the harness
+            # pipelines SALSA, unlike feedback-barrier HITS) must not clobber
+            # the final a_K/h_K state with their empty inbound
+            return None, {"edges": 0, "done": True}
+        st["aux"]["step"] += 1
+        s = st["aux"]["step"]
+        dense = np.zeros(g.n)
+        if inbound is not None:
+            li = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
+            dense[li] = inbound["val"]
+        if s % 2 == 1:  # authority phase: a_k = raw stochastic in-sums
+            st["auth"] = dense
+            rows = np.flatnonzero(dense)
+            # a vertex that received mass has an in-edge ⇒ indeg ≥ 1
+            indeg = g.rev_view.out_degree
+            dsts, vals = g.rev_view.push(rows, dense[rows] / indeg[rows])
+        else:  # hub phase: h_k lands
+            st["hub"] = dense
+            if s >= 2 * self.K:
+                return None, {"edges": 0, "done": True}
+            rows = np.flatnonzero(dense)
+            dsts, vals = g.push(rows, dense[rows] / g.out_degree[rows])
+        return _msgs(dsts, vals), {"edges": int(vals.size)}
+
+    def emit(self, g, st):
+        return pa.table(
+            {
+                "vid": pa.array(g.owned, pa.int64()),
+                "auth": pa.array(st["auth"], pa.float64()),
+                "hub": pa.array(st["hub"], pa.float64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
 class HyperANF(VertexProgram):
     """Approximate neighborhood function via per-vertex HyperLogLog sketches
     (Boldi, Rosa & Vigna, "HyperANF: approximating the neighbourhood

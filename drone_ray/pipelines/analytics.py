@@ -390,6 +390,22 @@ def hits(
     return _run(m, HITS, {"iters": iters}, direction="dualview", **harness_kwargs)
 
 
+def salsa(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    iters: int = 20,
+    **harness_kwargs,
+) -> ProgramResult:
+    """SALSA stochastic hubs & authorities (programs.SALSA) — HITS with
+    degree-normalized walk steps. No global normalizer ⇒ no feedback
+    barrier ⇒ the K iterations pipeline (unlike hits())."""
+    from drone_ray.graph.programs import SALSA
+
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    return _run(m, SALSA, {"iters": iters}, direction="dualview", **harness_kwargs)
+
+
 def kcore(
     edges_factory,
     cache_key: str,

@@ -222,6 +222,33 @@ def q_hits(sf_dir: str):
     )
 
 
+SALSA_ITERS = 20  # fixed-iteration SALSA: engine supersteps == oracle CTE
+
+
+def q_salsa(sf_dir: str):
+    """SALSA stochastic hubs & authorities, SALSA_ITERS iterations on
+    dualview actors. Unnormalized stochastic sums (mass-conserving) — the
+    CTE oracle runs the identical recurrence; round(·, 7) against engine
+    vs DuckDB summation-order drift (values are O(1)-per-term sums)."""
+    from drone_ray.pipelines.analytics import salsa
+
+    res = salsa(
+        lambda: lg_edges(sf_dir),
+        _graph_key(sf_dir),
+        GRAPH_PARTITIONS,
+        iters=SALSA_ITERS,
+        max_steps=2 * SALSA_ITERS + 2,
+    )
+    t = res.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "auth": pa.array(np.round(t["auth"].to_numpy(), 7), pa.float64()),
+            "hub": pa.array(np.round(t["hub"].to_numpy(), 7), pa.float64()),
+        }
+    )
+
+
 def q_ppr(sf_dir: str):
     """Personalized PageRank: teleport restricted to vid % PPR_MOD == 0 —
     the same delta-propagation engine as q_pagerank with a per-vertex
@@ -2164,6 +2191,42 @@ h AS (
 SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
 """
 
+# SALSA: the identical unnormalized stochastic recurrence as programs.SALSA
+# (a_k = Σ h_{k-1}/outdeg over in-edges, h_k = Σ a_k/indeg over out-edges).
+# Zero-weight self-edges keep every vertex present through the joins (the
+# _HITS_SQL device); LEFT JOIN + coalesce keeps degree-less vertices from
+# poisoning sums with NULLs (their terms are w=0 anyway).
+_SALSA_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+od AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY 1),
+idg AS (SELECT dst AS vid, count(*) AS d FROM e GROUP BY 1),
+c AS (SELECT src, dst, 1.0 AS w FROM e UNION ALL SELECT vid, vid, 0.0 FROM vtx),
+it AS (
+  SELECT 0 AS iter, vid, CAST(0.0 AS DOUBLE) AS auth, CAST(1.0 AS DOUBLE) AS hub FROM vtx
+  UNION ALL
+  SELECT iter, vid, auth, hub FROM (
+    WITH an AS (
+      SELECT p.iter + 1 AS iter, c.dst AS vid,
+             sum(c.w * p.hub / coalesce(od.d, 1)) AS auth
+      FROM it p JOIN c ON c.src = p.vid LEFT JOIN od ON od.vid = p.vid
+      WHERE p.iter < {SALSA_ITERS}
+      GROUP BY 1, 2
+    )
+    SELECT an.iter, an.vid, an.auth, hr.hub
+    FROM an JOIN (
+      SELECT an2.iter, c2.src AS vid,
+             sum(c2.w * an2.auth / coalesce(idg.d, 1)) AS hub
+      FROM an an2 JOIN c c2 ON c2.dst = an2.vid LEFT JOIN idg ON idg.vid = an2.vid
+      GROUP BY 1, 2
+    ) hr ON hr.vid = an.vid AND hr.iter = an.iter
+  )
+)
+SELECT vid, round(auth, 7) AS auth, round(hub, 7) AS hub
+FROM it WHERE iter = {SALSA_ITERS}
+"""
+
 # Modularity of the 10-round LPA communities (same labels CTE as _LPA_SQL)
 # over the undirected simple graph: Q = sum_c (m_c/m - (d_c/2m)^2).
 _MODULARITY_SQL = f"""
@@ -2679,6 +2742,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "pagerank_incremental": (q_pagerank_incremental, None),
     "hits": (q_hits, _HITS_SQL),
     "kcore": (q_kcore, _KCORE_SQL),
+    "salsa": (q_salsa, _SALSA_SQL),
     "coreness": (q_coreness, _CORENESS_SQL),
     "scc": (q_scc, _SCC_SQL),
     "pseudo_diameter": (q_pseudo_diameter, _PSEUDO_DIAM_SQL),
@@ -2880,7 +2944,7 @@ _ORDER = [
     "wcc_incremental", "sssp_incremental", "sssp_negative", "modularity",
     "katz", "adamic_adar", "bowtie", "random_walks", "anchor_terms",
     "sample_per_type", "ngram_containment",
-    "link_jaccard", "pack_sequences", "corpus_split",
+    "link_jaccard", "pack_sequences", "corpus_split", "salsa",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",
