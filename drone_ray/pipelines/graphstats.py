@@ -382,6 +382,31 @@ def adamic_adar(
     return _copair(edges, min_common, max_source_degree, num_buckets, weighted=True)
 
 
+def bibliographic_coupling(
+    edges: Dataset,
+    min_common: int = 2,
+    max_source_degree: int | None = None,
+    num_buckets: int = _B,
+) -> Dataset:
+    """Bibliographic coupling (Kessler 1963): pairs (a, b) of SOURCES that
+    link to ≥ ``min_common`` common destinations — the out-neighborhood
+    dual of :func:`cocitation` (two pages citing the same references are
+    related, vs. two pages cited together). Implemented as the identical
+    _copair pipeline on the swapped edge set: grouping by (old) dst pairs
+    the (old) srcs, so ``max_source_degree`` here caps the IN-degree of the
+    shared destination (the celebrity-target guard)."""
+
+    def swap(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src" not in b.schema.names:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        return pa.table({"src": b["dst"], "dst": b["src"]})
+
+    swapped = edges.select_columns(["src", "dst"]).map_batches(
+        swap, batch_format="pyarrow", batch_size=None
+    )
+    return _copair(swapped, min_common, max_source_degree, num_buckets, weighted=False)
+
+
 def jaccard_pairs(
     edges: Dataset,
     min_common: int = 2,

@@ -576,6 +576,49 @@ def q_sample_per_type(sf_dir: str):
     )
 
 
+def q_bibliographic_coupling(sf_dir: str):
+    """Bibliographic coupling — source pairs sharing ≥ COCITE_MIN_COMMON
+    out-neighbors (the cocitation pipeline on the swapped edge set)."""
+    from drone_ray.pipelines.graphstats import bibliographic_coupling
+
+    return bibliographic_coupling(lg_edges(sf_dir), min_common=COCITE_MIN_COMMON)
+
+
+HOST_SAMPLE_R = 5  # per-host deterministic page sample size
+
+
+def q_host_sample(sf_dir: str):
+    """Per-host page quota: the HOST_SAMPLE_R pages of each site with the
+    smallest md5 priority — the Common-Crawl per-domain cap, order-free
+    reservoir sampling over STRING group keys and STRING ids
+    (aggregates.group_sample on the pages fixture)."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from drone_ray.pipelines.aggregates import group_sample
+    from drone_ray.sources.pages import write_pages
+
+    pages_dir = write_pages(EXTRACT_PAGES_DIR, EXTRACT_PAGES_N, seed=EXTRACT_PAGES_SEED)
+    pages = rd.read_parquet(pages_dir, columns=["url"])
+
+    def with_host(b: pa.Table) -> pa.Table:
+        hosts = pc_.fill_null(
+            pc_.struct_field(
+                pc_.extract_regex(b["url"], r"^[a-z]+://(?P<h>[^/]+)"), "h"
+            ),
+            "",
+        )
+        return pa.table({"host": hosts, "url": b["url"]})
+
+    return group_sample(
+        pages.map_batches(with_host, batch_format="pyarrow", batch_size=None),
+        "host",
+        "url",
+        HOST_SAMPLE_R,
+        est_rows=EXTRACT_PAGES_N,
+    )
+
+
 def q_link_jaccard(sf_dir: str):
     """In-neighborhood Jaccard link prediction — the union-normalized twin
     of cocitation/adamic_adar; indeg(a)+indeg(b)−common via two bucketed
@@ -2595,6 +2638,21 @@ _REGISTRY_DEF: dict[str, tuple] = {
         "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
         f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
     ),
+    "bibliographic_coupling": (
+        q_bibliographic_coupling,
+        f"WITH e AS ({EDGES_SQL}) SELECT x.src AS a, y.src AS b, count(*) AS n_common "
+        "FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src "
+        f"GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}",
+    ),
+    "host_sample": (
+        q_host_sample,
+        f"""SELECT host, url FROM (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, url,
+         row_number() OVER (PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                            ORDER BY md5_number_lower('gs-' || url), url) AS rn
+  FROM read_parquet('{EXTRACT_PAGES_DIR}/*.parquet'))
+WHERE rn <= {HOST_SAMPLE_R}""",
+    ),
     "link_jaccard": (
         q_link_jaccard,
         f"""WITH e AS ({EDGES_SQL}),
@@ -2945,6 +3003,7 @@ _ORDER = [
     "katz", "adamic_adar", "bowtie", "random_walks", "anchor_terms",
     "sample_per_type", "ngram_containment",
     "link_jaccard", "pack_sequences", "corpus_split", "salsa",
+    "bibliographic_coupling", "host_sample",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

@@ -4,9 +4,10 @@ deterministic synthetic power-law graph and print one JSON line.
     python scripts/ops_demo.py <op> [--edges 10000000] [--vertices 2500000]
         [--partitions 16] [--num-cpus 32]
 
-ops: random-walks, bowtie, ktruss, adamic-adar. Each run is a fresh Ray
-session over a fresh layout (cache key carries the size), so timings are
-end-to-end including the graph/pipeline build.
+ops: random-walks, bowtie, ktruss, adamic-adar, hyperanf, salsa,
+link-jaccard, pack-sequences (synthetic doc lengths). Each run is a fresh
+Ray session over a fresh layout (cache key carries the size), so timings
+are end-to-end including the graph/pipeline build.
 """
 
 import argparse
@@ -21,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["random-walks", "bowtie", "ktruss", "adamic-adar"])
+    ap.add_argument("op", choices=["random-walks", "bowtie", "ktruss", "adamic-adar",
+                                   "hyperanf", "salsa", "link-jaccard",
+                                   "pack-sequences"])
     ap.add_argument("--edges", type=int, default=10_000_000)
     ap.add_argument("--vertices", type=int, default=2_500_000)
     ap.add_argument("--partitions", type=int, default=16)
@@ -81,6 +84,57 @@ def main(argv=None):
         ds = adamic_adar(dedup_edges(ef(), est_rows=args.edges), min_common=3,
                          max_source_degree=args.max_source_degree).materialize()
         extra = {"pairs": ds.count(), "max_source_degree": args.max_source_degree}
+    elif args.op == "hyperanf":
+        from drone_ray.pipelines.analytics import hyperanf
+
+        t = hyperanf(ef, key, args.partitions, p=6)
+        extra = {
+            "nf_steps": len(t),
+            "effective_diameter": int(t["effective_diameter"][0].as_py()),
+            "nf_final": float(t["nf_estimate"][-1].as_py()),
+        }
+    elif args.op == "salsa":
+        from drone_ray.pipelines.analytics import salsa
+
+        res = salsa(ef, key, args.partitions, iters=10)
+        ds = res.dataset()
+        extra = {"steps": res.steps, "n_vertices": ds.count(), "teps": int(res.teps)}
+    elif args.op == "link-jaccard":
+        from drone_ray.pipelines.graphstats import jaccard_pairs
+        from drone_ray.stages.edges import dedup_edges
+
+        ds = jaccard_pairs(dedup_edges(ef(), est_rows=args.edges), min_common=3,
+                           max_source_degree=args.max_source_degree).materialize()
+        extra = {"pairs": ds.count(), "max_source_degree": args.max_source_degree}
+    elif args.op == "pack-sequences":
+        import numpy as np
+        import pyarrow as pa
+
+        from drone_ray.pipelines.webtext import pack_sequences
+
+        # synthetic corpus: doc_id + a short text whose token count is a
+        # deterministic power-law-ish function of the id — the packer only
+        # reads lengths, so tiny texts exercise the full pipeline shape
+        n_docs = args.edges  # reuse the size knob as the doc count
+        import ray.data as rd
+
+        def gen(b):
+            ids = b["id"].to_numpy(zero_copy_only=False)
+            nt = 1 + (ids * 2654435761 % 997) % 400
+            texts = ["w " * int(k) for k in nt]
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())})
+
+        docs = rd.range(n_docs).map_batches(gen, batch_format="pyarrow")
+        ds = pack_sequences(docs, budget=2048, est_rows=n_docs).materialize()
+        from ray.data.aggregate import Max
+
+        per_bucket = ds.groupby("bucket").aggregate(Max("seq")).take_all()
+        extra = {
+            "n_docs": ds.count(),
+            "n_buckets": len(per_bucket),
+            "n_sequences": int(sum(r["max(seq)"] + 1 for r in per_bucket)),
+        }
     wall = round(time.time() - t0, 2)
     out = {
         "op": args.op,

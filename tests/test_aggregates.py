@@ -194,3 +194,26 @@ def test_group_sample_small_groups_kept_whole():
     )
     got = group_sample(rd.from_arrow(t), "g", "i", 10).to_pandas()
     assert len(got) == 3  # groups smaller than r pass through entirely
+
+
+def test_group_sample_string_keys_and_ids():
+    """group_sample over STRING group keys and STRING ids (the per-host
+    page-quota shape) vs a brute-force md5 ranking."""
+    import ray.data as rd
+
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.pipelines.aggregates import group_sample
+
+    hosts = [f"h{i % 7}.example" for i in range(200)]
+    urls = [f"http://h{i % 7}.example/p{i}" for i in range(200)]
+    ds = rd.from_arrow(pa.table({"host": pa.array(hosts), "url": pa.array(urls)}))
+    got = group_sample(ds, "host", "url", 3, num_buckets=8).to_pandas()
+
+    by_host: dict[str, list] = {}
+    for h, u in zip(hosts, urls):
+        by_host.setdefault(h, []).append((md5_lower64(f"gs-{u}"), u))
+    expect = set()
+    for h, rows in by_host.items():
+        for _, u in sorted(rows)[:3]:
+            expect.add((h, u))
+    assert set(zip(got["host"], got["url"])) == expect

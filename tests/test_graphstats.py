@@ -265,3 +265,38 @@ def test_jaccard_pairs_matches_brute():
         c, u = expect[(row.a, row.b)]
         assert row.n_common == c
         assert abs(row.jaccard - c / u) < 2e-6
+
+
+def test_bibliographic_coupling_matches_brute():
+    """(a, b) source pairs sharing >= 2 out-neighbors vs a dict brute force;
+    dual symmetry: coupling(G) == cocitation(G with edges reversed)."""
+    from drone_ray.pipelines.graphstats import bibliographic_coupling
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 30, 300)
+    dst = rng.integers(0, 30, 300)
+    keep = src != dst
+    pairs = sorted(set(zip(src[keep].tolist(), dst[keep].tolist())))
+    src = [p[0] for p in pairs]
+    dst = [p[1] for p in pairs]
+
+    outs: dict[int, set] = {}
+    for s, d in zip(src, dst):
+        outs.setdefault(s, set()).add(d)
+    expect = {}
+    vs = sorted(outs)
+    for i, a in enumerate(vs):
+        for b in vs[i + 1:]:
+            c = len(outs[a] & outs[b])
+            if c >= 2:
+                expect[(a, b)] = c
+
+    got = bibliographic_coupling(_ds(src, dst), min_common=2).to_pandas()
+    assert len(got) == len(expect)
+    for row in got.itertuples():
+        assert expect[(row.a, row.b)] == row.n_common
+
+    rev = cocitation(_ds(dst, src), min_common=2).to_pandas()
+    a = got.sort_values(["a", "b"]).reset_index(drop=True)
+    b = rev.sort_values(["a", "b"]).reset_index(drop=True)
+    assert a.equals(b)
