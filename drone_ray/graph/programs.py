@@ -1860,6 +1860,105 @@ class IncrementalSSSP(_WarmStartMixin, SSSP):
 
 
 # ---------------------------------------------------------------------------
+class MIS(VertexProgram):
+    """Deterministic maximal independent set over the symmetrized graph —
+    parallel greedy by hash priority (the derandomized form of Luby's
+    algorithm, Luby SICOMP 1986; a.k.a. the "random-permutation greedy":
+    the result equals the sequential greedy MIS over vertices sorted by
+    priority, computed in O(log n) expected parallel rounds).
+
+    Priority π(v) = md5(f"mis-{vid}") — the DuckDB-computable md5 primitive
+    every deterministic sampler here uses, which is what makes even the
+    round structure SQL-attestable (queries._MIS_SQL mirrors the rounds as
+    a recursive CTE). Round r: every undecided vertex whose priority beats
+    all its undecided neighbors' joins the set; its undecided neighbors
+    drop out. Two supersteps per round on the generic min-combine route:
+
+      even step   every undecided vertex pushes π to its neighbors
+                  (peval = step 0), after first marking OUT any undecided
+                  receiver of an IN-announcement
+      odd step    undecided v with π(v) < min inbound π (or no inbound —
+                  no undecided neighbors left) turns IN and announces
+
+    Ties are impossible in practice (64-bit md5 halves; adjacent equal
+    priorities would livelock until max_steps raises loudly). Self-loops
+    are excluded at the sender, matching the MIS definition. Split hubs
+    are refused (gate builds have none); the scalar broadcast channel
+    could carry both phases but is untested for them."""
+
+    combine_op = "min"
+    needs_symmetrized = True
+    default_direction = "both"
+    channels = ()  # generic route path
+    sender_precombine = True  # min over duplicate (dest) rows is correct
+
+    def init_state(self, g):
+        if g.hub_vids.size:
+            raise NotImplementedError(
+                "MIS on split hubs is untested — rebuild with hub_threshold=None"
+            )
+        from drone_ray.functions.minhash import md5_lower64
+
+        pri = np.fromiter(
+            (md5_lower64(f"mis-{v}") for v in g.owned), np.uint64, g.n
+        )
+        return {"status": np.zeros(g.n, np.int8), "pri": pri, "aux": {"step": 0}}
+
+    def _send(self, g, st, rows):
+        """(rows' π) to every non-self neighbor along the symmetrized view."""
+        lens = g.indptr[rows + 1] - g.indptr[rows]
+        keep = lens > 0
+        rows, lens = rows[keep], lens[keep]
+        if rows.size == 0:
+            return None, 0
+        total = int(lens.sum())
+        pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        dsts = g.adj[np.repeat(g.indptr[rows], lens) + pos]
+        vals = np.repeat(st["pri"][rows], lens)
+        srcs = np.repeat(g.owned[rows], lens)
+        m = dsts != srcs  # self-loops are not neighbors for MIS purposes
+        if not m.all():
+            dsts, vals = dsts[m], vals[m]
+        return _msgs(dsts, vals), int(dsts.size)
+
+    def peval(self, g, st):
+        msgs, sent = self._send(g, st, np.arange(g.n, dtype=np.int64))
+        return msgs, {"edges": sent}
+
+    def inceval(self, g, st, inbound):
+        st["aux"]["step"] += 1
+        s = st["aux"]["step"]
+        status = st["status"]
+        li = None
+        if inbound is not None:
+            li = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
+        if s % 2 == 1:  # decide phase: inbound = min undecided-neighbor π
+            minr = np.full(g.n, np.iinfo(np.uint64).max, np.uint64)
+            if li is not None:
+                minr[li] = inbound["val"].astype(np.uint64)
+            newin = (status == 0) & (st["pri"] < minr)
+            status[newin] = 1
+            rows = np.flatnonzero(newin)
+            msgs, sent = self._send(g, st, rows)  # IN announcements
+            return msgs, {"edges": sent, "n_in": int(rows.size)}
+        # out + repush phase: inbound = IN announcements
+        if li is not None:
+            drop = li[status[li] == 0]
+            status[drop] = 2
+        rows = np.flatnonzero(status == 0)
+        msgs, sent = self._send(g, st, rows)
+        return msgs, {"edges": sent, "n_undecided": int(rows.size)}
+
+    def emit(self, g, st):
+        return pa.table(
+            {
+                "vid": pa.array(g.owned, pa.int64()),
+                "in_mis": pa.array((st["status"] == 1).astype(np.int64)),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
 class SALSA(VertexProgram):
     """SALSA hubs & authorities (Lempel & Moran, "SALSA: the stochastic
     approach for link-structure analysis", ACM TOIS 2001): HITS with both

@@ -390,6 +390,21 @@ def hits(
     return _run(m, HITS, {"iters": iters}, direction="dualview", **harness_kwargs)
 
 
+def mis(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Deterministic maximal independent set (programs.MIS) — parallel
+    greedy by md5 priority over the symmetrized view, O(log n) expected
+    rounds, two supersteps per round."""
+    from drone_ray.graph.programs import MIS
+
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    return _run(m, MIS, {}, direction="both", **harness_kwargs)
+
+
 def salsa(
     edges_factory,
     cache_key: str,

@@ -222,6 +222,18 @@ def q_hits(sf_dir: str):
     )
 
 
+def q_mis(sf_dir: str):
+    """Deterministic maximal independent set: parallel greedy by md5
+    priority on the symmetrized view (programs.MIS) — the derandomized
+    Luby rounds, mirrored exactly by the recursive-CTE oracle."""
+    from drone_ray.pipelines.analytics import mis
+
+    res = mis(lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS)
+    if not res.converged:
+        raise RuntimeError("MIS hit max_steps unconverged (priority tie?)")
+    return res.to_table()
+
+
 SALSA_ITERS = 20  # fixed-iteration SALSA: engine supersteps == oracle CTE
 
 
@@ -2234,6 +2246,47 @@ h AS (
 SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
 """
 
+# MIS: the identical parallel-greedy rounds as programs.MIS over the
+# symmetrized simple graph (self-loops out), priorities = the same md5
+# primitive. Each recursive level is one round: undecided vertices beating
+# every undecided neighbor's priority turn 'i', their undecided neighbors
+# turn 'o'; recursion stops when no 'u' remains. arg_max picks the final
+# round's status per vertex.
+_MIS_SQL = f"""
+WITH RECURSIVE
+e0 AS ({EDGES_SQL}),
+ue AS (SELECT DISTINCT src AS u, dst AS v FROM
+       (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+       WHERE src <> dst),
+vtx AS (SELECT DISTINCT u AS vid FROM ue),
+pri AS (SELECT vid, md5_number_lower('mis-' || vid) AS p FROM vtx),
+mis AS (
+  SELECT 0 AS r, vid, 'u' AS st FROM vtx
+  UNION ALL
+  SELECT r, vid, st FROM (
+    WITH cur AS (SELECT r, vid, st FROM mis),
+    und AS (SELECT c.vid, p.p FROM cur c JOIN pri p USING (vid) WHERE c.st = 'u'),
+    newin AS (
+      SELECT d.vid FROM und d LEFT JOIN (
+        SELECT ue.u AS vid, min(n.p) AS mn
+        FROM ue JOIN und n ON n.vid = ue.v
+        GROUP BY 1
+      ) nb ON nb.vid = d.vid
+      WHERE nb.mn IS NULL OR d.p < nb.mn
+    ),
+    outs AS (SELECT DISTINCT ue.v AS vid FROM ue JOIN newin i ON i.vid = ue.u)
+    SELECT c.r + 1 AS r, c.vid,
+           CASE WHEN c.st <> 'u' THEN c.st
+                WHEN c.vid IN (SELECT vid FROM newin) THEN 'i'
+                WHEN c.vid IN (SELECT vid FROM outs) THEN 'o'
+                ELSE 'u' END AS st
+    FROM cur c
+    WHERE (SELECT count(*) FROM und) > 0
+  )
+)
+SELECT vid, CAST(arg_max(st, r) = 'i' AS BIGINT) AS in_mis FROM mis GROUP BY vid
+"""
+
 # SALSA: the identical unnormalized stochastic recurrence as programs.SALSA
 # (a_k = Σ h_{k-1}/outdeg over in-edges, h_k = Σ a_k/indeg over out-edges).
 # Zero-weight self-edges keep every vertex present through the joins (the
@@ -2801,6 +2854,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "hits": (q_hits, _HITS_SQL),
     "kcore": (q_kcore, _KCORE_SQL),
     "salsa": (q_salsa, _SALSA_SQL),
+    "mis": (q_mis, _MIS_SQL),
     "coreness": (q_coreness, _CORENESS_SQL),
     "scc": (q_scc, _SCC_SQL),
     "pseudo_diameter": (q_pseudo_diameter, _PSEUDO_DIAM_SQL),
@@ -3003,7 +3057,7 @@ _ORDER = [
     "katz", "adamic_adar", "bowtie", "random_walks", "anchor_terms",
     "sample_per_type", "ngram_containment",
     "link_jaccard", "pack_sequences", "corpus_split", "salsa",
-    "bibliographic_coupling", "host_sample",
+    "bibliographic_coupling", "host_sample", "mis",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",
