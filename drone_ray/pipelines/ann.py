@@ -198,23 +198,32 @@ def kmeans_distributed(
     ``iters`` full passes — use over the sample-capped trainer when the
     bounded sample is no longer representative (≥10^8 vectors).
 
-    Init: the first n_clusters rows of the deterministic modulo sample
-    (pushed-down filter + limit, same mechanism as the sample trainer)."""
+    Init: the n_clusters modulo-sampled rows with the SMALLEST vec_id —
+    a per-batch partial top-k + a tiny driver merge. (A plain
+    ``.limit(k)`` over the sampled stream picks whichever blocks arrive
+    first, so two invocations in the same session could train different
+    centroids — observed at sf0.001; "k smallest ids" is a semilattice,
+    order-free at any parallelism.)"""
 
     def pick_init(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(ids % sample_mod == 0))
+        t = b.filter(pa.array(ids % sample_mod == 0))
+        if t.num_rows > n_clusters:
+            ids2 = t[id_col].to_numpy(zero_copy_only=False)
+            t = t.take(pa.array(np.argsort(ids2)[:n_clusters]))
+        return t
 
     init_parts = list(
         emb.select_columns([id_col, vec_col])
         .map_batches(pick_init, batch_format="pyarrow", batch_size=None)
-        .limit(n_clusters)
         .iter_batches(batch_format="pyarrow", batch_size=None)
     )
-    init = [batch_matrix(t, vec_col) for t in init_parts if t.num_rows]
-    if not init:
+    init_parts = [t for t in init_parts if t.num_rows]
+    if not init_parts:
         return np.zeros((0, 1))
-    cent = np.vstack(init)[:n_clusters].astype(np.float64)
+    all_init = pa.concat_tables(init_parts)
+    order = np.argsort(all_init[id_col].to_numpy(zero_copy_only=False))[:n_clusters]
+    cent = batch_matrix(all_init.take(pa.array(order)), vec_col).astype(np.float64)
     k, d = cent.shape
 
     for _ in range(iters):

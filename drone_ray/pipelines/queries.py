@@ -1540,6 +1540,59 @@ def q_ann_topk_ivf_dist(sf_dir: str):
     )
 
 
+KMEANS_K = 8  # gate-scale cluster count
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed exact-Lloyd k-means over the embeddings table
+    (ann.kmeans_distributed — bit-identical centroids at any parallelism),
+    then one labeling pass reduced to per-cluster rows:
+    (cluster, n_vectors, mean_dist). Iterative float fixpoint → rows-only;
+    the ANN pytest suite covers the trainer, this covers the composition."""
+    import ray as _r
+
+    from drone_ray.pipelines.ann import batch_matrix, kmeans_distributed
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_distributed(emb, KMEANS_K, iters=5)
+    ref = _r.put(cent)
+
+    def label(b: pa.Table) -> pa.Table:
+        c = _r.get(ref)
+        x = batch_matrix(b, "embedding")
+        # squared euclidean via the expansion trick; argmin over k
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        lab = np.argmin(d2, axis=1)
+        dist = np.sqrt(np.maximum(d2[np.arange(len(lab)), lab], 0.0))
+        return pa.table(
+            {
+                "cluster": pa.array(lab.astype(np.int64)),
+                "n_vectors": pa.array(np.ones(len(lab), np.int64)),
+                "sum_dist": pa.array(dist, pa.float64()),
+            }
+        )
+
+    def reduce_cluster(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        agg = g.groupby("cluster", sort=False).agg(
+            n_vectors=("n_vectors", "sum"), sum_dist=("sum_dist", "sum")
+        ).reset_index()
+        return pd.DataFrame(
+            {
+                "cluster": agg["cluster"],
+                "n_vectors": agg["n_vectors"],
+                "mean_dist": np.round(agg["sum_dist"] / agg["n_vectors"], 6),
+            }
+        )
+
+    return (
+        emb.map_batches(label, batch_format="pyarrow", batch_size=None)
+        .groupby("cluster")
+        .map_groups(reduce_cluster, batch_format="pandas")
+    )
+
+
 def q_embedding_near_dup(sf_dir: str):
     from drone_ray.pipelines.dedup import embedding_near_dups_exact
 
@@ -3008,6 +3061,8 @@ SELECT a, b, round(ct, 6) AS containment FROM d WHERE ct >= {CONTAINMENT_T}""",
         f"CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_COS}",
     ),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
+    # iterative float fixpoint — pytest-gated trainer (tests/test_ann.py)
+    "embedding_kmeans": (q_embedding_kmeans, None),
     "events_hourly": (
         q_events_hourly,
         "SELECT event_type, epoch_us(ts) // 3600000000 AS hour, "
@@ -3083,6 +3138,7 @@ _ORDER = [
     "pagerank_pages",
     "pagerank_pages_hostloc", "vocabulary_hll", "ann_topk_lsh",
     "ann_topk_ivf", "ann_topk_ivf_dist", "embedding_near_dup_lsh",
+    "embedding_kmeans",
 ]
 assert set(_ORDER) == set(_REGISTRY_DEF) and len(_ORDER) == len(_REGISTRY_DEF)
 REGISTRY: dict[str, tuple] = {k: _REGISTRY_DEF[k] for k in _ORDER}

@@ -105,3 +105,29 @@ def test_ann_ivf_distributed_trainer_recall_and_determinism():
     c2 = kmeans_distributed(emb, 8, iters=3)
     assert np.array_equal(c1, c2)
     assert c1.shape == (8, 32)
+
+
+def test_embedding_kmeans_query_matches_numpy():
+    """q_embedding_kmeans's per-cluster reduce vs a driver-side numpy
+    recomputation from the same deterministic centroids (sf0.001)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from drone_ray.pipelines.ann import kmeans_distributed
+    from drone_ray.pipelines.queries import KMEANS_K, q_embedding_kmeans, _read
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embedding_kmeans(sf).to_pandas().sort_values("cluster").reset_index(drop=True)
+
+    emb = _read(sf, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_distributed(emb, KMEANS_K, iters=5)
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(1)[None, :]
+    lab = np.argmin(d2, axis=1)
+    dist = np.sqrt(np.maximum(d2[np.arange(len(lab)), lab], 0.0))
+    assert got["n_vectors"].sum() == len(lab)
+    for row in got.itertuples():
+        m = lab == row.cluster
+        assert m.sum() == row.n_vectors
+        assert abs(dist[m].mean() - row.mean_dist) < 1e-5
