@@ -478,7 +478,12 @@ class GraphPartitionActor:
                 payloads.append(self.program.expand_hub(dsts, vals))
         live = [m for m in payloads if m is not None and m["vid"].size > 0]
         if live:
-            mcols = {k: pa.array(np.concatenate([m[k] for m in live])) for k in live[0]}
+            mcols = {}
+            for k in live[0]:
+                cat = np.concatenate([m[k] for m in live])
+                # 2-D payload lanes (HyperANF register rows) → list column,
+                # mirroring the 2-D state handling above
+                mcols[k] = pa.array(cat.tolist()) if cat.ndim == 2 else pa.array(cat)
             mt = pa.table(mcols)
             tmp = os.path.join(step_dir, f".msgs-{self.p}.tmp")
             pq.write_table(mt, tmp)
@@ -517,7 +522,14 @@ class GraphPartitionActor:
         if os.path.exists(msgs_path):
             mt = pq.read_table(msgs_path)
             self._pending = [
-                {c: mt[c].to_numpy(zero_copy_only=False) for c in mt.column_names}
+                {
+                    c: (
+                        np.array(mt[c].to_pylist(), dtype=np.int64)
+                        if pa.types.is_list(mt[c].type)
+                        else mt[c].to_numpy(zero_copy_only=False)
+                    )
+                    for c in mt.column_names
+                }
             ]
         else:
             self._pending = [None]

@@ -263,3 +263,74 @@ def test_hits_resume_identical(tmp_path):
     assert np.array_equal(vids, ovids)
     assert np.abs(auth - oauth).max() < 1e-12
     assert np.abs(hub - ohub).max() < 1e-12
+
+
+def test_salsa_resume_identical(tmp_path):
+    """SALSA (pipelined dualview, no feedback) resumes bit-exactly."""
+    from drone_ray.graph.programs import SALSA
+
+    src, dst = ba_powerlaw(n=200, m=3, seed=31)
+    man = graph_for(lambda: _edges_ds(src, dst), "resume_salsa", 2)
+    ck = str(tmp_path / "ck")
+
+    interrupted = run_vertex_program(
+        man, SALSA, {"iters": 6}, direction="dualview",
+        checkpoint_dir=ck, checkpoint_every=3, max_steps=7,
+    )
+    assert not interrupted.converged
+    resumed = run_vertex_program(
+        man, SALSA, {"iters": 6}, direction="dualview",
+        checkpoint_dir=ck, resume=True,
+    )
+    assert resumed.converged
+    clean = run_vertex_program(man, SALSA, {"iters": 6}, direction="dualview")
+    for col in ("auth", "hub"):
+        _, a = _sorted(resumed.to_table(), col)
+        _, b = _sorted(clean.to_table(), col)
+        assert np.array_equal(a, b)
+
+
+def test_hyperanf_resume_identical(tmp_path):
+    """HyperANF's 2-D uint8 register state survives the list-column
+    checkpoint round-trip (reloads int64, coerced) bit-exactly."""
+    from drone_ray.graph.programs import HyperANF
+
+    src, dst = ba_powerlaw(n=300, m=3, seed=32)
+    man = graph_for(lambda: _edges_ds(src, dst), "resume_hanf", 2)
+    ck = str(tmp_path / "ck")
+
+    interrupted = run_vertex_program(
+        man, HyperANF, {"p": 6}, direction="rev",
+        checkpoint_dir=ck, checkpoint_every=2, max_steps=3,
+    )
+    assert not interrupted.converged
+    resumed = run_vertex_program(
+        man, HyperANF, {"p": 6}, direction="rev", checkpoint_dir=ck, resume=True
+    )
+    assert resumed.converged
+    clean = run_vertex_program(man, HyperANF, {"p": 6}, direction="rev")
+    _, a = _sorted(resumed.to_table(), "reach_est")
+    _, b = _sorted(clean.to_table(), "reach_est")
+    assert np.array_equal(a, b)
+
+
+def test_mis_resume_identical(tmp_path):
+    """MIS resumes mid-round to the identical set."""
+    from drone_ray.graph.programs import MIS
+
+    src, dst = ba_powerlaw(n=300, m=3, seed=33)
+    man = graph_for(lambda: _edges_ds(src, dst), "resume_mis", 2, symmetrize=True)
+    ck = str(tmp_path / "ck")
+
+    interrupted = run_vertex_program(
+        man, MIS, {}, direction="both",
+        checkpoint_dir=ck, checkpoint_every=1, max_steps=2,
+    )
+    assert not interrupted.converged
+    resumed = run_vertex_program(man, MIS, {}, direction="both",
+                                 checkpoint_dir=ck, resume=True)
+    assert resumed.converged
+    clean = run_vertex_program(man, MIS, {}, direction="both")
+    _, a = _sorted(resumed.to_table(), "in_mis")
+    _, b = _sorted(clean.to_table(), "in_mis")
+    assert np.array_equal(a, b)
