@@ -1959,6 +1959,155 @@ class MIS(VertexProgram):
 
 
 # ---------------------------------------------------------------------------
+class GreedyColoring(VertexProgram):
+    """Deterministic Jones–Plassmann greedy coloring over the symmetrized
+    graph (Jones & Plassmann, "A parallel graph coloring heuristic", SIAM
+    JSC 1993, derandomized with hash priorities): vertex v colors itself
+    with the smallest color unused by its already-colored
+    HIGHER-priority neighbors, as soon as all of those are colored — the
+    parallel-round evaluation of the sequential greedy coloring in
+    (md5(vid), vid) order, so the result is a pure function of the graph.
+
+    Engine shape: at init each partition hashes its adjacency once and
+    compacts, per owned vertex, the LOWER-priority neighbor list
+    (larger (p, vid) key — the only targets it will ever message) plus a
+    wait-counter of uncolored higher-priority neighbors. Colored vertices
+    announce (vid → color) rows on the generic extra-key route
+    (``extra_key="color"``, count-sum combine), so a receiver gets one
+    (color, count) row per inbound color: counts drain the wait-counter,
+    colors fill a 64-bit seen-mask, and mex(mask) = the lowest zero bit.
+    Colors are capped at 64 — greedy colors ≤ degeneracy+1, far under 64
+    on web graphs; a denser graph raises loudly rather than mis-coloring.
+
+    Ties are impossible by construction ((p, vid) is a total order).
+    Rounds = the longest priority-decreasing path, O(log n) w.h.p. The
+    round structure is mirrored exactly by the recursive-CTE oracle
+    (queries._COLORING_SQL)."""
+
+    combine_op = "sum"
+    extra_key = "color"
+    needs_symmetrized = True
+    default_direction = "both"
+    channels = ()  # generic route path
+    MAX_COLORS = 64
+
+    def __init__(self):
+        self._l_adj = None  # lower-priority compacted adjacency (per actor)
+        self._l_indptr = None
+
+    def _build(self, g):
+        """Priority-split adjacency — a pure function of the graph, kept on
+        the program instance (NOT in state: its length is O(edges), not n,
+        so it must not ride the per-vertex checkpoint columns; resume
+        rebuilds it lazily). Returns the initial wait-counters."""
+        from drone_ray.functions.minhash import md5_lower64
+
+        own_p = np.fromiter(
+            (md5_lower64(f"mis-{v}") for v in g.owned), np.uint64, g.n
+        )
+        # hash every distinct neighbor id once (priority is a pure function
+        # of vid, so remote neighbors need no exchange)
+        uniq, inv = np.unique(g.adj, return_inverse=True)
+        up = np.fromiter(
+            (md5_lower64(f"mis-{v}") for v in uniq), np.uint64, uniq.size
+        )
+        adj_p = up[inv]
+        rows = np.repeat(
+            np.arange(g.n, dtype=np.int64), np.diff(g.indptr).astype(np.int64)
+        )
+        src_v = g.owned[rows]
+        src_p = own_p[rows]
+        not_self = g.adj != src_v  # self-loops are not neighbors
+        # lower-priority neighbor ⇔ larger (p, vid) key
+        larger = not_self & (
+            (adj_p > src_p) | ((adj_p == src_p) & (g.adj > src_v))
+        )
+        smaller = not_self & ~larger
+        l_indptr = np.zeros(g.n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(rows[larger], minlength=g.n), out=l_indptr[1:])
+        self._l_adj = g.adj[larger].copy()
+        self._l_indptr = l_indptr
+        return np.bincount(rows[smaller], minlength=g.n).astype(np.int64)
+
+    def init_state(self, g):
+        if g.hub_vids.size:
+            raise NotImplementedError(
+                "coloring on split hubs is untested — rebuild with "
+                "hub_threshold=None"
+            )
+        wait = self._build(g)
+        return {
+            "color": np.full(g.n, -1, dtype=np.int64),
+            "wait": wait,
+            "used": np.zeros(g.n, dtype=np.uint64),
+            "aux": {},
+        }
+
+    def _color_and_send(self, g, st, rows):
+        """Assign mex(used) to ``rows`` and emit (lower-pri neighbor,
+        color, 1) announcement rows."""
+        if rows.size:
+            x = ~st["used"][rows]  # lowest set bit of x == lowest free color
+            low = x & (~x + np.uint64(1))
+            # exact integer log2 of the isolated bit (6-step shift)
+            c = np.zeros(rows.size, dtype=np.int64)
+            v = low.copy()
+            for s in (32, 16, 8, 4, 2, 1):
+                big = v >= (np.uint64(1) << np.uint64(s))
+                c[big] += s
+                v[big] >>= np.uint64(s)
+            if (c >= self.MAX_COLORS).any():
+                raise OverflowError(
+                    "greedy coloring needs ≥64 colors — the 64-bit seen-mask "
+                    "cannot represent this graph's degeneracy"
+                )
+            st["color"][rows] = c
+        if self._l_indptr is None:  # resumed actor: state loaded, not init'd
+            self._build(g)
+        lp = self._l_indptr
+        lens = lp[rows + 1] - lp[rows]
+        keep = lens > 0
+        rows_k, lens = rows[keep], lens[keep]
+        if rows_k.size == 0:
+            return None, 0
+        total = int(lens.sum())
+        pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        dsts = self._l_adj[np.repeat(lp[rows_k], lens) + pos]
+        return (
+            _msgs(
+                dsts,
+                np.ones(total, dtype=np.int64),
+                color=np.repeat(st["color"][rows_k], lens),
+            ),
+            total,
+        )
+
+    def peval(self, g, st):
+        ready = np.flatnonzero(st["wait"] == 0)
+        msgs, sent = self._color_and_send(g, st, ready)
+        return msgs, {"edges": sent, "n_colored": int(ready.size)}
+
+    def inceval(self, g, st, inbound):
+        if inbound is None:
+            return None, {"edges": 0, "n_colored": 0}
+        l = g.local_index(inbound["vid"])
+        cols = inbound["color"].astype(np.uint64)
+        np.bitwise_or.at(st["used"], l, np.uint64(1) << cols)
+        np.subtract.at(st["wait"], l, inbound["val"].astype(np.int64))
+        ready = np.flatnonzero((st["color"] == -1) & (st["wait"] == 0))
+        msgs, sent = self._color_and_send(g, st, ready)
+        return msgs, {"edges": sent, "n_colored": int(ready.size)}
+
+    def emit(self, g, st):
+        return pa.table(
+            {
+                "vid": pa.array(g.owned, pa.int64()),
+                "color": pa.array(st["color"], pa.int64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
 class SALSA(VertexProgram):
     """SALSA hubs & authorities (Lempel & Moran, "SALSA: the stochastic
     approach for link-structure analysis", ACM TOIS 2001): HITS with both

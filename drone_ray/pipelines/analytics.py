@@ -390,6 +390,21 @@ def hits(
     return _run(m, HITS, {"iters": iters}, direction="dualview", **harness_kwargs)
 
 
+def coloring(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Deterministic Jones–Plassmann greedy coloring
+    (programs.GreedyColoring) — md5-priority order, announcement rows on
+    the extra-key route, mex via a 64-bit seen-mask."""
+    from drone_ray.graph.programs import GreedyColoring
+
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    return _run(m, GreedyColoring, {}, direction="both", **harness_kwargs)
+
+
 def mis(
     edges_factory,
     cache_key: str,

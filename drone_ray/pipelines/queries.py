@@ -222,6 +222,18 @@ def q_hits(sf_dir: str):
     )
 
 
+def q_coloring(sf_dir: str):
+    """Jones–Plassmann greedy coloring by md5 priority on the symmetrized
+    view — parallel rounds of the sequential greedy, recursive-CTE oracle
+    mirrors the rounds (mex via a generate_series anti-join)."""
+    from drone_ray.pipelines.analytics import coloring
+
+    res = coloring(lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS)
+    if not res.converged:
+        raise RuntimeError("coloring hit max_steps unconverged")
+    return res.to_table()
+
+
 def q_mis(sf_dir: str):
     """Deterministic maximal independent set: parallel greedy by md5
     priority on the symmetrized view (programs.MIS) — the derandomized
@@ -2299,6 +2311,57 @@ h AS (
 SELECT vid, round(auth, 9) AS auth, round(hub, 9) AS hub FROM h WHERE iter = {HITS_ITERS}
 """
 
+# Jones–Plassmann greedy coloring: same priority order as MIS. pe holds the
+# directed "u waits for v" pairs (v = the higher-priority neighbor); each
+# recursive level colors every uncolored vertex whose waited-on set is fully
+# colored, with mex = the smallest g in 0..#higher-pri-nbrs not used by them
+# (generate_series anti-join). Colors are write-once, so max() collapses the
+# per-round history.
+_COLORING_SQL = f"""
+WITH RECURSIVE
+e0 AS ({EDGES_SQL}),
+ue AS (SELECT DISTINCT src AS u, dst AS v FROM
+       (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+       WHERE src <> dst),
+vtx AS (SELECT DISTINCT u AS vid FROM ue),
+pri AS (SELECT vid, md5_number_lower('mis-' || vid) AS p FROM vtx),
+pe AS (SELECT ue.u, ue.v
+       FROM ue JOIN pri pu ON pu.vid = ue.u JOIN pri pv ON pv.vid = ue.v
+       WHERE pv.p < pu.p OR (pv.p = pu.p AND ue.v < ue.u)),
+deg AS (SELECT u AS vid, count(*) AS d FROM pe GROUP BY 1),
+col AS (
+  SELECT 0 AS r, vid, CAST(NULL AS BIGINT) AS color FROM vtx
+  UNION ALL
+  SELECT r, vid, color FROM (
+    WITH cur AS (SELECT r, vid, color FROM col),
+    unc AS (SELECT vid FROM cur WHERE color IS NULL),
+    ready AS (
+      SELECT u.vid FROM unc u
+      WHERE NOT EXISTS (SELECT 1 FROM pe JOIN unc x ON x.vid = pe.v
+                        WHERE pe.u = u.vid)
+    ),
+    excl AS (
+      SELECT pe.u AS vid, c.color
+      FROM pe JOIN cur c ON c.vid = pe.v
+      WHERE c.color IS NOT NULL AND pe.u IN (SELECT vid FROM ready)
+    ),
+    cand AS (
+      SELECT rd.vid, unnest(generate_series(0, coalesce(deg.d, 0))) AS g
+      FROM ready rd LEFT JOIN deg ON deg.vid = rd.vid
+    ),
+    mex AS (
+      SELECT c.vid, min(c.g) AS color
+      FROM cand c LEFT JOIN excl e ON e.vid = c.vid AND e.color = c.g
+      WHERE e.color IS NULL GROUP BY 1
+    )
+    SELECT c.r + 1 AS r, c.vid, coalesce(m.color, c.color) AS color
+    FROM cur c LEFT JOIN mex m ON m.vid = c.vid
+    WHERE (SELECT count(*) FROM unc) > 0
+  )
+)
+SELECT vid, max(color) AS color FROM col GROUP BY vid
+"""
+
 # MIS: the identical parallel-greedy rounds as programs.MIS over the
 # symmetrized simple graph (self-loops out), priorities = the same md5
 # primitive. Each recursive level is one round: undecided vertices beating
@@ -2908,6 +2971,7 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "kcore": (q_kcore, _KCORE_SQL),
     "salsa": (q_salsa, _SALSA_SQL),
     "mis": (q_mis, _MIS_SQL),
+    "coloring": (q_coloring, _COLORING_SQL),
     "coreness": (q_coreness, _CORENESS_SQL),
     "scc": (q_scc, _SCC_SQL),
     "pseudo_diameter": (q_pseudo_diameter, _PSEUDO_DIAM_SQL),
@@ -3112,7 +3176,7 @@ _ORDER = [
     "katz", "adamic_adar", "bowtie", "random_walks", "anchor_terms",
     "sample_per_type", "ngram_containment",
     "link_jaccard", "pack_sequences", "corpus_split", "salsa",
-    "bibliographic_coupling", "host_sample", "mis",
+    "bibliographic_coupling", "host_sample", "mis", "coloring",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

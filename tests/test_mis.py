@@ -61,3 +61,72 @@ def test_mis_powerlaw_partition_invariance():
         t = res.to_table()
         got = {int(v) for v, m in zip(t["vid"].to_numpy(), t["in_mis"].to_numpy()) if m}
         assert got == expect
+
+
+def _greedy_coloring(src, dst):
+    """Sequential greedy in (md5 priority, vid) order — the JP fixpoint."""
+    vs = np.unique(np.concatenate([src, dst]))
+    nbr = {int(v): set() for v in vs}
+    for s, d in zip(src, dst):
+        if s != d:
+            nbr[int(s)].add(int(d))
+            nbr[int(d)].add(int(s))
+    color = {}
+    for v in sorted(vs, key=lambda v: (md5_lower64(f"mis-{v}"), v)):
+        v = int(v)
+        used = {color[u] for u in nbr[v] if u in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    return color, nbr
+
+
+@pytest.mark.parametrize("name", ["chain", "cycle", "star", "two_cliques", "dangling"])
+def test_coloring_matches_greedy(name):
+    from drone_ray.pipelines.analytics import coloring
+
+    src, dst = NAMED[name]()
+    res = coloring(lambda: _edges_ds(src, dst), f"col_{name}", num_partitions=2)
+    assert res.converged
+    t = res.to_table()
+    got = dict(zip(t["vid"].to_numpy().tolist(), t["color"].to_numpy().tolist()))
+    expect, nbr = _greedy_coloring(src, dst)
+    assert got == expect
+    for v, c in got.items():  # proper coloring
+        assert c >= 0 and all(got[u] != c for u in nbr[v])
+
+
+def test_coloring_powerlaw_partition_invariance():
+    from drone_ray.pipelines.analytics import coloring
+
+    src, dst = ba_powerlaw(n=1200, m=3, seed=17)
+    expect, _ = _greedy_coloring(src, dst)
+    for P in (2, 5):
+        res = coloring(lambda: _edges_ds(src, dst), "col_pl1200", num_partitions=P)
+        assert res.converged
+        t = res.to_table()
+        got = dict(zip(t["vid"].to_numpy().tolist(), t["color"].to_numpy().tolist()))
+        assert got == expect
+
+
+def test_coloring_resume_identical(tmp_path):
+    from drone_ray.graph.harness import run_vertex_program
+    from drone_ray.graph.programs import GreedyColoring
+    from drone_ray.pipelines.analytics import graph_for
+
+    src, dst = ba_powerlaw(n=400, m=3, seed=18)
+    man = graph_for(lambda: _edges_ds(src, dst), "col_resume", 2, symmetrize=True)
+    ck = str(tmp_path / "ck")
+    interrupted = run_vertex_program(
+        man, GreedyColoring, {}, direction="both",
+        checkpoint_dir=ck, checkpoint_every=1, max_steps=2,
+    )
+    assert not interrupted.converged
+    resumed = run_vertex_program(man, GreedyColoring, {}, direction="both",
+                                 checkpoint_dir=ck, resume=True)
+    assert resumed.converged
+    t = resumed.to_table()
+    got = dict(zip(t["vid"].to_numpy().tolist(), t["color"].to_numpy().tolist()))
+    expect, _ = _greedy_coloring(src, dst)
+    assert got == expect
