@@ -1244,6 +1244,35 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_quality_sample(sf_dir: str):
+    """Importance resampling by quality: keep doc_id iff
+    md5('qs-'||doc_id)/2^64 < quality — the CCNet-style soft filter (keep
+    probability ∝ score, deterministic, reshard-stable: no RNG to seed,
+    no coordination). Both sides compute the comparison in float64 on the
+    identical round-6 quality value, so the oracle is exact."""
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.functions.text import quality_batch
+
+    def sample(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        ids = q["doc_id"].to_numpy(zero_copy_only=False)
+        score = q["quality"].to_numpy(zero_copy_only=False)
+        u = np.fromiter(
+            (md5_lower64(f"qs-{i}") for i in ids), np.uint64, len(ids)
+        ).astype(np.float64) / float(2**64)
+        keep = u < score
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "quality": pa.array(score[keep], pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        sample, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_quality(sf_dir: str):
     from drone_ray.functions.text import quality_batch
 
@@ -3060,6 +3089,12 @@ WHERE dst_url IS NOT NULL GROUP BY 1, 2""",
     ),
     "langid": (q_langid, _langid_sql()),
     "quality": (q_quality, _quality_sql()),
+    "quality_sample": (
+        q_quality_sample,
+        f"SELECT doc_id, quality FROM ({_quality_sql()}) "
+        "WHERE CAST(md5_number_lower('qs-' || doc_id) AS DOUBLE) "
+        "/ 18446744073709551616.0 < quality",
+    ),
     "pii_scrub": (q_pii_scrub, _pii_sql()),
     "repetition_stats": (q_repetition_stats, _repetition_sql()),
     "chunk_dedup": (q_chunk_dedup, _chunk_dedup_sql()),
@@ -3177,6 +3212,7 @@ _ORDER = [
     "sample_per_type", "ngram_containment",
     "link_jaccard", "pack_sequences", "corpus_split", "salsa",
     "bibliographic_coupling", "host_sample", "mis", "coloring",
+    "quality_sample",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

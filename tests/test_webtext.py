@@ -281,3 +281,26 @@ def test_corpus_split_stratified_counts():
     assert len(got) == len(expect)
     for k, (nd, nt) in expect.items():
         assert got.loc[k, "n_docs"] == nd and got.loc[k, "n_tokens"] == nt
+
+
+def test_quality_sample_brute():
+    """Deterministic soft filter: keep iff md5/2^64 < quality, recomputed
+    per row driver-side."""
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.functions.text import quality_batch
+    from drone_ray.pipelines.queries import q_quality_sample
+
+    sf = "/root/testdata/sf0.001"
+    got = q_quality_sample(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    q = quality_batch(t)
+    expect = {}
+    for i, s in zip(q["doc_id"].to_pylist(), q["quality"].to_pylist()):
+        if md5_lower64(f"qs-{i}") / 2**64 < s:
+            expect[i] = s
+    assert dict(zip(got["doc_id"], got["quality"])) == expect
+    # the sampler is a genuine subset, biased toward high scores
+    assert 0 < len(expect) < len(t)
