@@ -9,7 +9,9 @@ pagerank, pagerank-weighted, katz, wcc, wcc-star, lpa, sssp, sssp-weighted,
 sssp-negative (Bellman-Ford with negative-cycle detection), betweenness,
 harmonic, simulation, triangles, ktruss (support-peeling cohesion),
 bowtie (Broder core/in/out/tendril/disconnected classes), random-walks
-(deterministic DeepWalk corpus). Results are written as
+(deterministic DeepWalk corpus), salsa (stochastic hubs/authorities),
+hyperanf (HLL neighborhood function / effective diameter), mis
+(deterministic maximal independent set), coloring (Jones-Plassmann). Results are written as
 per-partition parquet (resumable layout); superstep jobs write a
 metrics.parquet next to their checkpoints. Owns the Ray session only when
 one is not already initialised (so the driver/pytest can embed it).
@@ -53,7 +55,7 @@ def main(argv=None) -> dict:
         "build-pages-graph", "pagerank", "pagerank-weighted", "katz", "wcc",
         "wcc-star", "lpa", "sssp", "sssp-weighted", "sssp-negative",
         "betweenness", "harmonic", "simulation", "triangles", "ktruss",
-        "bowtie", "random-walks",
+        "bowtie", "random-walks", "salsa", "hyperanf", "mis", "coloring",
     ])
     ap.add_argument("--pages", help="pages parquet dir (build-pages-graph)")
     ap.add_argument("--edges", help="edge-table parquet dir")
@@ -84,6 +86,9 @@ def main(argv=None) -> dict:
                     help="random-walks hops per walk")
     ap.add_argument("--num-walks", type=int, default=1,
                     help="random-walks walks started per vertex")
+    ap.add_argument("--iters", type=int, default=20, help="salsa iterations")
+    ap.add_argument("--hll-p", type=int, default=6,
+                    help="hyperanf registers per vertex = 2^p")
     ap.add_argument("--pattern", help="pattern graph file (simulation, S6 format)")
     ap.add_argument("--hub-threshold", type=int, default=None)
     ap.add_argument(
@@ -265,6 +270,28 @@ def main(argv=None) -> dict:
         res = A.random_walks(ef, key, args.partitions,
                              walk_length=args.walk_length,
                              num_walks=args.num_walks, **hk)
+    elif args.command == "salsa":
+        hk.pop("ownership", None)
+        res = A.salsa(ef, key, args.partitions, iters=args.iters, **hk)
+    elif args.command == "mis":
+        hk.pop("ownership", None)
+        res = A.mis(ef, key, args.partitions, **hk)
+    elif args.command == "coloring":
+        hk.pop("ownership", None)
+        res = A.coloring(ef, key, args.partitions, **hk)
+    elif args.command == "hyperanf":
+        hk.pop("ownership", None)
+        for c in ("checkpoint_dir", "checkpoint_every", "resume", "output_dir"):
+            hk.pop(c, None)
+        t = A.hyperanf(ef, key, args.partitions, p=args.hll_p, **hk)
+        import pyarrow.parquet as _pq
+
+        import os as _os
+        _os.makedirs(args.out, exist_ok=True)
+        _pq.write_table(t, _os.path.join(args.out, "nf.parquet"))
+        return {"command": args.command, "out": args.out,
+                "nf_steps": len(t),
+                "effective_diameter": int(t["effective_diameter"][0].as_py())}
     elif args.command == "simulation":
         from drone_ray.sources.text import PatternGraph
 

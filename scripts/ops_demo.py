@@ -24,7 +24,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("op", choices=["random-walks", "bowtie", "ktruss", "adamic-adar",
                                    "hyperanf", "salsa", "link-jaccard",
-                                   "pack-sequences"])
+                                   "pack-sequences", "mis", "coloring"])
     ap.add_argument("--edges", type=int, default=10_000_000)
     ap.add_argument("--vertices", type=int, default=2_500_000)
     ap.add_argument("--partitions", type=int, default=16)
@@ -93,6 +93,26 @@ def main(argv=None):
             "effective_diameter": int(t["effective_diameter"][0].as_py()),
             "nf_final": float(t["nf_estimate"][-1].as_py()),
         }
+    elif args.op == "mis":
+        from ray.data.aggregate import Sum
+
+        from drone_ray.pipelines.analytics import mis
+
+        res = mis(ef, key, args.partitions)
+        ds = res.dataset()
+        n_in = ds.groupby(None).aggregate(Sum("in_mis")).take_all()[0]["sum(in_mis)"]
+        extra = {"steps": res.steps, "mis_size": int(n_in),
+                 "converged": res.converged}
+    elif args.op == "coloring":
+        from ray.data.aggregate import Max
+
+        from drone_ray.pipelines.analytics import coloring
+
+        res = coloring(ef, key, args.partitions)
+        ds = res.dataset()
+        mx = ds.groupby(None).aggregate(Max("color")).take_all()[0]["max(color)"]
+        extra = {"steps": res.steps, "n_colors": int(mx) + 1,
+                 "converged": res.converged}
     elif args.op == "salsa":
         from drone_ray.pipelines.analytics import salsa
 

@@ -93,3 +93,37 @@ def test_cli_new_graph_commands(tmp_path):
     t = pq.read_table(rw)
     assert set(t.column_names) == {"walk_id", "step", "vid"}
     assert t.num_rows > 0
+
+
+def test_cli_fourth_wave_commands(tmp_path):
+    pages = write_pages(str(tmp_path / "pages4"), 150, seed=43)
+    edges = str(tmp_path / "edges4")
+    main(["build-pages-graph", "--pages", pages, "--out", edges, "--num-cpus", "4"])
+
+    sa = str(tmp_path / "salsa")
+    res = main(["salsa", "--edges", edges, "--out", sa, "--iters", "4",
+                "--partitions", "2", "--num-cpus", "4"])
+    assert res["converged"] and res["steps"] >= 8
+    t = pq.read_table(sa)
+    assert set(t.column_names) == {"vid", "auth", "hub"}
+
+    hf = str(tmp_path / "hanf")
+    res = main(["hyperanf", "--edges", edges, "--out", hf,
+                "--partitions", "2", "--num-cpus", "4"])
+    assert res["nf_steps"] >= 1 and res["effective_diameter"] >= 0
+    assert pq.read_table(os.path.join(hf, "nf.parquet")).num_rows == res["nf_steps"]
+
+    ms = str(tmp_path / "mis")
+    res = main(["mis", "--edges", edges, "--out", ms,
+                "--partitions", "2", "--num-cpus", "4"])
+    assert res["converged"]
+    t = pq.read_table(ms)
+    assert set(t.column_names) == {"vid", "in_mis"}
+
+    co = str(tmp_path / "col")
+    res = main(["coloring", "--edges", edges, "--out", co,
+                "--partitions", "2", "--num-cpus", "4"])
+    assert res["converged"]
+    t = pq.read_table(co)
+    assert set(t.column_names) == {"vid", "color"}
+    assert t["color"].to_pandas().min() >= 0
