@@ -1244,6 +1244,38 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_corpus_prepare(sf_dir: str):
+    """The flagship training-data composition, end to end: corpus_clean
+    (PII scrub → Gopher repetition gate → corpus-wide chunk dedup) →
+    quality-weighted importance resample on the CLEANED text → md5-sharded
+    concat-and-chunk sequence packing. One row per packed document:
+    (doc_id, bucket, seq, tok_offset, n_seqs, n_tokens). Every stage is
+    individually oracle-backed (corpus_clean / quality_sample /
+    pack_sequences); the composed oracle chains the same SQL."""
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.functions.text import quality_batch
+    from drone_ray.pipelines.webtext import corpus_clean, pack_sequences
+
+    cleaned = corpus_clean(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def qgate(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.schema.names:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string())]
+            ).empty_table()
+        q = quality_batch(b, text_col="text_clean")
+        ids = q["doc_id"].to_numpy(zero_copy_only=False)
+        score = q["quality"].to_numpy(zero_copy_only=False)
+        u = np.fromiter(
+            (md5_lower64(f"qs-{i}") for i in ids), np.uint64, len(ids)
+        ).astype(np.float64) / float(2**64)
+        t = b.filter(pa.array(u < score))
+        return pa.table({"doc_id": t["doc_id"], "text": t["text_clean"]})
+
+    kept = cleaned.map_batches(qgate, batch_format="pyarrow", batch_size=None)
+    return pack_sequences(kept, budget=PACK_BUDGET, num_buckets=PACK_BUCKETS)
+
+
 def q_quality_sample(sf_dir: str):
     """Importance resampling by quality: keep doc_id iff
     md5('qs-'||doc_id)/2^64 < quality — the CCNet-style soft filter (keep
@@ -3089,6 +3121,33 @@ WHERE dst_url IS NOT NULL GROUP BY 1, 2""",
     ),
     "langid": (q_langid, _langid_sql()),
     "quality": (q_quality, _quality_sql()),
+    "corpus_prepare": (
+        q_corpus_prepare,
+        # clean chain → quality resample on text_clean → pack windows.
+        # The per-stage SQL helpers are written against `documents`; the
+        # quality stage re-binds them to the cleaned rows via a renamed CTE.
+        f"""WITH clean AS (SELECT * FROM ({_corpus_clean_sql()})),
+cleandocs AS (SELECT doc_id, text_clean AS text FROM clean),
+qd AS (SELECT doc_id, quality
+       FROM ({_quality_sql().replace("FROM documents", "FROM cleandocs")})),
+keep AS (SELECT c.doc_id, c.text FROM cleandocs c JOIN qd USING (doc_id)
+         WHERE CAST(md5_number_lower('qs-' || c.doc_id) AS DOUBLE)
+               / 18446744073709551616.0 < qd.quality),
+t AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END AS n_tokens
+      FROM keep),
+k AS (SELECT doc_id, n_tokens, md5_number_lower('sp-' || doc_id) AS pr
+      FROM t WHERE n_tokens > 0),
+c AS (SELECT doc_id, n_tokens, CAST(pr % {PACK_BUCKETS} AS BIGINT) AS bucket,
+        CAST(COALESCE(sum(n_tokens) OVER (
+          PARTITION BY pr % {PACK_BUCKETS} ORDER BY pr, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM k)
+SELECT doc_id, bucket, cum // {PACK_BUDGET} AS seq, cum % {PACK_BUDGET} AS tok_offset,
+       (cum + n_tokens - 1) // {PACK_BUDGET} - cum // {PACK_BUDGET} + 1 AS n_seqs,
+       n_tokens
+FROM c""",
+    ),
     "quality_sample": (
         q_quality_sample,
         f"SELECT doc_id, quality FROM ({_quality_sql()}) "
@@ -3212,7 +3271,7 @@ _ORDER = [
     "sample_per_type", "ngram_containment",
     "link_jaccard", "pack_sequences", "corpus_split", "salsa",
     "bibliographic_coupling", "host_sample", "mis", "coloring",
-    "quality_sample",
+    "quality_sample", "corpus_prepare",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

@@ -5,9 +5,9 @@ deterministic synthetic power-law graph and print one JSON line.
         [--partitions 16] [--num-cpus 32]
 
 ops: random-walks, bowtie, ktruss, adamic-adar, hyperanf, salsa,
-link-jaccard, pack-sequences (synthetic doc lengths). Each run is a fresh
-Ray session over a fresh layout (cache key carries the size), so timings
-are end-to-end including the graph/pipeline build.
+link-jaccard, pack-sequences (synthetic doc lengths), mis, coloring.
+Each run is a fresh Ray session over a fresh layout (cache key carries
+the size), so timings are end-to-end including the graph/pipeline build.
 """
 
 import argparse

@@ -304,3 +304,43 @@ def test_quality_sample_brute():
     assert dict(zip(got["doc_id"], got["quality"])) == expect
     # the sampler is a genuine subset, biased toward high scores
     assert 0 < len(expect) < len(t)
+
+
+def test_corpus_prepare_composition():
+    """corpus_prepare == clean → quality-gate → pack, recomputed stagewise
+    with the public pieces + a driver-side brute pack."""
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.functions.text import quality_batch
+    from drone_ray.pipelines.queries import (
+        PACK_BUCKETS,
+        PACK_BUDGET,
+        _read,
+        q_corpus_prepare,
+    )
+    from drone_ray.pipelines.webtext import corpus_clean
+
+    sf = "/root/testdata/sf0.001"
+    got = q_corpus_prepare(sf).to_pandas().set_index("doc_id").sort_index()
+
+    cleaned = corpus_clean(_read(sf, "documents", ["doc_id", "text"]))
+    items = []
+    for b in cleaned.iter_batches(batch_format="pyarrow"):
+        q = quality_batch(b, text_col="text_clean")
+        for i, s, t in zip(
+            q["doc_id"].to_pylist(), q["quality"].to_pylist(),
+            b["text_clean"].to_pylist(),
+        ):
+            if md5_lower64(f"qs-{i}") / 2**64 < s:
+                n = len(t.split())
+                if n:
+                    items.append((md5_lower64(f"sp-{i}"), i, n))
+    expect = {}
+    for bk in range(PACK_BUCKETS):
+        cum = 0
+        for pr, i, n in sorted(x for x in items if x[0] % PACK_BUCKETS == bk):
+            expect[i] = (bk, cum // PACK_BUDGET, cum % PACK_BUDGET, n)
+            cum += n
+    assert len(got) == len(expect)
+    for i, (bk, seq, off, n) in expect.items():
+        row = got.loc[i]
+        assert (row.bucket, row.seq, row.tok_offset, row.n_tokens) == (bk, seq, off, n)
