@@ -513,6 +513,30 @@ class SSSP(VertexProgram):
 
 
 # ---------------------------------------------------------------------------
+class MultiSourceBFS(SSSP):
+    """Multi-source BFS: dist(v) = min hop count from ANY seed, seeds the
+    deterministic SQL-expressible set {v : v % seed_mod == 0} (the PPR_MOD
+    device). The crawl-frontier depth report — "how far is every page from
+    the seed list" — and the building block of landmark/hub distance
+    labeling. Identical machinery to SSSP (local relax fixpoint, boundary
+    min-combine); only the seeding differs: every owned seed starts at 0,
+    so the virtual super-source never materializes anywhere."""
+
+    def __init__(self, seed_mod: int):
+        self.seed_mod = int(seed_mod)
+
+    def peval(self, g, st):
+        seeds = np.flatnonzero(g.owned % self.seed_mod == 0)
+        if seeds.size == 0:
+            return None, {"edges": 0}
+        st["dist"][seeds] = 0.0
+        scanned = _local_min_fixpoint(g, st["dist"], add=1.0)
+        changed = np.flatnonzero(np.isfinite(st["dist"]))
+        msgs, sent = self._boundary(g, st, changed)
+        return msgs, {"edges": scanned + sent}
+
+
+# ---------------------------------------------------------------------------
 class KatzCentrality(PageRank):
     """Katz centrality by the same delta-propagation scheme as PageRank:
     ``x = α·Σ_in x(u) + β`` — the attenuation recurrence WITHOUT the

@@ -405,6 +405,24 @@ def coloring(
     return _run(m, GreedyColoring, {}, direction="both", **harness_kwargs)
 
 
+def seed_bfs(
+    edges_factory,
+    cache_key: str,
+    seed_mod: int,
+    num_partitions: int = 8,
+    direction: str = "fwd",
+    **harness_kwargs,
+) -> ProgramResult:
+    """Multi-source BFS from the deterministic seed set
+    {v : v % seed_mod == 0} (programs.MultiSourceBFS) — the crawl-frontier
+    depth report."""
+    from drone_ray.graph.programs import MultiSourceBFS
+
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    return _run(m, MultiSourceBFS, {"seed_mod": seed_mod},
+                direction=direction, **harness_kwargs)
+
+
 def mis(
     edges_factory,
     cache_key: str,

@@ -234,6 +234,20 @@ def q_coloring(sf_dir: str):
     return res.to_table()
 
 
+BFS_SEED_MOD = 101  # seed set {v : v % 101 == 0} — SQL-expressible
+
+
+def q_seed_bfs(sf_dir: str):
+    """Multi-source BFS from the deterministic seed set (crawl-frontier
+    depth: min hops from any seed page). Same engine machinery as sssp;
+    the oracle seeds the recursive BFS CTE with the whole set."""
+    from drone_ray.pipelines.analytics import seed_bfs
+
+    return seed_bfs(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), BFS_SEED_MOD, GRAPH_PARTITIONS
+    ).to_table()
+
+
 def q_mis(sf_dir: str):
     """Deterministic maximal independent set: parallel greedy by md5
     priority on the symmetrized view (programs.MIS) — the derandomized
@@ -3033,6 +3047,20 @@ FROM deg d LEFT JOIN tc ON tc.vid = d.vid""",
     "salsa": (q_salsa, _SALSA_SQL),
     "mis": (q_mis, _MIS_SQL),
     "coloring": (q_coloring, _COLORING_SQL),
+    "seed_bfs": (
+        q_seed_bfs,
+        f"""WITH RECURSIVE
+e AS ({EDGES_SQL}),
+seeds AS (SELECT DISTINCT vid FROM
+          (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)
+          WHERE vid % {BFS_SEED_MOD} = 0),
+bfs(vid, dist) AS (
+  SELECT vid, 0 AS dist FROM seeds
+  UNION
+  SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.vid WHERE b.dist < {M}
+)
+SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM bfs GROUP BY vid""",
+    ),
     "coreness": (q_coreness, _CORENESS_SQL),
     "scc": (q_scc, _SCC_SQL),
     "pseudo_diameter": (q_pseudo_diameter, _PSEUDO_DIAM_SQL),
@@ -3271,7 +3299,7 @@ _ORDER = [
     "sample_per_type", "ngram_containment",
     "link_jaccard", "pack_sequences", "corpus_split", "salsa",
     "bibliographic_coupling", "host_sample", "mis", "coloring",
-    "quality_sample", "corpus_prepare",
+    "quality_sample", "corpus_prepare", "seed_bfs",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

@@ -535,3 +535,23 @@ def test_incremental_sssp_matches_cold_and_is_cheaper():
     cmap = dict(zip(ct["vid"].to_numpy().tolist(), ct["dist"].to_numpy().tolist()))
     assert wmap == cmap
     assert r2.edges_traversed < cold.edges_traversed
+
+
+def test_seed_bfs_matches_multi_source_oracle():
+    """Multi-source BFS dist == min over per-seed BFS oracles."""
+    from drone_ray.pipelines.analytics import seed_bfs
+
+    src, dst = ba_powerlaw(n=600, m=3, seed=21)
+    mod = 50
+    res = seed_bfs(lambda: _edges_ds(src, dst), "seedbfs_pl600", mod,
+                   num_partitions=3)
+    t = res.to_table()
+    got = dict(zip(t["vid"].to_numpy().tolist(), t["dist"].to_numpy().tolist()))
+
+    vs = np.unique(np.concatenate([src, dst]))
+    expect: dict[int, float] = {}
+    for s0 in vs[vs % mod == 0]:
+        for v, d in bfs_oracle(src, dst, int(s0)).items():
+            if v not in expect or d < expect[v]:
+                expect[v] = d
+    assert got == expect
