@@ -1258,6 +1258,21 @@ def q_langid(sf_dir: str):
     )
 
 
+BPE_MERGES = 20  # gate-scale merge count
+
+
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training on the corpus word-frequency
+    table (textstats.bpe_train) — iterative argmax over shard-held pair
+    counts; deterministic (max count, lexicographic ties) so rows-only +
+    brute-force pytest gate it."""
+    from drone_ray.pipelines.textstats import bpe_train
+
+    return bpe_train(
+        _read(sf_dir, "documents", ["text"]), n_merges=BPE_MERGES, num_shards=4
+    )
+
+
 def q_corpus_prepare(sf_dir: str):
     """The flagship training-data composition, end to end: corpus_clean
     (PII scrub → Gopher repetition gate → corpus-wide chunk dedup) →
@@ -3249,6 +3264,8 @@ SELECT a, b, round(ct, 6) AS containment FROM d WHERE ct >= {CONTAINMENT_T}""",
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
     # iterative float fixpoint — pytest-gated trainer (tests/test_ann.py)
     "embedding_kmeans": (q_embedding_kmeans, None),
+    # iterative argmax loop — deterministic, brute-force pytest oracle
+    "bpe_train": (q_bpe_train, None),
     "events_hourly": (
         q_events_hourly,
         "SELECT event_type, epoch_us(ts) // 3600000000 AS hour, "
@@ -3325,7 +3342,7 @@ _ORDER = [
     "pagerank_pages",
     "pagerank_pages_hostloc", "vocabulary_hll", "ann_topk_lsh",
     "ann_topk_ivf", "ann_topk_ivf_dist", "embedding_near_dup_lsh",
-    "embedding_kmeans",
+    "embedding_kmeans", "bpe_train",
 ]
 assert set(_ORDER) == set(_REGISTRY_DEF) and len(_ORDER) == len(_REGISTRY_DEF)
 REGISTRY: dict[str, tuple] = {k: _REGISTRY_DEF[k] for k in _ORDER}

@@ -290,3 +290,97 @@ def vocabulary_hll(docs: Dataset, text_col: str = "text") -> pa.Table:
             "registers": pa.array([m], pa.int64()),
         }
     )
+
+
+def bpe_train(
+    docs: Dataset,
+    n_merges: int = 20,
+    num_shards: int = 8,
+    text_col: str = "text",
+    est_tokens: int | None = None,
+) -> pa.Table:
+    """Distributed BPE tokenizer training (Sennrich, Haddow & Birch, "Neural
+    machine translation of rare words with subword units", ACL 2016),
+    GPT-2-style: merges never cross word boundaries, so training runs on
+    the corpus WORD-FREQUENCY table, not the raw text — the standard
+    trainer trick that makes 100 TB feasible (the word table is
+    vocabulary-sized). Returns the learned merge table, one row per rank:
+    (rank, left, right, merged, count).
+
+    Shape: one bucketed shuffle builds (word, count) via term_frequencies;
+    the table is then .split() across ``num_shards`` raw Ray actors that
+    hold their shard's symbolized words IN-ACTOR across rounds — the
+    legitimate escape hatch from the Dataset API, since per-round mutable
+    state (apply last merge, recount pairs) is exactly what map_batches
+    cannot persist. Each round ships only per-shard pair-count dicts
+    (O(active pairs)) to the driver, which takes the argmax with a
+    deterministic tie-break (max count, then lexicographically smallest
+    pair) and broadcasts the merge. Driver memory = the global pair-count
+    dict — the same profile as every reference BPE trainer; the corpus
+    itself is never revisited after the single TF pass."""
+    import ray
+
+    tf = term_frequencies(docs, text_col, est_tokens=est_tokens)
+    shards = tf.split(num_shards)
+
+    @ray.remote
+    class _BPEShard:
+        def __init__(self, ds):
+            words: list[str] = []
+            counts: list[int] = []
+            for b in ds.iter_batches(batch_format="pyarrow"):
+                words.extend(b["token"].to_pylist())
+                counts.extend(b["n_occurrences"].to_pylist())
+            self.syms = [tuple(w) for w in words]
+            self.counts = counts
+
+        def pair_counts(self):
+            pc: dict = {}
+            for s, c in zip(self.syms, self.counts):
+                for a, b in zip(s, s[1:]):
+                    k = (a, b)
+                    pc[k] = pc.get(k, 0) + c
+            return pc
+
+        def apply(self, a, b):
+            m = a + b
+            out = []
+            for s in self.syms:
+                i, ns = 0, []
+                n = len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == a and s[i + 1] == b:
+                        ns.append(m)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                out.append(tuple(ns))
+            self.syms = out
+            return True
+
+    actors = [_BPEShard.remote(s) for s in shards]
+    try:
+        rows = []
+        for rank in range(n_merges):
+            total: dict = {}
+            for d in ray.get([a.pair_counts.remote() for a in actors]):
+                for k, v in d.items():
+                    total[k] = total.get(k, 0) + v
+            if not total:
+                break
+            (a, b), c = min(total.items(), key=lambda kv: (-kv[1], kv[0]))
+            rows.append((rank, a, b, a + b, int(c)))
+            ray.get([x.apply.remote(a, b) for x in actors])
+    finally:
+        for x in actors:
+            ray.kill(x)
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "left": pa.array([r[1] for r in rows], pa.string()),
+            "right": pa.array([r[2] for r in rows], pa.string()),
+            "merged": pa.array([r[3] for r in rows], pa.string()),
+            "count": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )

@@ -144,3 +144,50 @@ def test_vocabulary_hll_error_bound():
     # partition-count invariance: the register merge is a max — any tree
     est2 = vocabulary_hll(ds.repartition(17))["n_distinct_tokens_hll"][0].as_py()
     assert est2 == est
+
+
+def test_bpe_train_matches_brute():
+    """Distributed BPE merges == a pure-Python reference trainer on the
+    same word counts (max count, lexicographically smallest pair ties)."""
+    import pyarrow.parquet as pq
+
+    from drone_ray.pipelines.queries import _read
+    from drone_ray.pipelines.textstats import bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_train(_read(sf, "documents", ["text"]), n_merges=12, num_shards=3)
+
+    wc: dict[str, int] = {}
+    for t in pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist():
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    syms = {w: tuple(w) for w in wc}
+    expect = []
+    for rank in range(12):
+        pc: dict = {}
+        for w, s in syms.items():
+            c = wc[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, a, b, a + b, c))
+        m = a + b
+        for w, s in list(syms.items()):
+            i, ns, n = 0, [], len(s)
+            while i < n:
+                if i + 1 < n and s[i] == a and s[i + 1] == b:
+                    ns.append(m)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            syms[w] = tuple(ns)
+    rows = list(zip(got["rank"].to_pylist(), got["left"].to_pylist(),
+                    got["right"].to_pylist(), got["merged"].to_pylist(),
+                    got["count"].to_pylist()))
+    assert rows == expect
+    # partition invariance: different shard count, identical merges
+    got2 = bpe_train(_read(sf, "documents", ["text"]), n_merges=12, num_shards=5)
+    assert got2.equals(got)
