@@ -429,7 +429,10 @@ def jaccard_pairs(
     from drone_ray.stages.edges import in_degrees
 
     pairs = _copair(edges, min_common, max_source_degree, num_buckets, weighted=False)
-    idg = in_degrees(edges)
+    # the O(|V|) degree table feeds BOTH attach hops — materialize once so
+    # lineage re-execution doesn't run its shuffle twice (the justified
+    # small-side materialize, same stance as triangles.py)
+    idg = in_degrees(edges).materialize()
 
     hop1_schema = pa.schema(
         [

@@ -133,3 +133,29 @@ def test_push_combined_compact_channel_equals_generic():
             assert np.array_equal(got["vid"], exp["vid"])
             assert np.array_equal(got["val"], exp["val"])
             assert np.array_equal(got["li"], g.local_index(got["vid"]))
+
+
+def test_route_and_combine_2d_max_registers():
+    """2-D uint8 register payloads (HyperANF): route()'s precombine and the
+    owner combine reduce by elementwise max, identity 0, vs a dict brute."""
+    rng = np.random.default_rng(3)
+    n, R, P = 40, 8, 3
+    vids = rng.integers(0, 12, n).astype(np.int64)
+    vals = rng.integers(0, 60, (n, R)).astype(np.uint8)
+
+    expect: dict[int, np.ndarray] = {}
+    for v, row in zip(vids.tolist(), vals):
+        expect[v] = np.maximum(expect.get(v, np.zeros(R, np.uint8)), row)
+
+    routed = route({"vid": vids, "val": vals}, P, "max", precombine=True)
+    got: dict[int, np.ndarray] = {}
+    for q, m in enumerate(routed):
+        if m is None:
+            continue
+        assert (owner_partition(m["vid"], P) == q).all()
+        for v, row in zip(m["vid"].tolist(), m["val"]):
+            assert v not in got  # precombine deduped per destination
+            got[v] = row
+    assert set(got) == set(expect)
+    for v in expect:
+        assert np.array_equal(got[v], expect[v])
