@@ -1258,6 +1258,15 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_domain_mix(sf_dir: str):
+    """Per-(lang, source) domain-mixing report: token shares + the uniform-
+    target resampling weights (webtext.domain_mix) — O(domains) driver
+    rows at any corpus size."""
+    from drone_ray.pipelines.webtext import domain_mix
+
+    return domain_mix(_read(sf_dir, "documents", ["doc_id", "text", "lang", "source"]))
+
+
 BPE_MERGES = 20  # gate-scale merge count
 
 
@@ -2940,6 +2949,20 @@ SELECT doc_id, bucket, cum // {PACK_BUDGET} AS seq, cum % {PACK_BUDGET} AS tok_o
        n_tokens
 FROM c""",
     ),
+    "domain_mix": (
+        q_domain_mix,
+        f"""WITH t AS (SELECT lang, source,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS_SQL}) END AS nt
+  FROM documents),
+g AS (SELECT lang, source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1, 2)
+SELECT lang, source, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share,
+  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+    round((1.0 / count(*) OVER ()) /
+          (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 6) END AS mix_weight
+FROM g""",
+    ),
     "corpus_split": (
         q_corpus_split,
         f"""WITH t AS (SELECT lang,
@@ -3316,7 +3339,7 @@ _ORDER = [
     "sample_per_type", "ngram_containment",
     "link_jaccard", "pack_sequences", "corpus_split", "salsa",
     "bibliographic_coupling", "host_sample", "mis", "coloring",
-    "quality_sample", "corpus_prepare", "seed_bfs",
+    "quality_sample", "corpus_prepare", "seed_bfs", "domain_mix",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

@@ -570,3 +570,58 @@ def corpus_split(
         .map_groups(finish, batch_format="pandas")
         .map_batches(_pin(mid), batch_format="pyarrow", batch_size=None)
     )
+
+
+def domain_mix(
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple = ("lang", "source"),
+) -> pa.Table:
+    """Domain-mixing report: per (lang, source) domain, document/token
+    counts, the domain's token share, and the resampling weight that would
+    equalize token mass across domains (``mix_weight = (1/G) / share`` —
+    sample-with-weight w makes every domain contribute 1/G of the mixed
+    corpus, the standard baseline before tuned mixture rates à la
+    DoReMi/The Pile). One stateless pre-aggregating pass + a tiny
+    O(domains) reduce; the driver only ever holds G rows."""
+    gc = list(group_cols)
+    mid = pa.schema(
+        [(c, pa.string()) for c in gc]
+        + [("n_docs", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or text_col not in b.schema.names:
+            return mid.empty_table()
+        nt = np.fromiter(
+            (len(t.split()) for t in b[text_col].to_pylist()), np.int64, b.num_rows
+        )
+        df = pd.DataFrame({c: b[c].to_pylist() for c in gc})
+        df["n_docs"] = 1
+        df["n_tokens"] = nt
+        agg = df.groupby(gc, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, schema=mid, preserve_index=False)
+
+    def reduce_groups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(gc, sort=False).sum().reset_index()
+
+    small = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(gc)
+        .map_groups(reduce_groups, batch_format="pandas")
+        .to_pandas()  # O(domains) rows — the only driver materialization
+    )
+    total = float(small["n_tokens"].sum())
+    G = len(small)
+    share = small["n_tokens"].to_numpy(np.float64) / total if total else 0.0
+    w = np.where(share > 0, (1.0 / G) / np.where(share > 0, share, 1.0), 0.0)
+    out = {c: pa.array(small[c], pa.string()) for c in gc}
+    out["n_docs"] = pa.array(small["n_docs"], pa.int64())
+    out["n_tokens"] = pa.array(small["n_tokens"], pa.int64())
+    # half-away rounding to the 1e-6 grid (DuckDB round(); exact-tie hazard
+    # as in graphstats.jaccard_pairs)
+    out["token_share"] = pa.array(np.floor(share * 1e6 + 0.5) / 1e6, pa.float64())
+    out["mix_weight"] = pa.array(np.floor(w * 1e6 + 0.5) / 1e6, pa.float64())
+    return pa.table(out)

@@ -344,3 +344,34 @@ def test_corpus_prepare_composition():
     for i, (bk, seq, off, n) in expect.items():
         row = got.loc[i]
         assert (row.bucket, row.seq, row.tok_offset, row.n_tokens) == (bk, seq, off, n)
+
+
+def test_domain_mix_brute():
+    """token shares + uniform-target weights vs a driver recomputation."""
+    import pyarrow.parquet as pq
+
+    from drone_ray.pipelines.queries import _read
+    from drone_ray.pipelines.webtext import domain_mix
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        domain_mix(_read(sf, "documents", ["doc_id", "text", "lang", "source"]))
+        .to_pandas().set_index(["lang", "source"]).sort_index()
+    )
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["text", "lang", "source"])
+    agg: dict = {}
+    for txt, la, so in zip(t["text"].to_pylist(), t["lang"].to_pylist(),
+                           t["source"].to_pylist()):
+        e = agg.setdefault((la, so), [0, 0])
+        e[0] += 1
+        e[1] += len(txt.split())
+    total = sum(v[1] for v in agg.values())
+    G = len(agg)
+    assert len(got) == G
+    # weighted token mass is equalized: share * weight == 1/G for each domain
+    for k, (nd, nt) in agg.items():
+        row = got.loc[k]
+        assert row.n_docs == nd and row.n_tokens == nt
+        assert abs(row.token_share - nt / total) < 2e-6
+        assert abs(row.token_share * row.mix_weight - 1 / G) < 1e-4
