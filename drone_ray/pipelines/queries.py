@@ -1258,6 +1258,15 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_unigram_ppl(sf_dir: str):
+    """Per-doc unigram LM perplexity over the corpus's own token
+    distribution (textstats.unigram_perplexity) — the CCNet-style quality
+    signal, bucketed model join (no O(vocab) broadcast)."""
+    from drone_ray.pipelines.textstats import unigram_perplexity
+
+    return unigram_perplexity(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_domain_mix(sf_dir: str):
     """Per-(lang, source) domain-mixing report: token shares + the uniform-
     target resampling weights (webtext.domain_mix) — O(domains) driver
@@ -2949,6 +2958,19 @@ SELECT doc_id, bucket, cum // {PACK_BUDGET} AS seq, cum % {PACK_BUDGET} AS tok_o
        n_tokens
 FROM c""",
     ),
+    "unigram_ppl": (
+        q_unigram_ppl,
+        f"""WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS w
+           FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM tf),
+s AS (SELECT t.doc_id, sum(ln(CAST(tf.c AS DOUBLE) / tot.n)) AS lp,
+             count(*) AS nt
+      FROM tok t JOIN tf ON tf.w = t.w, tot GROUP BY 1)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       round(exp(-lp / nt), 4) AS unigram_ppl
+FROM s""",
+    ),
     "domain_mix": (
         q_domain_mix,
         f"""WITH t AS (SELECT lang, source,
@@ -3340,6 +3362,7 @@ _ORDER = [
     "link_jaccard", "pack_sequences", "corpus_split", "salsa",
     "bibliographic_coupling", "host_sample", "mis", "coloring",
     "quality_sample", "corpus_prepare", "seed_bfs", "domain_mix",
+    "unigram_ppl",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

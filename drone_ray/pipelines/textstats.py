@@ -384,3 +384,141 @@ def bpe_train(
             "count": pa.array([r[4] for r in rows], pa.int64()),
         }
     )
+
+
+def unigram_perplexity(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+    est_tokens: int | None = None,
+) -> Dataset:
+    """Per-document unigram language-model perplexity over the corpus's own
+    token distribution — the CCNet-style quality signal (Wenzek et al.,
+    "CCNet: extracting high-quality monolingual datasets from web crawl
+    data", LREC 2020, uses KenLM perplexity; the unigram LM is its
+    order-1, fully-SQL-attestable form):
+
+        ppl(d) = exp(−(1/|d|) Σ_t log(count(t) / N))
+
+    No smoothing needed: the model is trained on the same corpus it
+    scores, so every token is in-vocabulary by construction. Returns
+    (doc_id, n_tokens, unigram_ppl) for non-empty documents.
+
+    Shape: the term-frequency table (one bucketed shuffle, materialized —
+    it is read twice: the total-count aggregate and the join) joins the
+    exploded (token, doc) occurrence rows inside hash(token) buckets —
+    the two-sided tagged-union join every degree-attach here uses, never
+    a broadcast of the O(vocabulary) model. Per-doc partials pre-aggregate
+    inside the token bucket, so the second (doc-keyed) shuffle carries at
+    most one row per (doc, token-bucket)."""
+    nb = _buckets(num_buckets, est_tokens)
+    tf = term_frequencies(docs, text_col, num_buckets=num_buckets,
+                          est_tokens=est_tokens).materialize()
+    total = float(tf.sum("n_occurrences") or 0.0)
+
+    mid = pa.schema(
+        [
+            ("token", pa.string()),
+            (id_col, pa.int64()),
+            ("k", pa.int64()),  # occurrences of token in doc (0 = model row)
+            ("c", pa.int64()),  # corpus count (model rows only)
+            ("_b", pa.int64()),
+        ]
+    )
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or id_col not in b.schema.names:
+            return mid.empty_table()
+        toks: list[str] = []
+        ids: list[int] = []
+        ks: list[int] = []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            cnt: dict[str, int] = {}
+            for w in t.split():
+                cnt[w] = cnt.get(w, 0) + 1
+            toks.extend(cnt)
+            ids.extend([i] * len(cnt))
+            ks.extend(cnt.values())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+                "k": pa.array(ks, pa.int64()),
+                "c": pa.array(np.zeros(len(toks), np.int64)),
+                "_b": pa.array(_token_hash_bucket(toks, nb)),
+            }
+        )
+
+    def model_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "token" not in b.schema.names:
+            return mid.empty_table()
+        toks = b["token"].to_pylist()
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                id_col: pa.array(np.full(len(toks), -1, np.int64)),
+                "k": pa.array(np.zeros(len(toks), np.int64)),
+                "c": b["n_occurrences"],
+                "_b": pa.array(_token_hash_bucket(toks, nb)),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        model = g[g["c"] > 0]
+        logp = dict(
+            zip(model["token"], np.log(model["c"].to_numpy(np.float64) / total))
+        )
+        d = g[g["k"] > 0]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "lp": pd.Series([], dtype=np.float64),
+                 "nt": pd.Series([], dtype=np.int64),
+                 "_b2": pd.Series([], dtype=np.int64)}
+            )
+        k = d["k"].to_numpy(np.float64)
+        lp = k * np.fromiter((logp[t] for t in d["token"]), np.float64, len(d))
+        out = (
+            pd.DataFrame({id_col: d[id_col].to_numpy(), "lp": lp,
+                          "nt": d["k"].to_numpy()})
+            .groupby(id_col, sort=False).sum().reset_index()
+        )
+        from drone_ray.hashing import mix64
+
+        out["_b2"] = (
+            mix64(out[id_col].to_numpy()) % np.uint64(nb)
+        ).astype(np.int64)
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(id_col, sort=False).agg(
+            lp=("lp", "sum"), nt=("nt", "sum")
+        ).reset_index()
+        return pd.DataFrame(
+            {
+                id_col: agg[id_col],
+                "n_tokens": agg["nt"].astype(np.int64),
+                "unigram_ppl": np.round(
+                    np.exp(-agg["lp"].to_numpy() / agg["nt"].to_numpy()), 4
+                ),
+            }
+        )
+
+    schema = pa.schema(
+        [(id_col, pa.int64()), ("n_tokens", pa.int64()),
+         ("unigram_ppl", pa.float64())]
+    )
+    return (
+        docs.map_batches(doc_rows, batch_format="pyarrow", batch_size=None)
+        .union(tf.map_batches(model_rows, batch_format="pyarrow", batch_size=None))
+        .groupby("_b")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(
+            lambda b: b.cast(schema) if b.num_columns else schema.empty_table(),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )

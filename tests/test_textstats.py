@@ -191,3 +191,38 @@ def test_bpe_train_matches_brute():
     # partition invariance: different shard count, identical merges
     got2 = bpe_train(_read(sf, "documents", ["text"]), n_merges=12, num_shards=5)
     assert got2.equals(got)
+
+
+def test_unigram_perplexity_brute():
+    """ppl(d) = exp(-mean log p) vs a driver recomputation; constant docs
+    of frequent tokens score LOWER ppl than rare-token docs."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from drone_ray.pipelines.queries import _read
+    from drone_ray.pipelines.textstats import unigram_perplexity
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        unigram_perplexity(_read(sf, "documents", ["doc_id", "text"]))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    cnt: dict = {}
+    docs = []
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        tk = txt.split()
+        if tk:
+            docs.append((i, tk))
+            for w in tk:
+                cnt[w] = cnt.get(w, 0) + 1
+    total = sum(cnt.values())
+    assert len(got) == len(docs)
+    for i, tk in docs:
+        lp = sum(math.log(cnt[w] / total) for w in tk)
+        ppl = math.exp(-lp / len(tk))
+        row = got.loc[i]
+        assert row.n_tokens == len(tk)
+        # engine output is rounded to 4 decimals
+        assert abs(row.unigram_ppl - ppl) <= 5.1e-5 + ppl * 1e-9
