@@ -270,28 +270,36 @@ def main(argv=None) -> dict:
         res = A.random_walks(ef, key, args.partitions,
                              walk_length=args.walk_length,
                              num_walks=args.num_walks, **hk)
-    elif args.command == "salsa":
-        hk.pop("ownership", None)
-        res = A.salsa(ef, key, args.partitions, iters=args.iters, **hk)
-    elif args.command == "mis":
-        hk.pop("ownership", None)
-        res = A.mis(ef, key, args.partitions, **hk)
-    elif args.command == "coloring":
-        hk.pop("ownership", None)
-        res = A.coloring(ef, key, args.partitions, **hk)
-    elif args.command == "hyperanf":
-        hk.pop("ownership", None)
-        for c in ("checkpoint_dir", "checkpoint_every", "resume", "output_dir"):
-            hk.pop(c, None)
-        t = A.hyperanf(ef, key, args.partitions, p=args.hll_p, **hk)
-        import pyarrow.parquet as _pq
+    elif args.command in ("salsa", "mis", "coloring", "hyperanf"):
+        # reject rather than silently drop: these programs refuse split
+        # hubs, so host-locality ownership never applies
+        if hk.pop("ownership", None) is not None:
+            raise ValueError(f"--host-bits is unsupported for {args.command}")
+        if args.command == "salsa":
+            res = A.salsa(ef, key, args.partitions, iters=args.iters, **hk)
+        elif args.command == "mis":
+            res = A.mis(ef, key, args.partitions, **hk)
+        elif args.command == "coloring":
+            res = A.coloring(ef, key, args.partitions, **hk)
+        else:  # hyperanf — a derived NF table, not a per-vertex program run
+            if hk.get("checkpoint_dir") or hk.get("resume"):
+                raise ValueError(
+                    "hyperanf does not support --checkpoint-dir/--resume from "
+                    "the CLI (the run is minutes even at 100M edges; use the "
+                    "library API with run_vertex_program for checkpointing)"
+                )
+            for c in ("checkpoint_dir", "checkpoint_every", "resume", "output_dir"):
+                hk.pop(c, None)
+            t = A.hyperanf(ef, key, args.partitions, p=args.hll_p, **hk)
+            import os as _os
 
-        import os as _os
-        _os.makedirs(args.out, exist_ok=True)
-        _pq.write_table(t, _os.path.join(args.out, "nf.parquet"))
-        return {"command": args.command, "out": args.out,
-                "nf_steps": len(t),
-                "effective_diameter": int(t["effective_diameter"][0].as_py())}
+            import pyarrow.parquet as _pq
+
+            _os.makedirs(args.out, exist_ok=True)
+            _pq.write_table(t, _os.path.join(args.out, "nf.parquet"))
+            return {"command": args.command, "out": args.out,
+                    "nf_steps": len(t),
+                    "effective_diameter": int(t["effective_diameter"][0].as_py())}
     elif args.command == "simulation":
         from drone_ray.sources.text import PatternGraph
 

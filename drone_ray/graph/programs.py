@@ -72,6 +72,33 @@ class VertexProgram:
         return {"vid": dsts, "val": values}
 
 
+def _gather_neighbors(indptr: np.ndarray, adj: np.ndarray, rows: np.ndarray):
+    """(kept_rows, lens, dsts): the adjacency entries of ``rows``, gathered
+    row-major with the repeat/cumsum device — the shared kernel behind
+    MIS/coloring/HyperANF sends. ``dsts[i]`` belongs to the kept row
+    ``np.repeat(kept_rows, lens)[i]``."""
+    lens = indptr[rows + 1] - indptr[rows]
+    keep = lens > 0
+    rows, lens = rows[keep], lens[keep]
+    if rows.size == 0:
+        return rows, lens, np.empty(0, dtype=adj.dtype)
+    total = int(lens.sum())
+    pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    return rows, lens, adj[np.repeat(indptr[rows], lens) + pos]
+
+
+def _ilog2(v: np.ndarray) -> np.ndarray:
+    """Exact integer floor(log2) for uint64 (0 → 0): float64 log2 misplaces
+    the leading bit of values near 2^53, so shift in 6 halving steps."""
+    out = np.zeros(v.size, dtype=np.int64)
+    v = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        out[big] += s
+        v[big] >>= np.uint64(s)
+    return out
+
+
 def _msgs(vid: np.ndarray, val: np.ndarray, **extra) -> Messages | None:
     if vid.size == 0:
         return None
@@ -1930,14 +1957,9 @@ class MIS(VertexProgram):
 
     def _send(self, g, st, rows):
         """(rows' π) to every non-self neighbor along the symmetrized view."""
-        lens = g.indptr[rows + 1] - g.indptr[rows]
-        keep = lens > 0
-        rows, lens = rows[keep], lens[keep]
+        rows, lens, dsts = _gather_neighbors(g.indptr, g.adj, rows)
         if rows.size == 0:
             return None, 0
-        total = int(lens.sum())
-        pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-        dsts = g.adj[np.repeat(g.indptr[rows], lens) + pos]
         vals = np.repeat(st["pri"][rows], lens)
         srcs = np.repeat(g.owned[rows], lens)
         m = dsts != srcs  # self-loops are not neighbors for MIS purposes
@@ -2072,31 +2094,22 @@ class GreedyColoring(VertexProgram):
         color, 1) announcement rows."""
         if rows.size:
             x = ~st["used"][rows]  # lowest set bit of x == lowest free color
-            low = x & (~x + np.uint64(1))
-            # exact integer log2 of the isolated bit (6-step shift)
-            c = np.zeros(rows.size, dtype=np.int64)
-            v = low.copy()
-            for s in (32, 16, 8, 4, 2, 1):
-                big = v >= (np.uint64(1) << np.uint64(s))
-                c[big] += s
-                v[big] >>= np.uint64(s)
-            if (c >= self.MAX_COLORS).any():
+            if not x.all():
+                # all 64 mask bits set ⇒ no free bit: x == 0 would make the
+                # isolated-bit log2 silently yield color 0 (improper!) —
+                # this saturation test is the real ≥64-colors guard
                 raise OverflowError(
                     "greedy coloring needs ≥64 colors — the 64-bit seen-mask "
                     "cannot represent this graph's degeneracy"
                 )
-            st["color"][rows] = c
+            low = x & (~x + np.uint64(1))
+            st["color"][rows] = _ilog2(low)
         if self._l_indptr is None:  # resumed actor: state loaded, not init'd
             self._build(g)
-        lp = self._l_indptr
-        lens = lp[rows + 1] - lp[rows]
-        keep = lens > 0
-        rows_k, lens = rows[keep], lens[keep]
+        rows_k, lens, dsts = _gather_neighbors(self._l_indptr, self._l_adj, rows)
         if rows_k.size == 0:
             return None, 0
-        total = int(lens.sum())
-        pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-        dsts = self._l_adj[np.repeat(lp[rows_k], lens) + pos]
+        total = int(dsts.size)
         return (
             _msgs(
                 dsts,
@@ -2274,16 +2287,9 @@ class HyperANF(VertexProgram):
             h = mix64(g.owned)
             bucket = (h & np.uint64(m - 1)).astype(np.int64)
             rest = h >> np.uint64(self.p)
-            # exact integer floor(log2): float64 log2 can misplace the
-            # leading bit of values near 2^53, and rest has 64-p > 53 bits
-            bl = np.zeros(g.n, dtype=np.int64)
-            v = rest.copy()
-            for s in (32, 16, 8, 4, 2, 1):
-                big = v >= (np.uint64(1) << np.uint64(s))
-                bl[big] += s
-                v[big] >>= np.uint64(s)
+            # rest has 64-p > 53 significant bits → exact integer log2
             width = 64 - self.p
-            rank = np.where(rest > 0, width - bl, width + 1).astype(np.uint8)
+            rank = np.where(rest > 0, width - _ilog2(rest), width + 1).astype(np.uint8)
             reg[np.arange(g.n), bucket] = rank
         return {"reg": reg, "est": self._est(reg), "aux": {}}
 
@@ -2305,16 +2311,11 @@ class HyperANF(VertexProgram):
     def _push(self, g, st, rows: np.ndarray):
         """Register rows of ``rows`` along the view adjacency (→ original
         in-neighbors). Vectorized repeat/cumsum gather, no Python loop."""
-        lens = g.indptr[rows + 1] - g.indptr[rows]
-        keep = lens > 0
-        rows, lens = rows[keep], lens[keep]
+        rows, lens, dsts = _gather_neighbors(g.indptr, g.adj, rows)
         if rows.size == 0:
             return None, 0
-        total = int(lens.sum())
-        pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-        dsts = g.adj[np.repeat(g.indptr[rows], lens) + pos]
         vals = st["reg"][np.repeat(rows, lens)]
-        return _msgs(dsts, vals), total
+        return _msgs(dsts, vals), int(dsts.size)
 
     def peval(self, g, st):
         msgs, sent = self._push(g, st, np.arange(g.n, dtype=np.int64))

@@ -278,11 +278,17 @@ def q_salsa(sf_dir: str):
         max_steps=2 * SALSA_ITERS + 2,
     )
     t = res.to_table()
+    # half-AWAY rounding (DuckDB round()): SALSA scores are sums of dyadic
+    # rationals (h/2^k out-degrees), which land exactly on .5 ulps where
+    # np.round's half-to-even diverges — same hazard as jaccard_pairs
+    def r7(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e7 + 0.5) / 1e7  # scores are non-negative
+
     return pa.table(
         {
             "vid": t["vid"],
-            "auth": pa.array(np.round(t["auth"].to_numpy(), 7), pa.float64()),
-            "hub": pa.array(np.round(t["hub"].to_numpy(), 7), pa.float64()),
+            "auth": pa.array(r7(t["auth"].to_numpy()), pa.float64()),
+            "hub": pa.array(r7(t["hub"].to_numpy()), pa.float64()),
         }
     )
 

@@ -615,7 +615,15 @@ def domain_mix(
     )
     total = float(small["n_tokens"].sum())
     G = len(small)
-    share = small["n_tokens"].to_numpy(np.float64) / total if total else 0.0
+    if G == 0:
+        return pa.schema(
+            [(c, pa.string()) for c in gc]
+            + [("n_docs", pa.int64()), ("n_tokens", pa.int64()),
+               ("token_share", pa.float64()), ("mix_weight", pa.float64())]
+        ).empty_table()
+    nt = small["n_tokens"].to_numpy(np.float64)
+    # all-empty corpus: shares/weights are 0-vectors of length G, not scalars
+    share = nt / total if total else np.zeros(G, np.float64)
     w = np.where(share > 0, (1.0 / G) / np.where(share > 0, share, 1.0), 0.0)
     out = {c: pa.array(small[c], pa.string()) for c in gc}
     out["n_docs"] = pa.array(small["n_docs"], pa.int64())

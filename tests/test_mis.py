@@ -130,3 +130,21 @@ def test_coloring_resume_identical(tmp_path):
     got = dict(zip(t["vid"].to_numpy().tolist(), t["color"].to_numpy().tolist()))
     expect, _ = _greedy_coloring(src, dst)
     assert got == expect
+
+
+def test_coloring_refuses_65_clique():
+    """Degeneracy >= 64 must raise loudly, not silently emit color 0
+    (the seen-mask saturation guard)."""
+    k = 65
+    s, d = [], []
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                s.append(i)
+                d.append(j)
+    from drone_ray.pipelines.analytics import coloring
+
+    with pytest.raises(Exception) as ei:
+        coloring(lambda: _edges_ds(np.array(s, np.int64), np.array(d, np.int64)),
+                 "col_clique65", num_partitions=2)
+    assert "64" in str(ei.value)

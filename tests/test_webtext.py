@@ -375,3 +375,21 @@ def test_domain_mix_brute():
         assert row.n_docs == nd and row.n_tokens == nt
         assert abs(row.token_share - nt / total) < 2e-6
         assert abs(row.token_share * row.mix_weight - 1 / G) < 1e-4
+
+
+def test_domain_mix_degenerate_inputs():
+    """All-empty corpus → zero shares/weights; no crash."""
+    import ray.data as rd
+
+    from drone_ray.pipelines.webtext import domain_mix
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["   ", ""], pa.string()),
+                  "lang": pa.array(["en", "de"], pa.string()),
+                  "source": pa.array(["a", "b"], pa.string())})
+    )
+    t = domain_mix(docs)
+    assert len(t) == 2
+    assert t["token_share"].to_pylist() == [0.0, 0.0]
+    assert t["mix_weight"].to_pylist() == [0.0, 0.0]
