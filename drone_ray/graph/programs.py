@@ -2089,10 +2089,24 @@ class GreedyColoring(VertexProgram):
             "aux": {},
         }
 
-    def _color_and_send(self, g, st, rows):
-        """Assign mex(used) to ``rows`` and emit (lower-pri neighbor,
-        color, 1) announcement rows."""
-        if rows.size:
+    def _cascade(self, g, st, rows):
+        """Color ``rows`` and chase the readiness cascade to its LOCAL
+        fixpoint inside this superstep: announcements to same-partition
+        lower-priority neighbors apply immediately and may ready further
+        vertices (the _local_min_fixpoint pattern) — supersteps then track
+        the CROSS-partition chain depth, not the full priority-chain depth.
+        Under hash ownership only ~1/P of chain hops are local (measured
+        86 → 62 supersteps going P=16 → P=2 on a 2M-edge power law); the
+        real win is host-locality ownership, where intra-site links —
+        most of a web graph — cascade inside the superstep.
+        Returns (remote announcement msgs, edges touched, n colored)."""
+        if self._l_indptr is None:  # resumed actor: state loaded, not init'd
+            self._build(g)
+        rem_d: list[np.ndarray] = []
+        rem_c: list[np.ndarray] = []
+        edges = 0
+        n_colored = 0
+        while rows.size:
             x = ~st["used"][rows]  # lowest set bit of x == lowest free color
             if not x.all():
                 # all 64 mask bits set ⇒ no free bit: x == 0 would make the
@@ -2104,25 +2118,36 @@ class GreedyColoring(VertexProgram):
                 )
             low = x & (~x + np.uint64(1))
             st["color"][rows] = _ilog2(low)
-        if self._l_indptr is None:  # resumed actor: state loaded, not init'd
-            self._build(g)
-        rows_k, lens, dsts = _gather_neighbors(self._l_indptr, self._l_adj, rows)
-        if rows_k.size == 0:
-            return None, 0
-        total = int(dsts.size)
+            n_colored += int(rows.size)
+            kept, lens, dsts = _gather_neighbors(self._l_indptr, self._l_adj, rows)
+            if kept.size == 0:
+                break
+            cols = np.repeat(st["color"][kept], lens)
+            edges += int(dsts.size)
+            lm = g.ownership.of(dsts, g.P) == g.p
+            if not lm.all():
+                rem_d.append(dsts[~lm])
+                rem_c.append(cols[~lm])
+            if not lm.any():
+                break
+            li = g.local_index(dsts[lm])
+            np.bitwise_or.at(st["used"], li, np.uint64(1) << cols[lm].astype(np.uint64))
+            np.add.at(st["wait"], li, -1)
+            rows = np.flatnonzero((st["color"] == -1) & (st["wait"] == 0))
+        if not rem_d:
+            return None, edges, n_colored
+        dsts = np.concatenate(rem_d)
+        cols = np.concatenate(rem_c)
         return (
-            _msgs(
-                dsts,
-                np.ones(total, dtype=np.int64),
-                color=np.repeat(st["color"][rows_k], lens),
-            ),
-            total,
+            _msgs(dsts, np.ones(dsts.size, dtype=np.int64), color=cols),
+            edges,
+            n_colored,
         )
 
     def peval(self, g, st):
         ready = np.flatnonzero(st["wait"] == 0)
-        msgs, sent = self._color_and_send(g, st, ready)
-        return msgs, {"edges": sent, "n_colored": int(ready.size)}
+        msgs, sent, nc = self._cascade(g, st, ready)
+        return msgs, {"edges": sent, "n_colored": nc}
 
     def inceval(self, g, st, inbound):
         if inbound is None:
@@ -2132,8 +2157,8 @@ class GreedyColoring(VertexProgram):
         np.bitwise_or.at(st["used"], l, np.uint64(1) << cols)
         np.subtract.at(st["wait"], l, inbound["val"].astype(np.int64))
         ready = np.flatnonzero((st["color"] == -1) & (st["wait"] == 0))
-        msgs, sent = self._color_and_send(g, st, ready)
-        return msgs, {"edges": sent, "n_colored": int(ready.size)}
+        msgs, sent, nc = self._cascade(g, st, ready)
+        return msgs, {"edges": sent, "n_colored": nc}
 
     def emit(self, g, st):
         return pa.table(
