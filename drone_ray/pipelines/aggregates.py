@@ -298,6 +298,7 @@ def group_sample(
     r: int,
     num_buckets: int | None = None,
     est_rows: int | None = None,
+    per_group_prio: bool = False,
 ) -> Dataset:
     """Deterministic fixed-size sample per group: the ``r`` rows of each
     group with the smallest md5 priority ``md5_lower64(f"gs-{id}")`` — the
@@ -313,13 +314,25 @@ def group_sample(
     100-TB corpus needs (cap each site/language/domain at r documents
     without a global sort).
 
+    ``per_group_prio``: hash the (group, id) PAIR instead of the id alone —
+    each group then draws an INDEPENDENT sample (what neighborhood/fanout
+    sampling wants), instead of every group preferring the same
+    globally-lucky ids (what a per-entity cap wants: a document capped in
+    one group stays capped in every group).
+
     Returns (group_col, id_col) rows."""
     from drone_ray.functions.minhash import md5_lower64
 
     if num_buckets is None:
         num_buckets = adaptive_buckets(est_rows, floor=32)
 
-    def _prio(ids) -> np.ndarray:
+    def _prio(groups, ids) -> np.ndarray:
+        if per_group_prio:
+            return np.fromiter(
+                (md5_lower64(f"gs-{g}-{i}") for g, i in zip(groups, ids)),
+                dtype=np.uint64,
+                count=len(ids),
+            )
         return np.fromiter(
             (md5_lower64(f"gs-{i}") for i in ids), dtype=np.uint64, count=len(ids)
         )
@@ -359,7 +372,7 @@ def group_sample(
                     "_b": pa.array([], pa.int64()),
                 }
             )
-        gk, ik, pk = _keep_r(g, i, _prio(i))
+        gk, ik, pk = _keep_r(g, i, _prio(g, i))
         bk = (_col_hash(gk) % np.uint64(num_buckets)).astype(np.int64)
         return pa.table(
             {

@@ -663,6 +663,27 @@ def q_host_sample(sf_dir: str):
     )
 
 
+NEIGHBOR_FANOUT = 8  # GNN-style fanout per source vertex
+
+
+def q_neighbor_sample(sf_dir: str):
+    """Deterministic fixed-fanout neighborhood sampling (GraphSAGE-style
+    minibatch prep, Hamilton et al. 2017): each source keeps its
+    NEIGHBOR_FANOUT out-neighbors with the smallest md5(src, dst) pair
+    priority — an INDEPENDENT draw per source (aggregates.group_sample
+    with per_group_prio), reproducible at any parallelism and in SQL."""
+    from drone_ray.pipelines.aggregates import group_sample
+
+    return group_sample(
+        lg_edges(sf_dir),
+        "src",
+        "dst",
+        NEIGHBOR_FANOUT,
+        est_rows=_parquet_rows(sf_dir, "lineitem"),
+        per_group_prio=True,
+    )
+
+
 def q_link_jaccard(sf_dir: str):
     """In-neighborhood Jaccard link prediction — the union-normalized twin
     of cocitation/adamic_adar; indeg(a)+indeg(b)−common via two bucketed
@@ -2936,6 +2957,17 @@ _REGISTRY_DEF: dict[str, tuple] = {
   FROM read_parquet('{EXTRACT_PAGES_DIR}/*.parquet'))
 WHERE rn <= {HOST_SAMPLE_R}""",
     ),
+    "neighbor_sample": (
+        q_neighbor_sample,
+        f"""WITH e AS ({EDGES_SQL})
+SELECT src, dst FROM (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY md5_number_lower('gs-' || src || '-' || dst),
+                                     dst) AS rn
+  FROM e)
+WHERE rn <= {NEIGHBOR_FANOUT}""",
+    ),
     "link_jaccard": (
         q_link_jaccard,
         f"""WITH e AS ({EDGES_SQL}),
@@ -3368,7 +3400,7 @@ _ORDER = [
     "link_jaccard", "pack_sequences", "corpus_split", "salsa",
     "bibliographic_coupling", "host_sample", "mis", "coloring",
     "quality_sample", "corpus_prepare", "seed_bfs", "domain_mix",
-    "unigram_ppl",
+    "unigram_ppl", "neighbor_sample",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

@@ -217,3 +217,31 @@ def test_group_sample_string_keys_and_ids():
         for _, u in sorted(rows)[:3]:
             expect.add((h, u))
     assert set(zip(got["host"], got["url"])) == expect
+
+
+def test_group_sample_per_group_prio_independent_draws():
+    """per_group_prio hashes the (group, id) pair: each group draws an
+    independent sample vs the brute md5 ranking, unlike the shared-id
+    priority mode where every group prefers the same lucky ids."""
+    import ray.data as rd
+
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.pipelines.aggregates import group_sample
+
+    gs = [g for g in range(6) for _ in range(40)]
+    ids = [i % 40 for i in range(240)]  # same id set in every group
+    ds = rd.from_arrow(pa.table({"g": pa.array(gs, pa.int64()),
+                                 "i": pa.array(ids, pa.int64())}))
+    got = group_sample(ds, "g", "i", 5, num_buckets=8, per_group_prio=True).to_pandas()
+
+    expect = set()
+    for g in range(6):
+        ranked = sorted(range(40), key=lambda i: (md5_lower64(f"gs-{g}-{i}"), i))
+        for i in ranked[:5]:
+            expect.add((g, i))
+    assert set(zip(got["g"], got["i"])) == expect
+    # independence: the sampled id sets are NOT identical across groups
+    per_group = {}
+    for g, i in expect:
+        per_group.setdefault(g, set()).add(i)
+    assert len({frozenset(v) for v in per_group.values()}) > 1
