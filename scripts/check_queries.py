@@ -94,6 +94,16 @@ def main():
         exp = canon(con.execute(oracles[name]).df())
         status = "ok  "
         detail = None
+        if len(got) == 0 and len(got.columns) == 0 and len(exp) == 0:
+            # Ray representation artifact: a zero-row Dataset yields zero
+            # blocks whose to_pandas() is column-less (noted in
+            # tests/test_properties.py) — both sides agree the result is
+            # empty, which is all a 0-row result can attest
+            report[name] = {"status": "ok", "mode": "oracle-empty",
+                            "rows": 0, "seconds": round(dt, 2)}
+            print(f"ok   {name}: 0 rows == oracle 0 rows "
+                  f"(schema unverifiable on empty Ray datasets) ({dt:.1f}s)")
+            continue
         if list(got.columns) != list(exp.columns):
             status = "FAIL"
             detail = f"columns {list(got.columns)} != {list(exp.columns)}"
