@@ -19,6 +19,81 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from drone_ray.hashing import adaptive_buckets, mix64
+from drone_ray.pipelines._util import pin_schema
+
+
+def neighbor_sample_2hop(
+    edges,
+    fanout1: int,
+    fanout2: int,
+    num_buckets: int | None = None,
+    est_rows: int | None = None,
+):
+    """Two-hop deterministic neighborhood sampling (the GraphSAGE minibatch
+    frontier, Hamilton et al. 2017): per root, ``fanout1`` first-hop
+    neighbors by md5(src, dst) pair priority, then each sampled mid's own
+    ``fanout2`` sample — the SAME per-source draw at both hops, so hop 2
+    is one global fanout table joined against hop 1, not a per-root
+    recomputation. Returns (root, mid, dst) rows.
+
+    Shape: two group_sample reduces (each one bucketed shuffle over at
+    most r rows/vertex) + ONE hash(mid) bucketed tagged-union join; the
+    expansion is bounded by fanout1 × fanout2 per root by construction —
+    the frontier-explosion guard GNN samplers exist to provide."""
+    if num_buckets is None:
+        num_buckets = adaptive_buckets(est_rows, floor=32)
+    hop1 = group_sample(edges, "src", "dst", fanout1, num_buckets=num_buckets,
+                        est_rows=est_rows, per_group_prio=True)
+    hop2 = group_sample(edges, "src", "dst", fanout2, num_buckets=num_buckets,
+                        est_rows=est_rows, per_group_prio=True)
+
+    mid_schema = pa.schema(
+        [("key", pa.int64()), ("other", pa.int64()), ("side", pa.int8()),
+         ("_b", pa.int64())]
+    )
+
+    def tag(side: int, key_col: str, other_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or key_col not in b.schema.names:
+                return mid_schema.empty_table()
+            k = b[key_col].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "key": pa.array(k, pa.int64()),
+                    "other": b[other_col].cast(pa.int64()),
+                    "side": pa.array(np.full(k.size, side, np.int8)),
+                    "_b": pa.array((mix64(k) % np.uint64(num_buckets)).astype(np.int64)),
+                }
+            )
+
+        return f
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        a = g[side == 0]  # hop-1 rows keyed by mid
+        b = g[side == 1]  # hop-2 rows keyed by their src (= mid)
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in ("root", "mid", "dst")}
+            )
+        m = a.merge(b, on="key", suffixes=("_1", "_2"))
+        return pd.DataFrame(
+            {"root": m["other_1"], "mid": m["key"], "dst": m["other_2"]}
+        )
+
+    out_schema = pa.schema(
+        [("root", pa.int64()), ("mid", pa.int64()), ("dst", pa.int64())]
+    )
+    return (
+        hop1.map_batches(tag(0, "dst", "src"), batch_format="pyarrow", batch_size=None)
+        .union(
+            hop2.map_batches(tag(1, "src", "dst"), batch_format="pyarrow",
+                             batch_size=None)
+        )
+        .groupby("_b")
+        .map_groups(join, batch_format="pandas")
+        .map_batches(pin_schema(out_schema), batch_format="pyarrow", batch_size=None)
+    )
 
 
 def exact_quantiles(

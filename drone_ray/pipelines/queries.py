@@ -684,6 +684,21 @@ def q_neighbor_sample(sf_dir: str):
     )
 
 
+NEIGHBOR_FANOUT2 = (4, 3)  # two-hop fanouts
+
+
+def q_neighbor_sample_2hop(sf_dir: str):
+    """Two-hop GraphSAGE frontier: fanout-(4,3) deterministic samples
+    joined on the mid vertex (aggregates.neighbor_sample_2hop) — rows
+    (root, mid, dst), expansion bounded by 4x3 per root."""
+    from drone_ray.pipelines.aggregates import neighbor_sample_2hop
+
+    return neighbor_sample_2hop(
+        lg_edges(sf_dir), *NEIGHBOR_FANOUT2,
+        est_rows=_parquet_rows(sf_dir, "lineitem"),
+    )
+
+
 def q_link_jaccard(sf_dir: str):
     """In-neighborhood Jaccard link prediction — the union-normalized twin
     of cocitation/adamic_adar; indeg(a)+indeg(b)−common via two bucketed
@@ -2968,6 +2983,19 @@ SELECT src, dst FROM (
   FROM e)
 WHERE rn <= {NEIGHBOR_FANOUT}""",
     ),
+    "neighbor_sample_2hop": (
+        q_neighbor_sample_2hop,
+        f"""WITH e AS ({EDGES_SQL}),
+h1 AS (SELECT src AS root, dst AS mid FROM (
+  SELECT src, dst, row_number() OVER (PARTITION BY src
+    ORDER BY md5_number_lower('gs-' || src || '-' || dst), dst) AS rn
+  FROM e) WHERE rn <= {NEIGHBOR_FANOUT2[0]}),
+h2 AS (SELECT src AS mid, dst FROM (
+  SELECT src, dst, row_number() OVER (PARTITION BY src
+    ORDER BY md5_number_lower('gs-' || src || '-' || dst), dst) AS rn
+  FROM e) WHERE rn <= {NEIGHBOR_FANOUT2[1]})
+SELECT h1.root, h1.mid, h2.dst FROM h1 JOIN h2 USING (mid)""",
+    ),
     "link_jaccard": (
         q_link_jaccard,
         f"""WITH e AS ({EDGES_SQL}),
@@ -3400,7 +3428,7 @@ _ORDER = [
     "link_jaccard", "pack_sequences", "corpus_split", "salsa",
     "bibliographic_coupling", "host_sample", "mis", "coloring",
     "quality_sample", "corpus_prepare", "seed_bfs", "domain_mix",
-    "unigram_ppl", "neighbor_sample",
+    "unigram_ppl", "neighbor_sample", "neighbor_sample_2hop",
     "doc_length_quantiles_sketch",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",

@@ -245,3 +245,35 @@ def test_group_sample_per_group_prio_independent_draws():
     for g, i in expect:
         per_group.setdefault(g, set()).add(i)
     assert len({frozenset(v) for v in per_group.values()}) > 1
+
+
+def test_neighbor_sample_2hop_matches_brute():
+    """fanout-(2,2) two-hop frontier vs brute per-source md5 rankings."""
+    import ray.data as rd
+
+    from drone_ray.functions.minhash import md5_lower64
+    from drone_ray.pipelines.aggregates import neighbor_sample_2hop
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 25, 200).astype(np.int64)
+    dst = rng.integers(0, 25, 200).astype(np.int64)
+    keep = src != dst
+    pairs = sorted(set(zip(src[keep].tolist(), dst[keep].tolist())))
+    ds = rd.from_arrow(pa.table({"src": pa.array([p[0] for p in pairs], pa.int64()),
+                                 "dst": pa.array([p[1] for p in pairs], pa.int64())}))
+    got = neighbor_sample_2hop(ds, 2, 2, num_buckets=8).to_pandas()
+
+    outs: dict[int, list] = {}
+    for s, d in pairs:
+        outs.setdefault(s, []).append(d)
+
+    def sample(v, f):
+        return sorted(outs.get(v, []),
+                      key=lambda d: (md5_lower64(f"gs-{v}-{d}"), d))[:f]
+
+    expect = set()
+    for root in outs:
+        for mid in sample(root, 2):
+            for d in sample(mid, 2):
+                expect.add((root, mid, d))
+    assert set(zip(got["root"], got["mid"], got["dst"])) == expect
