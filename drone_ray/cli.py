@@ -7,7 +7,7 @@
 Subcommands: build-pages-graph (pages parquet → extract → edges parquet),
 pagerank, pagerank-weighted, katz, wcc, wcc-star, lpa, sssp, sssp-weighted,
 sssp-negative (Bellman-Ford with negative-cycle detection), betweenness,
-harmonic, simulation, triangles, ktruss (support-peeling cohesion),
+harmonic, closeness, simulation, triangles, ktruss (support-peeling cohesion),
 bowtie (Broder core/in/out/tendril/disconnected classes), random-walks
 (deterministic DeepWalk corpus), salsa (stochastic hubs/authorities),
 hyperanf (HLL neighborhood function / effective diameter), mis
@@ -54,7 +54,7 @@ def main(argv=None) -> dict:
     ap.add_argument("command", choices=[
         "build-pages-graph", "pagerank", "pagerank-weighted", "katz", "wcc",
         "wcc-star", "lpa", "sssp", "sssp-weighted", "sssp-negative",
-        "betweenness", "harmonic", "simulation", "triangles", "ktruss",
+        "betweenness", "harmonic", "closeness", "simulation", "triangles", "ktruss",
         "bowtie", "random-walks", "salsa", "hyperanf", "mis", "coloring",
     ])
     ap.add_argument("--pages", help="pages parquet dir (build-pages-graph)")
@@ -230,7 +230,7 @@ def main(argv=None) -> dict:
         res = A.bellman_ford_sssp(ef, key + ":wneg", source, n_vertices=n,
                                   num_partitions=args.partitions,
                                   weight_col=args.weight_col, **hk)
-    elif args.command in ("betweenness", "harmonic"):
+    elif args.command in ("betweenness", "harmonic", "closeness"):
         if args.sources == "all":
             sources = "all"  # exact mode: resumable source-batched schedule
         elif args.sources:
@@ -238,7 +238,8 @@ def main(argv=None) -> dict:
         else:
             sources = [int(ef().min("src"))]
         hk.pop("ownership", None)
-        fn = A.betweenness if args.command == "betweenness" else A.harmonic_centrality
+        fn = {"betweenness": A.betweenness, "harmonic": A.harmonic_centrality,
+              "closeness": A.closeness_centrality}[args.command]
         res = fn(ef, key, sources, args.partitions, **hk)
     elif args.command == "wcc":
         res = A.connected_components(ef, key, args.partitions,

@@ -1175,9 +1175,8 @@ class HarmonicCentrality(VertexProgram):
         a = st["aux"]
         fb = a.get("feedback") or {}
         if int(fb.get("any_new", 1)) == 0:
-            # frontier died globally: accumulate reciprocals, next source
-            settled = st["d"] >= 1
-            st["harm"][settled] += 1.0 / st["d"][settled]
+            # frontier died globally: accumulate this source, next source
+            self._accumulate(st)
             a["sidx"] += 1
             if a["sidx"] >= len(self.sources):
                 return None, {"new_settled": 0, "edges": 0, "done": True}
@@ -1196,11 +1195,54 @@ class HarmonicCentrality(VertexProgram):
             sent = int(v.size)
         return msgs, {"new_settled": int(new.size), "edges": sent, "done": False}
 
+    def _accumulate(self, st):
+        """Fold the finished source's distance layer into the running
+        accumulator(s). Subclass hook — closeness overrides it."""
+        settled = st["d"] >= 1
+        st["harm"][settled] += 1.0 / st["d"][settled]
+
     def emit(self, g, st):
         return pa.table(
             {
                 "vid": pa.array(g.owned, pa.int64()),
                 "harmonic": pa.array(st["harm"], pa.float64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+class ClosenessCentrality(HarmonicCentrality):
+    """Sampled closeness centrality over a fixed source set: per vertex v,
+    ``sum_d`` = Σ_{s : d(s,v) ≥ 1} d(s,v) and ``reach`` = |{s : d(s,v) ≥ 1}|
+    — the raw, mergeable moments of the reach-normalized closeness
+    C(v) = reach / sum_d (the disconnected-graph form; exact when
+    sources = all vertices, per Wasserman & Faust's reachable-set
+    variant). Shares the layered-BFS engine with
+    :class:`HarmonicCentrality` verbatim — only the accumulate step and
+    the emitted columns differ. Both moments are plain sums over
+    sources, so per-source-batch partials merge by addition
+    (``_exact_all_sources`` sums both columns). Extension beyond the
+    reference, same plugin surface."""
+
+    def init_state(self, g):
+        return {
+            "sum_d": np.zeros(g.n),
+            "reach": np.zeros(g.n),
+            "d": np.full(g.n, -1, np.int64),
+            "aux": {"sidx": 0, "flayer": 0},
+        }
+
+    def _accumulate(self, st):
+        settled = st["d"] >= 1
+        st["sum_d"][settled] += st["d"][settled]
+        st["reach"][settled] += 1.0
+
+    def emit(self, g, st):
+        return pa.table(
+            {
+                "vid": pa.array(g.owned, pa.int64()),
+                "sum_d": pa.array(st["sum_d"], pa.float64()),
+                "reach": pa.array(st["reach"], pa.float64()),
             }
         )
 

@@ -22,6 +22,7 @@ from drone_ray.graph.programs import (
     SSSP,
     BellmanFordSSSP,
     BetweennessCentrality,
+    ClosenessCentrality,
     HarmonicCentrality,
     IncrementalPageRank,
     ConnectedComponents,
@@ -614,10 +615,11 @@ def _iter_source_batches(manifest, source_batch: int):
         yield pending
 
 
-def _sum_by_vid(ds, value_col: str, num_buckets: int = 32):
+def _sum_by_vid(ds, value_col: str | list[str], num_buckets: int = 32):
     """Bucketed per-vid sum of the per-source-batch partial tables (house
     pattern: vectorized per-block partial → one hash-bucket shuffle →
-    vectorized per-bucket finish)."""
+    vectorized per-bucket finish). ``value_col`` may name several columns
+    (e.g. closeness's (sum_d, reach) moments) — each sums independently."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -625,23 +627,23 @@ def _sum_by_vid(ds, value_col: str, num_buckets: int = 32):
     from drone_ray.hashing import mix64
     from drone_ray.pipelines._util import pin_schema
 
+    cols = [value_col] if isinstance(value_col, str) else list(value_col)
+
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame(
-            {
-                "vid": b["vid"].to_numpy(zero_copy_only=False),
-                value_col: b[value_col].to_numpy(zero_copy_only=False),
-            }
+            {"vid": b["vid"].to_numpy(zero_copy_only=False)}
+            | {c: b[c].to_numpy(zero_copy_only=False) for c in cols}
         )
-        agg = df.groupby("vid", sort=False)[value_col].sum().reset_index()
+        agg = df.groupby("vid", sort=False)[cols].sum().reset_index()
         vid = agg["vid"].to_numpy(np.int64)
         agg["_b"] = (mix64(vid.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("vid", sort=False)[value_col].sum().reset_index()
-        return agg[["vid", value_col]]
+        agg = g.groupby("vid", sort=False)[cols].sum().reset_index()
+        return agg[["vid", *cols]]
 
-    schema = pa.schema([("vid", pa.int64()), (value_col, pa.float64())])
+    schema = pa.schema([("vid", pa.int64())] + [(c, pa.float64()) for c in cols])
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("_b")
@@ -733,7 +735,8 @@ def _exact_all_sources(
         f for d in part_dirs for f in _glob.glob(os.path.join(d, "**", "*.parquet"),
                                                  recursive=True)
     )
-    union = rd.read_parquet(files, columns=["vid", value_col])
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    union = rd.read_parquet(files, columns=["vid", *vcols])
     result = _sum_by_vid(union, value_col)
     if os.path.isdir(final_dir):
         shutil.rmtree(final_dir)
@@ -788,6 +791,32 @@ def harmonic_centrality(
             m, HarmonicCentrality, "harmonic", "fwd",
             source_batch=source_batch, max_steps=max_steps, **harness_kwargs)
     return _run(m, HarmonicCentrality, {"sources": sources},
+                direction="fwd", max_steps=max_steps, **harness_kwargs)
+
+
+def closeness_centrality(
+    edges_factory,
+    cache_key: str,
+    sources,
+    num_partitions: int = 8,
+    max_steps: int = 2000,
+    source_batch: int = 64,
+    **harness_kwargs,
+) -> ProgramResult:
+    """Sampled closeness centrality (programs.ClosenessCentrality): raw
+    (sum_d, reach) moments per vertex over ``sources``; C(v) =
+    reach / sum_d is the reach-normalized estimator. Same layered-BFS
+    engine and cost envelope as harmonic_centrality.
+
+    ``sources="all"``: exact closeness via the resumable source-batched
+    schedule — both moments are additive across source batches, so the
+    bucketed two-column sum merges partials exactly (Θ(V·E))."""
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    if sources == "all":
+        return _exact_all_sources(
+            m, ClosenessCentrality, ["sum_d", "reach"], "fwd",
+            source_batch=source_batch, max_steps=max_steps, **harness_kwargs)
+    return _run(m, ClosenessCentrality, {"sources": sources},
                 direction="fwd", max_steps=max_steps, **harness_kwargs)
 
 

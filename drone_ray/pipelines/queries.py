@@ -1068,6 +1068,30 @@ def q_harmonic(sf_dir: str):
     )
 
 
+def q_closeness(sf_dir: str):
+    """Sampled closeness centrality from {v : v % BC_SOURCE_MOD == 0}:
+    same layered-BFS engine and source set as q_harmonic, but the program
+    accumulates the raw (sum_d, reach) moments and the query folds them to
+    the reach-normalized estimator C(v) = reach / sum_d (0 for vertices no
+    source reaches). Oracle = count/sum over the capped walk's min
+    distances."""
+    from drone_ray.pipelines.analytics import closeness_centrality
+
+    sources = [v for v in range(M) if v % BC_SOURCE_MOD == 0]
+    t = closeness_centrality(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), sources, GRAPH_PARTITIONS
+    ).to_table()
+    sum_d = t["sum_d"].to_numpy()
+    reach = t["reach"].to_numpy()
+    c = np.where(sum_d > 0, reach / np.where(sum_d > 0, sum_d, 1.0), 0.0)
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "closeness": pa.array(np.round(c, 6), pa.float64()),
+        }
+    )
+
+
 def q_corpus_clean(sf_dir: str):
     """The composed training-data cleaning chain (webtext.corpus_clean):
     PII scrub → Gopher repetition gate → corpus-wide chunk dedup, one row
@@ -2232,6 +2256,27 @@ SELECT v.vid, round(coalesce(h.harmonic, 0.0), 6) AS harmonic
 FROM vtx v LEFT JOIN h ON h.vid = v.vid
 """
 
+# Closeness centrality: identical capped multi-source walk; the estimator
+# is reach-normalized — C(v) = |reached sources| / Σ d — so disconnected
+# vertices score 0 instead of poisoning the mean (Wasserman–Faust form).
+_CLOSENESS_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+srcs AS (SELECT vid AS s FROM vtx WHERE vid % {BC_SOURCE_MOD} = 0),
+walk(s, vid, d) AS (
+  SELECT s, s, 0 FROM srcs
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.vid
+  WHERE w.d < {BC_ORACLE_CAP}
+),
+dist AS (SELECT s, vid, min(d) AS d FROM walk GROUP BY 1, 2),
+c AS (SELECT vid, sum(d) AS sum_d, count(*) AS reach
+      FROM dist WHERE d >= 1 GROUP BY 1)
+SELECT v.vid, round(coalesce(c.reach / c.sum_d, 0.0), 6) AS closeness
+FROM vtx v LEFT JOIN c ON c.vid = v.vid
+"""
+
 _QUANTILES_SQL = (
     "WITH n AS (SELECT CASE WHEN trim(text) = '' THEN 0 ELSE "
     f"len({_TOKENS_SQL}) END AS v FROM documents) "
@@ -3218,6 +3263,7 @@ SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM bfs GROUP BY vid""",
     "ktruss": (q_ktruss, None),
     "betweenness": (q_betweenness, _BC_SQL),
     "harmonic": (q_harmonic, _HARMONIC_SQL),
+    "closeness": (q_closeness, _CLOSENESS_SQL),
     "pagerank_pages": (q_pagerank_pages, None),  # vids are custom url hashes
     "pagerank_pages_hostloc": (q_pagerank_pages_hostloc, None),  # host-partitioned
     "extract_pages": (q_extract_pages, _EXTRACT_PAGES_SQL),
@@ -3429,7 +3475,7 @@ _ORDER = [
     "bibliographic_coupling", "host_sample", "mis", "coloring",
     "quality_sample", "corpus_prepare", "seed_bfs", "domain_mix",
     "unigram_ppl", "neighbor_sample", "neighbor_sample_2hop",
-    "doc_length_quantiles_sketch",
+    "doc_length_quantiles_sketch", "closeness",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",
     "degree_assortativity", "corpus_clean",

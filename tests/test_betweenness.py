@@ -137,3 +137,62 @@ def test_harmonic_exact_all_sources_mode():
     assert set(got) == set(exp)
     for v in exp:
         assert abs(got[v] - exp[v]) < 1e-9, f"vid {v}"
+
+def test_closeness_vs_bfs_oracle():
+    from drone_ray.oracles import bfs_oracle
+    from drone_ray.pipelines.analytics import closeness_centrality
+
+    rng = np.random.default_rng(41)
+    src = rng.integers(0, 60, 300).astype(np.int64)
+    dst = rng.integers(0, 60, 300).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    sources = [0, 5, 11, 40]
+    res = closeness_centrality(lambda: _ds(src, dst), "clo_rand_v1", sources, num_partitions=3)
+    t = res.to_table()
+    got = {
+        int(v): (s, r)
+        for v, s, r in zip(t["vid"].to_pylist(), t["sum_d"].to_pylist(), t["reach"].to_pylist())
+    }
+    vids = set(np.concatenate([src, dst]).tolist())
+    exp = {int(v): [0.0, 0.0] for v in vids}
+    for s in sources:
+        if s not in vids:
+            continue
+        for v, d in bfs_oracle(src, dst, s).items():
+            if d >= 1:
+                exp[v][0] += d
+                exp[v][1] += 1.0
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == tuple(exp[v]), f"vid {v}: {got[v]} != {exp[v]}"
+
+
+def test_closeness_exact_all_sources_mode():
+    from drone_ray.oracles import bfs_oracle
+    from drone_ray.pipelines.analytics import closeness_centrality
+
+    rng = np.random.default_rng(43)
+    src = rng.integers(0, 35, 150).astype(np.int64)
+    dst = rng.integers(0, 35, 150).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    vids = sorted(set(np.concatenate([src, dst]).tolist()))
+    res = closeness_centrality(
+        lambda: _ds(src, dst), "clo_exact_all_v1", "all",
+        num_partitions=3, source_batch=6,
+    )
+    t = res.to_table()
+    got = {
+        int(v): (s, r)
+        for v, s, r in zip(t["vid"].to_pylist(), t["sum_d"].to_pylist(), t["reach"].to_pylist())
+    }
+    exp = {int(v): [0.0, 0.0] for v in vids}
+    for s in vids:
+        for v, d in bfs_oracle(src, dst, s).items():
+            if d >= 1:
+                exp[v][0] += d
+                exp[v][1] += 1.0
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == tuple(exp[v]), f"vid {v}"
