@@ -7,7 +7,7 @@
 Subcommands: build-pages-graph (pages parquet → extract → edges parquet),
 pagerank, pagerank-weighted, katz, wcc, wcc-star, lpa, sssp, sssp-weighted,
 sssp-negative (Bellman-Ford with negative-cycle detection), betweenness,
-harmonic, closeness, simulation, triangles, ktruss (support-peeling cohesion),
+harmonic, closeness, louvain, simulation, triangles, ktruss (support-peeling cohesion),
 bowtie (Broder core/in/out/tendril/disconnected classes), random-walks
 (deterministic DeepWalk corpus), salsa (stochastic hubs/authorities),
 hyperanf (HLL neighborhood function / effective diameter), mis
@@ -55,7 +55,7 @@ def main(argv=None) -> dict:
         "build-pages-graph", "pagerank", "pagerank-weighted", "katz", "wcc",
         "wcc-star", "lpa", "sssp", "sssp-weighted", "sssp-negative",
         "betweenness", "harmonic", "closeness", "simulation", "triangles", "ktruss",
-        "bowtie", "random-walks", "salsa", "hyperanf", "mis", "coloring",
+        "bowtie", "louvain", "random-walks", "salsa", "hyperanf", "mis", "coloring",
     ])
     ap.add_argument("--pages", help="pages parquet dir (build-pages-graph)")
     ap.add_argument("--edges", help="edge-table parquet dir")
@@ -261,6 +261,16 @@ def main(argv=None) -> dict:
         ds.write_parquet(args.out)
         return {"command": args.command, "out": args.out,
                 "n_vertices": ds.count()}
+    elif args.command == "louvain":
+        # Dataset-composition pipeline (no graph actors): edges in, one
+        # (vid, community) parquet out
+        from drone_ray.pipelines.louvain import louvain as _louvain
+
+        ds, linfo = _louvain(ef(), max_rounds=args.max_rounds or 6)
+        ds.write_parquet(args.out)
+        return {"command": args.command, "out": args.out,
+                "n_vertices": ds.count(), **{k: v for k, v in linfo.items()
+                                             if k != "history"}}
     elif args.command == "random-walks":
         hk.pop("ownership", None)
         # walks are deterministic — a rerun beats a checkpoint (see

@@ -397,3 +397,103 @@ def betweenness_oracle(src: np.ndarray, dst: np.ndarray, sources):
             if u != si:
                 bc[u] += delta[u]
     return {int(vids[i]): float(bc[i]) for i in range(n)}
+
+
+def louvain_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    max_rounds: int = 10,
+    max_levels: int = 4,
+):
+    """Single-machine mirror of pipelines.louvain: identical symmetrize /
+    strength / gain / parity-alternation / tie-break / contraction rules,
+    evaluated with dense numpy. Returns (vids, community, modularity)."""
+    from drone_ray.hashing import mix64
+
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    keep = src != dst
+    u = np.concatenate([src[keep], dst[keep]])
+    v = np.concatenate([dst[keep], src[keep]])
+    pairs, w = np.unique(np.stack([u, v], axis=1), axis=0, return_counts=True)
+    au, av, aw = pairs[:, 0], pairs[:, 1], w.astype(np.int64)
+    m2 = int(aw.sum())
+    vids0 = np.unique(au)
+    if m2 == 0:
+        return vids0, vids0.copy(), 0.0
+    # S over current-level nodes
+    node = vids0.copy()
+    k = np.zeros(node.size, np.int64)
+    np.add.at(k, np.searchsorted(node, au), aw)
+    label = node.copy()
+    mapping = None  # orig vid -> current community
+    for _level in range(max_levels):
+        level_moves = 0
+        zero_streak = 0
+        for r in range(max_rounds):
+            # community volumes
+            labs, linv = np.unique(label, return_inverse=True)
+            vol = np.zeros(labs.size, np.int64)
+            np.add.at(vol, linv, k)
+            a_of_node = vol[linv]
+            # candidate weights per (u, C) excluding self rows
+            nm = au != av
+            eu, ev, ew = au[nm], av[nm], aw[nm]
+            pu = np.searchsorted(node, eu)
+            pv = np.searchsorted(node, ev)
+            C = label[pv]
+            pc, pinv = np.unique(np.stack([eu, C], axis=1), axis=0, return_inverse=True)
+            wsum = np.zeros(pc.shape[0], np.int64)
+            np.add.at(wsum, pinv, ew)
+            cu, cC, cw = pc[:, 0], pc[:, 1], wsum
+            cpos = np.searchsorted(node, cu)
+            ku = k[cpos]
+            Du = label[cpos]
+            aC = vol[np.searchsorted(labs, cC)]
+            selfm = cC == Du
+            stay_w = np.zeros(node.size, np.int64)
+            stay_w[cpos[selfm]] = cw[selfm]
+            stay_gain = stay_w - k * (a_of_node - k) / m2
+            nd = ~selfm
+            gain = cw[nd] - ku[nd] * aC[nd] / m2
+            un, Cn = cu[nd], cC[nd]
+            newlab = label.copy()
+            mv = 0
+            if un.size:
+                o = np.lexsort((Cn, -gain, un))
+                uo, go, Co = un[o], gain[o], Cn[o]
+                first = np.ones(uo.size, bool)
+                first[1:] = uo[1:] != uo[:-1]
+                bu, bg, bC = uo[first], go[first], Co[first]
+                bpos = np.searchsorted(node, bu)
+                allowed = ((mix64(node) + np.uint64(r)) % np.uint64(2)) == 0
+                sel = (bg > stay_gain[bpos]) & allowed[bpos]
+                newlab[bpos[sel]] = bC[sel]
+                mv = int(sel.sum())
+            label = newlab
+            level_moves += mv
+            zero_streak = zero_streak + 1 if mv == 0 else 0
+            if zero_streak >= 2:
+                break
+        if level_moves == 0:
+            break
+        # compose mapping
+        if mapping is None:
+            mapping = label.copy()  # indexed by vids0 order == node order
+        else:
+            mapping = label[np.searchsorted(node, mapping)]
+        # contract
+        Cu = label[np.searchsorted(node, au)]
+        Cv = label[np.searchsorted(node, av)]
+        pc, pinv = np.unique(np.stack([Cu, Cv], axis=1), axis=0, return_inverse=True)
+        wsum = np.zeros(pc.shape[0], np.int64)
+        np.add.at(wsum, pinv, aw)
+        au, av, aw = pc[:, 0], pc[:, 1], wsum
+        node = np.unique(au)
+        k = np.zeros(node.size, np.int64)
+        np.add.at(k, np.searchsorted(node, au), aw)
+        label = node.copy()
+    selfw = int(aw[au == av].sum())
+    q = selfw / m2 - float(np.sum((k / m2) ** 2))
+    community = mapping if mapping is not None else vids0.copy()
+    return vids0, community, round(q, 9)

@@ -1092,6 +1092,19 @@ def q_closeness(sf_dir: str):
     )
 
 
+def q_louvain(sf_dir: str):
+    """Deterministic distributed Louvain over the link graph
+    (pipelines.louvain): hash-parity alternating local moves + level
+    contraction. Not SQL-expressible (iterative argmax over evolving
+    community volumes) — conformance gate is the dense mirror oracle in
+    tests/test_louvain.py (exact label + modularity equality), plus
+    bucket/partition invariance there."""
+    from drone_ray.pipelines.louvain import louvain
+
+    out, _info = louvain(lg_edges(sf_dir), max_rounds=5, max_levels=3, num_buckets=16)
+    return out
+
+
 def q_corpus_clean(sf_dir: str):
     """The composed training-data cleaning chain (webtext.corpus_clean):
     PII scrub → Gopher repetition gate → corpus-wide chunk dedup, one row
@@ -3264,6 +3277,7 @@ SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM bfs GROUP BY vid""",
     "betweenness": (q_betweenness, _BC_SQL),
     "harmonic": (q_harmonic, _HARMONIC_SQL),
     "closeness": (q_closeness, _CLOSENESS_SQL),
+    "louvain": (q_louvain, None),
     "pagerank_pages": (q_pagerank_pages, None),  # vids are custom url hashes
     "pagerank_pages_hostloc": (q_pagerank_pages_hostloc, None),  # host-partitioned
     "extract_pages": (q_extract_pages, _EXTRACT_PAGES_SQL),
@@ -3496,7 +3510,7 @@ _ORDER = [
     "token_stats", "doc_fingerprint", "bpe_token_stats",
     # tier 5 — no_oracle by design (approximate / non-SQL-expressible),
     # each pytest-gated
-    "pagerank_incremental", "graph_simulation", "ktruss", "hyperanf",
+    "pagerank_incremental", "graph_simulation", "ktruss", "hyperanf", "louvain",
     "pagerank_pages",
     "pagerank_pages_hostloc", "vocabulary_hll", "ann_topk_lsh",
     "ann_topk_ivf", "ann_topk_ivf_dist", "embedding_near_dup_lsh",
