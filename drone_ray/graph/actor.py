@@ -432,8 +432,16 @@ class GraphPartitionActor:
             for k, v in self.state.items():
                 if k != "aux":
                     s = v[off : off + cnt]
-                    # 2-D state (e.g. simulation matrices) → list column
-                    cols[k] = pa.array(s.tolist()) if v.ndim == 2 else pa.array(s)
+                    # 2-D state (simulation matrices, HyperANF registers,
+                    # coloring seen-masks) → list column with the element
+                    # dtype PINNED: python-int inference would pick int64
+                    # for a block whose uint64 values happen to stay low,
+                    # making the restored dtype depend on the data
+                    cols[k] = (
+                        pa.array(s.tolist(), type=pa.list_(pa.from_numpy_dtype(v.dtype)))
+                        if v.ndim == 2
+                        else pa.array(s)
+                    )
             return pa.table(cols).replace_schema_metadata(meta)
 
         tmp = os.path.join(step_dir, f".state-{self.p}.tmp")
@@ -482,8 +490,12 @@ class GraphPartitionActor:
             for k in live[0]:
                 cat = np.concatenate([m[k] for m in live])
                 # 2-D payload lanes (HyperANF register rows) → list column,
-                # mirroring the 2-D state handling above
-                mcols[k] = pa.array(cat.tolist()) if cat.ndim == 2 else pa.array(cat)
+                # mirroring the 2-D state handling above (element dtype pinned)
+                mcols[k] = (
+                    pa.array(cat.tolist(), type=pa.list_(pa.from_numpy_dtype(cat.dtype)))
+                    if cat.ndim == 2
+                    else pa.array(cat)
+                )
             mt = pa.table(mcols)
             tmp = os.path.join(step_dir, f".msgs-{self.p}.tmp")
             pq.write_table(mt, tmp)
@@ -498,7 +510,11 @@ class GraphPartitionActor:
             if name != "vid":
                 col = t[name]
                 if pa.types.is_list(col.type):
-                    state[name] = np.array(col.to_pylist(), dtype=np.int64)
+                    # restore with the saved element dtype (uint64 masks,
+                    # uint8 registers): a flat int64 restore would both
+                    # break unsigned bit ops and overflow on bit-63 values
+                    vt = np.dtype(col.type.value_type.to_pandas_dtype())
+                    state[name] = np.array(col.to_pylist(), dtype=vt)
                 else:
                     # copy: Arrow-backed numpy views are read-only, state mutates
                     state[name] = np.array(col.to_numpy(zero_copy_only=False))
@@ -524,7 +540,10 @@ class GraphPartitionActor:
             self._pending = [
                 {
                     c: (
-                        np.array(mt[c].to_pylist(), dtype=np.int64)
+                        np.array(
+                            mt[c].to_pylist(),
+                            dtype=np.dtype(mt[c].type.value_type.to_pandas_dtype()),
+                        )
                         if pa.types.is_list(mt[c].type)
                         else mt[c].to_numpy(zero_copy_only=False)
                     )

@@ -2063,9 +2063,11 @@ class GreedyColoring(VertexProgram):
     announce (vid → color) rows on the generic extra-key route
     (``extra_key="color"``, count-sum combine), so a receiver gets one
     (color, count) row per inbound color: counts drain the wait-counter,
-    colors fill a 64-bit seen-mask, and mex(mask) = the lowest zero bit.
-    Colors are capped at 64 — greedy colors ≤ degeneracy+1, far under 64
-    on web graphs; a denser graph raises loudly rather than mis-coloring.
+    colors fill a multi-word seen-mask (``max_colors``/64 uint64 lanes,
+    default 256 colors), and mex = the lowest zero bit across lanes.
+    Greedy colors ≤ degeneracy+1, far under the default on web graphs; a
+    denser graph raises loudly rather than mis-coloring — raise
+    ``max_colors`` (rounded up to a multiple of 64) to extend.
 
     Ties are impossible by construction ((p, vid) is a total order).
     Rounds = the longest priority-decreasing path, O(log n) w.h.p. The
@@ -2077,9 +2079,12 @@ class GreedyColoring(VertexProgram):
     needs_symmetrized = True
     default_direction = "both"
     channels = ()  # generic route path
-    MAX_COLORS = 64
 
-    def __init__(self):
+    def __init__(self, max_colors: int = 256):
+        if max_colors <= 0:
+            raise ValueError("max_colors must be positive")
+        self.W = -(-int(max_colors) // 64)  # uint64 lanes in the seen-mask
+        self.max_colors = self.W * 64
         self._l_adj = None  # lower-priority compacted adjacency (per actor)
         self._l_indptr = None
 
@@ -2127,9 +2132,36 @@ class GreedyColoring(VertexProgram):
         return {
             "color": np.full(g.n, -1, dtype=np.int64),
             "wait": wait,
-            "used": np.zeros(g.n, dtype=np.uint64),
+            "used": np.zeros((g.n, self.W), dtype=np.uint64),
             "aux": {},
         }
+
+    def _mex_color(self, st, rows: np.ndarray) -> None:
+        """color[rows] = lowest color absent from each row's seen-mask."""
+        x = ~st["used"][rows]  # (R, W); a set bit of x == a free color
+        free = x != 0
+        ok = free.any(axis=1)
+        if not ok.all():
+            # every lane saturated ⇒ no free bit: without this test the
+            # isolated-bit log2 would silently yield color 0 (improper!)
+            raise OverflowError(
+                f"greedy coloring needs ≥{self.max_colors} colors — raise "
+                "max_colors (the seen-mask cannot represent this graph's "
+                "degeneracy)"
+            )
+        widx = np.argmax(free, axis=1)  # first lane with a free bit
+        xw = x[np.arange(rows.size), widx]
+        low = xw & (~xw + np.uint64(1))
+        st["color"][rows] = widx.astype(np.int64) * 64 + _ilog2(low)
+
+    @staticmethod
+    def _mark_used(st, li: np.ndarray, cols: np.ndarray) -> None:
+        c = cols.astype(np.uint64)
+        np.bitwise_or.at(
+            st["used"],
+            (li, (c >> np.uint64(6)).astype(np.int64)),
+            np.uint64(1) << (c & np.uint64(63)),
+        )
 
     def _cascade(self, g, st, rows):
         """Color ``rows`` and chase the readiness cascade to its LOCAL
@@ -2149,17 +2181,7 @@ class GreedyColoring(VertexProgram):
         edges = 0
         n_colored = 0
         while rows.size:
-            x = ~st["used"][rows]  # lowest set bit of x == lowest free color
-            if not x.all():
-                # all 64 mask bits set ⇒ no free bit: x == 0 would make the
-                # isolated-bit log2 silently yield color 0 (improper!) —
-                # this saturation test is the real ≥64-colors guard
-                raise OverflowError(
-                    "greedy coloring needs ≥64 colors — the 64-bit seen-mask "
-                    "cannot represent this graph's degeneracy"
-                )
-            low = x & (~x + np.uint64(1))
-            st["color"][rows] = _ilog2(low)
+            self._mex_color(st, rows)
             n_colored += int(rows.size)
             kept, lens, dsts = _gather_neighbors(self._l_indptr, self._l_adj, rows)
             if kept.size == 0:
@@ -2173,7 +2195,7 @@ class GreedyColoring(VertexProgram):
             if not lm.any():
                 break
             li = g.local_index(dsts[lm])
-            np.bitwise_or.at(st["used"], li, np.uint64(1) << cols[lm].astype(np.uint64))
+            self._mark_used(st, li, cols[lm])
             np.add.at(st["wait"], li, -1)
             rows = np.flatnonzero((st["color"] == -1) & (st["wait"] == 0))
         if not rem_d:
@@ -2195,8 +2217,7 @@ class GreedyColoring(VertexProgram):
         if inbound is None:
             return None, {"edges": 0, "n_colored": 0}
         l = g.local_index(inbound["vid"])
-        cols = inbound["color"].astype(np.uint64)
-        np.bitwise_or.at(st["used"], l, np.uint64(1) << cols)
+        self._mark_used(st, l, inbound["color"])
         np.subtract.at(st["wait"], l, inbound["val"].astype(np.int64))
         ready = np.flatnonzero((st["color"] == -1) & (st["wait"] == 0))
         msgs, sent, nc = self._cascade(g, st, ready)

@@ -395,15 +395,18 @@ def coloring(
     edges_factory,
     cache_key: str,
     num_partitions: int = 8,
+    max_colors: int = 256,
     **harness_kwargs,
 ) -> ProgramResult:
     """Deterministic Jones–Plassmann greedy coloring
     (programs.GreedyColoring) — md5-priority order, announcement rows on
-    the extra-key route, mex via a 64-bit seen-mask."""
+    the extra-key route, mex via a multi-word seen-mask (``max_colors``
+    capacity, loud overflow)."""
     from drone_ray.graph.programs import GreedyColoring
 
     m = graph_for(edges_factory, cache_key, num_partitions)
-    return _run(m, GreedyColoring, {}, direction="both", **harness_kwargs)
+    return _run(m, GreedyColoring, {"max_colors": max_colors},
+                direction="both", **harness_kwargs)
 
 
 def seed_bfs(

@@ -132,9 +132,29 @@ def test_coloring_resume_identical(tmp_path):
     assert got == expect
 
 
-def test_coloring_refuses_65_clique():
-    """Degeneracy >= 64 must raise loudly, not silently emit color 0
-    (the seen-mask saturation guard)."""
+def test_coloring_65_clique_multiword_mask():
+    """A 65-clique needs 65 colors: the multi-word seen-mask (default 256
+    colors) must produce a proper coloring — on a complete graph greedy
+    assigns every vertex a distinct color 0..64."""
+    k = 65
+    s, d = [], []
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                s.append(i)
+                d.append(j)
+    from drone_ray.pipelines.analytics import coloring
+
+    res = coloring(lambda: _edges_ds(np.array(s, np.int64), np.array(d, np.int64)),
+                   "col_clique65_v2", num_partitions=2)
+    t = res.to_table()
+    cols = sorted(t["color"].to_numpy().tolist())
+    assert cols == list(range(k))
+
+
+def test_coloring_refuses_saturated_mask():
+    """With max_colors=64 a 65-clique must raise loudly, not silently
+    emit color 0 (the seen-mask saturation guard)."""
     k = 65
     s, d = [], []
     for i in range(k):
@@ -146,5 +166,5 @@ def test_coloring_refuses_65_clique():
 
     with pytest.raises(Exception) as ei:
         coloring(lambda: _edges_ds(np.array(s, np.int64), np.array(d, np.int64)),
-                 "col_clique65", num_partitions=2)
+                 "col_clique65_cap64", num_partitions=2, max_colors=64)
     assert "64" in str(ei.value)
