@@ -605,6 +605,128 @@ def ngram_jaccard_near_dups(
     )
 
 
+def dup_span_stats(
+    docs: Dataset,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> Dataset:
+    """Per-document duplicated-span statistics — the position-level
+    exact-substring duplication signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL 2022,
+    arXiv:2107.06499), at n-token granularity: the n-gram starting at
+    token position p of a document is DUPLICATED iff the identical n-gram
+    occurs in at least 2 distinct documents. Emits one row per document
+    with ≥ n tokens: (doc_id, total_ngrams, dup_ngrams, dup_ratio) —
+    the memorization-risk profile a cleaning pipeline thresholds on.
+
+    SQL-equivalent semantics (queries._DUP_SPANS_SQL): whitespace tokens
+    of the trimmed text, positions NOT deduplicated (unlike the Jaccard
+    shingles above — a 5×-repeated span counts 5 positions), cross-doc
+    test via count(DISTINCT doc_id) ≥ 2. The engine compares 64-bit mixed
+    rolling hashes where the oracle compares strings — the same
+    collision stance as ngram_jaccard_near_dups.
+
+    Two bucketed shuffles, nothing driver-side: a document's text is one
+    row, so its per-(shingle, doc) position counts are complete per batch;
+    (1) they meet in hash(shingle) buckets where each row is one distinct
+    doc, so the distinct-doc count closes per group; (2) per-doc partial
+    (dup, total) sums close in hash(doc) buckets. Skew-free: no pair
+    expansion anywhere — a shingle shared by k docs costs k rows, not k²."""
+    from drone_ray.functions.minhash import _token_hashes
+    from drone_ray.hashing import mix64
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        sh_all, doc_all, npos_all = [], [], []
+        g = np.uint64(0x9E3779B97F4A7C15)
+        for did, text in zip(ids, texts):
+            toks = (text or "").split()
+            if len(toks) < n:
+                continue
+            th = _token_hashes(toks)
+            with np.errstate(over="ignore"):
+                acc = np.zeros(th.size - n + 1, np.uint64)
+                for j in range(n):
+                    acc = acc * g + th[j : th.size - n + 1 + j]
+                sh = mix64(acc)
+            uq, cnt = np.unique(sh, return_counts=True)
+            sh_all.append(uq)
+            doc_all.append(np.full(uq.size, did, np.int64))
+            npos_all.append(cnt.astype(np.int64))
+        if not sh_all:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                    "npos": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int64()),
+                }
+            )
+        sh = np.concatenate(sh_all)
+        return pa.table(
+            {
+                "sh": pa.array(sh.view(np.int64), pa.int64()),
+                "doc": pa.array(np.concatenate(doc_all), pa.int64()),
+                "npos": pa.array(np.concatenate(npos_all), pa.int64()),
+                "_b": pa.array((sh % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def bucket_docs(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        doc = g["doc"].to_numpy()
+        npos = g["npos"].to_numpy()
+        empty = pd.DataFrame(
+            {c: np.empty(0, np.int64) for c in ("doc", "tot", "dup", "_b2")}
+        )
+        if sh.size == 0:
+            return empty
+        # each (sh, doc) row is one distinct doc ⇒ group size == ndocs
+        uq, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+        dup_pos = np.where(cnt[inv] >= 2, npos, 0)
+        df = (
+            pd.DataFrame({"doc": doc, "tot": npos, "dup": dup_pos})
+            .groupby("doc", sort=False)
+            .sum()
+            .reset_index()
+        )
+        d = df["doc"].to_numpy(np.int64)
+        df["_b2"] = (mix64(d) % np.uint64(num_buckets)).astype(np.int64)
+        return df
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc", sort=False)[["tot", "dup"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc"],
+                "total_ngrams": agg["tot"],
+                "dup_ngrams": agg["dup"],
+                "dup_ratio": np.round(agg["dup"].to_numpy() / agg["tot"].to_numpy(), 6),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("total_ngrams", pa.int64()),
+            ("dup_ngrams", pa.int64()),
+            ("dup_ratio", pa.float64()),
+        ]
+    )
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(shingle_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(bucket_docs, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(finish, batch_format="pandas")
+        .map_batches(_pin(schema), batch_format="pyarrow", batch_size=None)
+    )
+
+
 # --- embedding cosine near-dup --------------------------------------------
 @ray.remote
 def _block_pair_sims(ta, tb, threshold, id_col, vec_col, same: bool):

@@ -1461,6 +1461,15 @@ def q_simhash_near_dup(sf_dir: str):
 NGRAM_JACCARD_T = 0.5
 
 
+def q_dup_spans(sf_dir: str):
+    """Per-document duplicated-span statistics (dedup.dup_span_stats):
+    3-gram positions whose gram recurs in ≥2 distinct docs — the Lee et
+    al. exact-substring memorization signal as a per-doc profile."""
+    from drone_ray.pipelines.dedup import dup_span_stats
+
+    return dup_span_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_ngram_jaccard_near_dup(sf_dir: str):
     """EXACT 3-gram Jaccard pairs — the oracle-backed ground truth the
     MinHash/SimHash approximations above target."""
@@ -2858,6 +2867,20 @@ SELECT vid, round(score, 6) AS score FROM pr WHERE iter = {PR_ITERS}
 
 # exact 3-gram Jaccard in pure SQL: distinct shingles per doc, pair
 # intersection counts via self-join on shared shingles, sizes join
+# Duplicated-span stats: one row per 3-gram POSITION (no dedup — unlike
+# the Jaccard shingles), duplicated iff the gram occurs in ≥2 distinct
+# docs; per-doc position counts and ratio.
+_DUP_SPANS_SQL = f"""WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents WHERE trim(text) <> ''),
+i AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 2)) AS p, tk FROM t WHERE len(tk) >= 3),
+s AS (SELECT doc_id, tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] AS sh FROM i),
+nd AS (SELECT sh, count(DISTINCT doc_id) AS ndocs FROM s GROUP BY 1),
+agg AS (SELECT s.doc_id, count(*) AS total_ngrams,
+               sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS dup_ngrams
+        FROM s JOIN nd USING (sh) GROUP BY 1)
+SELECT doc_id, total_ngrams, dup_ngrams,
+       round(CAST(dup_ngrams AS DOUBLE) / total_ngrams, 6) AS dup_ratio
+FROM agg"""
+
 _NGRAMJ_SQL = f"""WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents WHERE trim(text) <> ''),
 i AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 2)) AS p, tk FROM t WHERE len(tk) >= 3),
 s AS (SELECT DISTINCT doc_id, tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] AS sh FROM i),
@@ -3375,6 +3398,7 @@ FROM c""",
     "minhash_near_dup": (q_minhash_near_dup, _MINHASH_SQL),
     "simhash_near_dup": (q_simhash_near_dup, _SIMHASH_SQL),
     "ngram_jaccard_near_dup": (q_ngram_jaccard_near_dup, _NGRAMJ_SQL),
+    "dup_spans": (q_dup_spans, _DUP_SPANS_SQL),
     "ngram_containment": (
         q_ngram_containment,
         f"""WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents WHERE trim(text) <> ''),
@@ -3489,7 +3513,7 @@ _ORDER = [
     "bibliographic_coupling", "host_sample", "mis", "coloring",
     "quality_sample", "corpus_prepare", "seed_bfs", "domain_mix",
     "unigram_ppl", "neighbor_sample", "neighbor_sample_2hop",
-    "doc_length_quantiles_sketch", "closeness",
+    "doc_length_quantiles_sketch", "closeness", "dup_spans",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",
     "degree_assortativity", "corpus_clean",

@@ -221,3 +221,46 @@ def test_ngram_containment_directed_pairs():
     # symmetric Jaccard misses it at the same bar: 3/9 = 0.333
     j = ngram_jaccard_near_dups(rd.from_arrow(t), threshold=0.9).to_pandas()
     assert len(j) == 0
+
+
+def test_dup_span_stats_brute():
+    """dup_span_stats vs a brute-force per-position n-gram count."""
+    import ray.data as rd
+
+    from drone_ray.pipelines.dedup import dup_span_stats
+
+    docs = [
+        (1, "a b c d e a b c"),        # "a b c" twice in-doc
+        (2, "x a b c y"),              # shares "a b c" with doc 1
+        (3, "p q r s"),                # unique grams
+        (4, "a b"),                    # < n tokens: no row
+        (5, "   "),                    # empty: no row
+        (6, "p q r s"),                # exact dup of doc 3
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    got = {
+        r["doc_id"]: (r["total_ngrams"], r["dup_ngrams"], r["dup_ratio"])
+        for r in dup_span_stats(ds, n=3, num_buckets=4).take_all()
+    }
+    # brute force
+    from collections import Counter, defaultdict
+
+    grams = defaultdict(list)  # doc -> list of gram strings per position
+    for i, t in docs:
+        toks = t.split()
+        if len(toks) < 3:
+            continue
+        grams[i] = [" ".join(toks[p : p + 3]) for p in range(len(toks) - 2)]
+    docs_of = defaultdict(set)
+    for i, gs in grams.items():
+        for g in gs:
+            docs_of[g].add(i)
+    exp = {}
+    for i, gs in grams.items():
+        dup = sum(1 for g in gs if len(docs_of[g]) >= 2)
+        exp[i] = (len(gs), dup, round(dup / len(gs), 6))
+    assert got == exp
+    # doc 1: positions 0 and 5 both "a b c" (cross-doc dup with doc 2) —
+    # BOTH positions count (no shingle dedup)
+    assert got[1][1] >= 2
+    assert got[3] == (2, 2, 1.0) and got[6] == (2, 2, 1.0)
