@@ -52,7 +52,7 @@ def _edges_factory(path):
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser(prog="drone_ray")
     ap.add_argument("command", choices=[
-        "build-pages-graph", "pagerank", "pagerank-weighted", "katz", "wcc",
+        "build-pages-graph", "pagerank", "pagerank-weighted", "katz", "eigenvector", "wcc",
         "wcc-star", "lpa", "sssp", "sssp-weighted", "sssp-negative",
         "betweenness", "harmonic", "closeness", "simulation", "triangles", "ktruss",
         "bowtie", "louvain", "random-walks", "salsa", "hyperanf", "mis", "coloring",
@@ -212,6 +212,9 @@ def main(argv=None) -> dict:
         res = A.katz_centrality(ef, key, args.partitions, alpha=args.alpha,
                                 hub_threshold=args.hub_threshold,
                                 ownership=hk.pop("ownership", None), **hk)
+    elif args.command == "eigenvector":
+        hk.pop("ownership", None)
+        res = A.eigenvector_centrality(ef, key, args.partitions, **hk)
     elif args.command == "sssp-weighted":
         source = args.source
         if source is None:

@@ -934,6 +934,84 @@ class HITS(VertexProgram):
 
 
 # ---------------------------------------------------------------------------
+class EigenvectorCentrality(VertexProgram):
+    """Eigenvector centrality by K fixed L1-normalized power iterations of
+    the in-edge sum (Bonacich 1972; the single-phase half of HITS):
+
+        x_k = (Aᵀ · x_{k-1}) / ‖Aᵀ · x_{k-1}‖₁,   x_0 = 1
+
+    Runs on the forward view (push along out-edges ⇒ receivers sum their
+    in-neighbors); the L1 normalizer is a global scalar riding the
+    driver-feedback channel exactly like HITS' (pipeline_depth=1 is
+    inherent to normalized power iteration). Vertices with no in-edges
+    score 0 from iteration 1 — the standard eigenvector-centrality trait
+    (use Katz when a baseline score is wanted); on a cycle-free graph the
+    whole vector decays to 0, faithfully in both engine and oracle.
+
+    Superstep schedule, K+2 steps: step 0 pushes x_0 = 1; step s ∈ [1, K)
+    lands raw iterate s and pushes it; step K lands the last raw iterate
+    and reports its partial sum; step K+1 applies the final normalizer.
+    Fixed-iteration semantics → the driver-gate oracle is a recursive CTE
+    running the identical K normalized iterations (queries._EIGEN_SQL).
+    The reference ships no eigenvector centrality; this extends the same
+    plugin surface (/root/reference/src/protobuf/worker_service.proto:11-22)."""
+
+    default_direction = "fwd"
+    channels = ()  # generic route()
+    sender_precombine = False  # scalar sums: owner-side bincount absorbs dups
+    wants_feedback = True
+    checkpointable = True
+
+    def __init__(self, iters: int = 20):
+        self.K = int(iters)
+
+    @classmethod
+    def reduce_feedback(cls, step_metrics: list[dict]) -> dict:
+        return {"norm": float(sum(m.get("part_sum", 0.0) for m in step_metrics))}
+
+    @classmethod
+    def should_stop(cls, step_metrics: list[dict], step: int) -> bool:
+        return any(m.get("done") for m in step_metrics)
+
+    def init_state(self, g):
+        return {"x": np.ones(g.n), "raw": np.zeros(g.n), "aux": {"step": 0}}
+
+    def peval(self, g, st):
+        rows = np.flatnonzero(g.out_degree > 0)
+        dsts, vals = g.push(rows, st["x"][rows])
+        return _msgs(dsts, vals), {"edges": int(vals.size), "part_sum": 0.0}
+
+    def inceval(self, g, st, inbound):
+        st["aux"]["step"] += 1
+        s = st["aux"]["step"]
+        fb = st["aux"].get("feedback") or {}
+        norm = float(fb.get("norm", 1.0)) or 1.0
+        dense = np.zeros(g.n)
+        if inbound is not None:
+            li = inbound["li"] if "li" in inbound else g.local_index(inbound["vid"])
+            dense[li] = inbound["val"] / norm
+        if s > 1:
+            st["x"] = st["raw"] / norm
+        if s > self.K:  # final normalizer only
+            return None, {"edges": 0, "part_sum": 0.0, "done": True}
+        st["raw"] = dense
+        part = float(dense.sum())
+        if s == self.K:  # last iterate: normalize next step, no push
+            return None, {"edges": 0, "part_sum": part, "done": False}
+        rows = np.flatnonzero(dense)
+        dsts, vals = g.push(rows, dense[rows])
+        return _msgs(dsts, vals), {"edges": int(vals.size), "part_sum": part, "done": False}
+
+    def emit(self, g, st):
+        return pa.table(
+            {
+                "vid": pa.array(g.owned, pa.int64()),
+                "x": pa.array(st["x"], pa.float64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
 class BetweennessCentrality(VertexProgram):
     """Betweenness centrality over ``sources`` (exact when sources = all
     vertices; the standard sampled approximation otherwise) — Brandes'

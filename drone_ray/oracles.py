@@ -497,3 +497,19 @@ def louvain_oracle(
     q = selfw / m2 - float(np.sum((k / m2) ** 2))
     community = mapping if mapping is not None else vids0.copy()
     return vids0, community, round(q, 9)
+
+
+def eigenvector_oracle(src: np.ndarray, dst: np.ndarray, iters: int = 20):
+    """Dense K-step L1-normalized in-edge power iteration from x = 1 over
+    exact-deduped edges (mirrors programs.EigenvectorCentrality / the
+    queries._EIGEN_SQL recursion). Returns (vids, x)."""
+    vids, s, d = _relabel(np.asarray(src, np.int64), np.asarray(dst, np.int64))
+    pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    x = np.ones(vids.size)
+    for _ in range(iters):
+        raw = np.zeros(vids.size)
+        np.add.at(raw, d, x[s])
+        tot = raw.sum()
+        x = raw / tot if tot else raw
+    return vids, x

@@ -23,6 +23,7 @@ from drone_ray.graph.programs import (
     BellmanFordSSSP,
     BetweennessCentrality,
     ClosenessCentrality,
+    EigenvectorCentrality,
     HarmonicCentrality,
     IncrementalPageRank,
     ConnectedComponents,
@@ -821,6 +822,21 @@ def closeness_centrality(
             source_batch=source_batch, max_steps=max_steps, **harness_kwargs)
     return _run(m, ClosenessCentrality, {"sources": sources},
                 direction="fwd", max_steps=max_steps, **harness_kwargs)
+
+
+def eigenvector_centrality(
+    edges_factory,
+    cache_key: str,
+    num_partitions: int = 8,
+    iters: int = 20,
+    **harness_kwargs,
+) -> ProgramResult:
+    """K fixed L1-normalized power iterations of the in-edge sum
+    (programs.EigenvectorCentrality). Driver-fed global normalizer, like
+    hits(); steps = iters + 2."""
+    m = graph_for(edges_factory, cache_key, num_partitions)
+    return _run(m, EigenvectorCentrality, {"iters": iters},
+                direction="fwd", max_steps=iters + 3, **harness_kwargs)
 
 
 def katz_centrality(

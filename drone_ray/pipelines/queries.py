@@ -198,6 +198,26 @@ HITS_ITERS = 40  # fixed-iteration HITS: engine supersteps == oracle CTE rounds
 PPR_MOD = 97  # personalized-PR teleport set {v : v % 97 == 0} (SQL-expressible)
 
 
+def q_eigenvector(sf_dir: str):
+    """Eigenvector centrality: EIGEN_ITERS L1-normalized in-edge power
+    iterations (programs.EigenvectorCentrality, driver-fed normalizer);
+    oracle = the identical recursion in SQL (round 9, same margin stance
+    as q_hits)."""
+    from drone_ray.pipelines.analytics import eigenvector_centrality
+
+    res = eigenvector_centrality(
+        lambda: lg_edges(sf_dir), _graph_key(sf_dir), GRAPH_PARTITIONS,
+        iters=EIGEN_ITERS,
+    )
+    t = res.to_table()
+    return pa.table(
+        {
+            "vid": t["vid"],
+            "eigenvector": pa.array(np.round(t["x"].to_numpy(), 9), pa.float64()),
+        }
+    )
+
+
 def q_hits(sf_dir: str):
     """Hubs & authorities, HITS_ITERS L1-normalized iterations on dualview
     actors (both adjacency directions resident, driver-fed global
@@ -2497,6 +2517,30 @@ SELECT vid, label FROM lp WHERE iter = 10
 # in-edges hold auth 0, without out-edges hub 0). The recursive member
 # references ``h`` exactly once (inside ``an``); ``hr`` re-reads ``an``,
 # which DuckDB allows via the nested WITH.
+# Eigenvector centrality: the single-phase half of the HITS recursion —
+# K L1-normalized in-edge power iterations from x_0 = 1, zero-weight self
+# rows keeping every vertex present per iteration.
+EIGEN_ITERS = 20
+
+_EIGEN_SQL = f"""
+WITH RECURSIVE
+e AS ({EDGES_SQL}),
+vtx AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+c AS (SELECT src, dst, 1.0 AS w FROM e UNION ALL SELECT vid, vid, 0.0 FROM vtx),
+it AS (
+  SELECT 0 AS iter, vid, CAST(1.0 AS DOUBLE) AS x FROM vtx
+  UNION ALL
+  SELECT iter, vid, x / nullif(sum(x) OVER (PARTITION BY iter), 0) AS x
+  FROM (
+    SELECT p.iter + 1 AS iter, c.dst AS vid, sum(c.w * p.x) AS x
+    FROM it p JOIN c ON c.src = p.vid
+    WHERE p.iter < {EIGEN_ITERS}
+    GROUP BY p.iter, c.dst
+  )
+)
+SELECT vid, round(coalesce(x, 0.0), 9) AS eigenvector FROM it WHERE iter = {EIGEN_ITERS}
+"""
+
 _HITS_SQL = f"""
 WITH RECURSIVE
 e AS ({EDGES_SQL}),
@@ -3301,6 +3345,7 @@ SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM bfs GROUP BY vid""",
     "harmonic": (q_harmonic, _HARMONIC_SQL),
     "closeness": (q_closeness, _CLOSENESS_SQL),
     "louvain": (q_louvain, None),
+    "eigenvector": (q_eigenvector, _EIGEN_SQL),
     "pagerank_pages": (q_pagerank_pages, None),  # vids are custom url hashes
     "pagerank_pages_hostloc": (q_pagerank_pages_hostloc, None),  # host-partitioned
     "extract_pages": (q_extract_pages, _EXTRACT_PAGES_SQL),
@@ -3513,7 +3558,7 @@ _ORDER = [
     "bibliographic_coupling", "host_sample", "mis", "coloring",
     "quality_sample", "corpus_prepare", "seed_bfs", "domain_mix",
     "unigram_ppl", "neighbor_sample", "neighbor_sample_2hop",
-    "doc_length_quantiles_sketch", "closeness", "dup_spans",
+    "doc_length_quantiles_sketch", "closeness", "dup_spans", "eigenvector",
     "sssp_weighted", "pagerank_weighted", "doc_length_quantiles",
     "top_user_per_type", "top3_users_per_type", "users_per_type",
     "degree_assortativity", "corpus_clean",

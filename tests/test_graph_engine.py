@@ -555,3 +555,37 @@ def test_seed_bfs_matches_multi_source_oracle():
             if v not in expect or d < expect[v]:
                 expect[v] = d
     assert got == expect
+
+
+@pytest.mark.parametrize("name", ["chain", "cycle", "two_cliques", "star"])
+def test_eigenvector_matches_oracle(name):
+    from drone_ray.oracles import eigenvector_oracle
+    from drone_ray.pipelines.analytics import eigenvector_centrality
+    from tests.graphs import NAMED as _N
+
+    src, dst = _N[name]()
+    res = eigenvector_centrality(
+        lambda: _edges_ds(src, dst), f"eig_{name}", num_partitions=2, iters=12
+    )
+    t = res.to_table()
+    vids, x = _sorted(t, "x")
+    ovids, ox = eigenvector_oracle(src, dst, iters=12)
+    assert np.array_equal(vids, ovids)
+    assert np.abs(x - ox).max() < 1e-12
+    assert res.converged
+
+
+def test_eigenvector_powerlaw_partition_invariance():
+    from drone_ray.oracles import eigenvector_oracle
+    from drone_ray.pipelines.analytics import eigenvector_centrality
+
+    src, dst = ba_powerlaw(n=600, m=3, seed=5)
+    ovids, ox = eigenvector_oracle(src, dst, iters=20)
+    for P in (1, 4):
+        res = eigenvector_centrality(
+            lambda: _edges_ds(src, dst), f"eig_pl_{P}", num_partitions=P, iters=20
+        )
+        t = res.to_table()
+        vids, x = _sorted(t, "x")
+        assert np.array_equal(vids, ovids)
+        assert np.abs(x - ox).max() < 1e-12
