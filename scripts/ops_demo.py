@@ -5,7 +5,8 @@ deterministic synthetic power-law graph and print one JSON line.
         [--partitions 16] [--num-cpus 32]
 
 ops: random-walks, bowtie, ktruss, adamic-adar, hyperanf, salsa,
-link-jaccard, pack-sequences (synthetic doc lengths), mis, coloring.
+link-jaccard, pack-sequences (synthetic doc lengths), mis, coloring,
+eigenvector, closeness (sampled sources), louvain.
 Each run is a fresh Ray session over a fresh layout (cache key carries
 the size), so timings are end-to-end including the graph/pipeline build.
 """
@@ -24,7 +25,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("op", choices=["random-walks", "bowtie", "ktruss", "adamic-adar",
                                    "hyperanf", "salsa", "link-jaccard",
-                                   "pack-sequences", "mis", "coloring"])
+                                   "pack-sequences", "mis", "coloring",
+                                   "eigenvector", "closeness", "louvain"])
     ap.add_argument("--edges", type=int, default=10_000_000)
     ap.add_argument("--vertices", type=int, default=2_500_000)
     ap.add_argument("--partitions", type=int, default=16)
@@ -113,6 +115,28 @@ def main(argv=None):
         mx = ds.groupby(None).aggregate(Max("color")).take_all()[0]["max(color)"]
         extra = {"steps": res.steps, "n_colors": int(mx) + 1,
                  "converged": res.converged}
+    elif args.op == "eigenvector":
+        from drone_ray.pipelines.analytics import eigenvector_centrality
+
+        res = eigenvector_centrality(ef, key, args.partitions, iters=20)
+        ds = res.dataset()
+        extra = {"steps": res.steps, "n_vertices": ds.count(), "teps": int(res.teps)}
+    elif args.op == "closeness":
+        from drone_ray.pipelines.analytics import closeness_centrality
+
+        sources = list(range(0, args.vertices, max(1, args.vertices // 8)))[:8]
+        res = closeness_centrality(ef, key, sources, args.partitions)
+        ds = res.dataset()
+        extra = {"steps": res.steps, "n_sources": len(sources),
+                 "n_vertices": ds.count()}
+    elif args.op == "louvain":
+        from drone_ray.pipelines.louvain import louvain
+
+        ds, linfo = louvain(ef(), max_rounds=4, max_levels=2,
+                            est_edges=args.edges)
+        extra = {"n_vertices": ds.count(), "modularity": linfo["modularity"],
+                 "levels": linfo["levels"],
+                 "rounds": sum(h["rounds"] for h in linfo["history"])}
     elif args.op == "salsa":
         from drone_ray.pipelines.analytics import salsa
 
