@@ -140,26 +140,45 @@ def _mat(ds: Dataset, B: int) -> Dataset:
     return _rd.from_arrow_refs(refs)
 
 
-def symmetrize_weighted(edges: Dataset, num_buckets: int) -> Dataset:
+def symmetrize_weighted(
+    edges: Dataset, num_buckets: int, weight_col: str | None = None
+) -> Dataset:
     """Directed (src, dst) rows → double-stored undirected weighted
-    adjacency (u, v, w): each directed edge contributes weight 1 to both
-    (a, b) and (b, a); self-loops are dropped (as in the CSR loader).
-    Σw = 2m by construction. One pair-bucketed shuffle."""
+    adjacency (u, v, w): each directed edge contributes its weight
+    (``weight_col``, INTEGER — the exact-moment invariance relies on
+    int64 sums; 1 when None) to both (a, b) and (b, a); self-loops are
+    dropped (as in the CSR loader). Σw = 2m by construction — this is
+    what lets the contracted host graph (contract_edges' integer
+    multi-edge counts) feed Louvain directly. One pair-bucketed
+    shuffle."""
 
     def partial(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if weight_col is not None:
+            ew = b[weight_col].to_numpy(zero_copy_only=False)
+            if not np.issubdtype(ew.dtype, np.integer):
+                raise ValueError(
+                    "louvain needs integer edge weights — the exact-int64 "
+                    f"gain moments cannot carry {ew.dtype}"
+                )
+            ew = ew.astype(np.int64)
+        else:
+            ew = np.ones(s.size, np.int64)
         keep = s != d
-        s, d = s[keep], d[keep]
+        s, d, ew = s[keep], d[keep], ew[keep]
         u = np.concatenate([s, d])
         v = np.concatenate([d, s])
+        w2 = np.concatenate([ew, ew])
         pairs = np.stack([u, v], axis=1)
-        uq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        uq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        sums = np.zeros(uq.shape[0], np.int64)
+        np.add.at(sums, inv, w2)
         return pa.table(
             {
                 "u": pa.array(uq[:, 0], pa.int64()),
                 "v": pa.array(uq[:, 1], pa.int64()),
-                "w": pa.array(cnt, pa.int64()),
+                "w": pa.array(sums, pa.int64()),
                 "_b": pa.array(_pairbk(uq[:, 0], uq[:, 1], num_buckets)),
             }
         )
@@ -167,8 +186,9 @@ def symmetrize_weighted(edges: Dataset, num_buckets: int) -> Dataset:
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["u", "v"], as_index=False)["w"].sum()
 
+    cols = ["src", "dst"] if weight_col is None else ["src", "dst", weight_col]
     return (
-        edges.select_columns(["src", "dst"])
+        edges.select_columns(cols)
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("_b")
         .map_groups(finish, batch_format="pandas")
@@ -579,9 +599,12 @@ def louvain(
     max_levels: int = 4,
     num_buckets: int | None = None,
     est_edges: int | None = None,
+    weight_col: str | None = None,
     verbose: bool = False,
 ) -> tuple[Dataset, dict]:
-    """Run Louvain over a directed (src, dst) edge Dataset. Returns
+    """Run Louvain over a directed (src, dst) edge Dataset (optionally
+    integer-weighted via ``weight_col`` — e.g. the contracted host
+    graph's multi-edge counts). Returns
     ``(communities, info)``: a (vid, community) Dataset over every non-
     isolated vertex, and ``info`` with the final modularity, level count,
     and per-level round/move history. Deterministic for a given graph
@@ -596,7 +619,7 @@ def louvain(
             print(f"[louvain +{_time.monotonic() - _t0:6.1f}s] {msg}", flush=True)
 
     B = num_buckets or adaptive_buckets(est_edges, 32)
-    adj = _mat(symmetrize_weighted(edges, B), B)
+    adj = _mat(symmetrize_weighted(edges, B, weight_col=weight_col), B)
     _log(f"symmetrized: {adj.count()} adjacency rows, B={B}")
     m2 = adj.sum("w") or 0
     info: dict = {"m2": int(m2), "levels": 0, "history": [], "modularity": 0.0}

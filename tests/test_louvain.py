@@ -138,3 +138,38 @@ def test_planted_partition_quality():
         top = max(labs.count(x) for x in set(labs))
         assert top >= len(labs) - 3
     assert info["modularity"] > 0.45
+
+
+def test_weighted_equals_expanded_multigraph():
+    """louvain(weight_col) must equal louvain on the multigraph with each
+    edge repeated w times — weights are exact multi-edge multiplicities."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 30, 80).astype(np.int64)
+    dst = rng.integers(0, 30, 80).astype(np.int64)
+    w = rng.integers(1, 4, 80).astype(np.int64)
+    wd = rd.from_arrow(pa.table({"src": src, "dst": dst, "w": w}))
+    out_w, info_w = louvain(wd, max_rounds=4, max_levels=2, num_buckets=4,
+                            weight_col="w")
+    es = np.repeat(src, w)
+    ed = np.repeat(dst, w)
+    out_m, info_m = louvain(_ds(es, ed), max_rounds=4, max_levels=2, num_buckets=4)
+    tw = out_w.to_pandas().sort_values("vid").reset_index(drop=True)
+    tm = out_m.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert tw.equals(tm)
+    assert info_w["modularity"] == info_m["modularity"]
+    assert info_w["m2"] == info_m["m2"]
+
+
+def test_weighted_rejects_float_weights():
+    import pytest
+    import ray.data as rd
+
+    wd = rd.from_arrow(
+        pa.table({"src": np.array([0], np.int64), "dst": np.array([1], np.int64),
+                  "w": np.array([0.5], np.float64)})
+    )
+    with pytest.raises(Exception) as ei:
+        louvain(wd, weight_col="w")
+    assert "integer" in str(ei.value)
