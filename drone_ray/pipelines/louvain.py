@@ -50,8 +50,20 @@ import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
+import ray
+
 from drone_ray.hashing import adaptive_buckets, mix64
 from drone_ray.pipelines._util import pin_schema
+
+
+@ray.remote(num_cpus=0)
+def _block_col_sum(block: pa.Table, col: str) -> int:
+    """Sum one int column of one materialized block (see _mat_with_sum)."""
+    if col not in block.schema.names or block.num_rows == 0:
+        return 0
+    import pyarrow.compute as pc
+
+    return int(pc.sum(block[col]).as_py() or 0)
 
 # one generic row shape for every union-join exchange: unused lanes are 0
 _ROW = pa.schema(
@@ -138,6 +150,23 @@ def _mat(ds: Dataset, B: int) -> Dataset:
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
     return _rd.from_arrow_refs(refs)
+
+
+def _mat_with_sum(ds: Dataset, B: int, col: str) -> tuple[Dataset, int]:
+    """_mat plus the int sum of ``col``, computed with one tiny task per
+    block over the already-materialized refs — the per-round move count
+    without a second Dataset execution (executor startup dominates a
+    50-row sum at gate scale; at any scale this is O(blocks) driver refs
+    and a single parallel task wave)."""
+    import ray as _ray
+    import ray.data as _rd
+
+    mat = ds.repartition(B, shuffle=False).materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    sums = _ray.get([_block_col_sum.remote(r, col) for r in refs])
+    return _rd.from_arrow_refs(refs), int(sum(sums))
 
 
 def symmetrize_weighted(
@@ -638,8 +667,7 @@ def louvain(
         rounds = 0
         for r in range(max_rounds):
             Sa = _mat(_attach_volumes(S, B), B)
-            S = _mat(_local_move_round(adj, Sa, r, m2, B), B)
-            mv = int(S.sum("moved") or 0)
+            S, mv = _mat_with_sum(_local_move_round(adj, Sa, r, m2, B), B, "moved")
             _log(f"level {level} round {r}: {mv} moves")
             rounds += 1
             level_moves += mv
