@@ -629,6 +629,8 @@ def louvain(
     num_buckets: int | None = None,
     est_edges: int | None = None,
     weight_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
     verbose: bool = False,
 ) -> tuple[Dataset, dict]:
     """Run Louvain over a directed (src, dst) edge Dataset (optionally
@@ -638,7 +640,15 @@ def louvain(
     isolated vertex, and ``info`` with the final modularity, level count,
     and per-level round/move history. Deterministic for a given graph
     (hash-parity alternation; strict-gain moves; smallest-id tie-breaks);
-    independent of ``num_buckets`` and input partitioning."""
+    independent of ``num_buckets`` and input partitioning.
+
+    ``checkpoint_dir``: after each completed level the contracted
+    adjacency, community table and vid→community mapping are written as
+    parquet with a write-then-rename manifest (the K1–K4 atomicity
+    contract); a rerun with ``resume=True`` restarts from the last
+    complete level and produces the bit-identical result of the cold
+    run. Resuming with different ``max_rounds``/``num_buckets`` would
+    silently change the fixpoint, so a knob mismatch refuses loudly."""
     import time as _time
 
     _t0 = _time.monotonic()
@@ -647,21 +657,62 @@ def louvain(
         if verbose:
             print(f"[louvain +{_time.monotonic() - _t0:6.1f}s] {msg}", flush=True)
 
+    import json as _json
+    import os as _os
+
+    import ray.data as _rd
+
     B = num_buckets or adaptive_buckets(est_edges, 32)
-    adj = _mat(symmetrize_weighted(edges, B, weight_col=weight_col), B)
-    _log(f"symmetrized: {adj.count()} adjacency rows, B={B}")
-    m2 = adj.sum("w") or 0
-    info: dict = {"m2": int(m2), "levels": 0, "history": [], "modularity": 0.0}
-    if m2 == 0:
-        return (
-            adj.map_batches(
-                lambda b: _OUT_SCHEMA.empty_table(), batch_format="pyarrow", batch_size=None
-            ),
-            info,
-        )
-    S = _mat(_init_nodes(adj, B), B)
+    start_level = 0
     mapping: Dataset | None = None
-    for level in range(max_levels):
+    info: dict = {"m2": 0, "levels": 0, "history": [], "modularity": 0.0}
+    ck = None
+    if checkpoint_dir:
+        ck = checkpoint_dir
+        _os.makedirs(ck, exist_ok=True)
+        done = sorted(
+            int(d.split("=", 1)[1])
+            for d in _os.listdir(ck)
+            if d.startswith("level=")
+            and _os.path.exists(_os.path.join(ck, d, "manifest.json"))
+        ) if resume else []
+        if done:
+            lvl = done[-1]
+            man = _json.load(open(_os.path.join(ck, f"level={lvl}", "manifest.json")))
+            if man["max_rounds"] != max_rounds or man["B"] != B:
+                # resuming with different move/bucket knobs silently changes
+                # the fixpoint — refuse, like the engine's checkpoint guards
+                raise ValueError(
+                    f"louvain checkpoint level={lvl} was written with "
+                    f"max_rounds={man['max_rounds']}, B={man['B']} — rerun with "
+                    "the same knobs or a fresh checkpoint_dir"
+                )
+            d = _os.path.join(ck, f"level={lvl}")
+            adj = _mat(_rd.read_parquet(_os.path.join(d, "adj")), B)
+            S = _mat(_rd.read_parquet(_os.path.join(d, "S")), B)
+            mapping = _mat(_rd.read_parquet(_os.path.join(d, "mapping")), B)
+            m2 = man["m2"]
+            info["m2"] = int(m2)
+            info["history"] = man["history"]
+            info["levels"] = lvl + 1
+            start_level = lvl + 1
+            _log(f"resumed from checkpoint level {lvl}")
+    if start_level == 0:
+        adj = _mat(symmetrize_weighted(edges, B, weight_col=weight_col), B)
+        _log(f"symmetrized: {adj.count()} adjacency rows, B={B}")
+        m2 = adj.sum("w") or 0
+        info["m2"] = int(m2)
+        if m2 == 0:
+            return (
+                adj.map_batches(
+                    lambda b: _OUT_SCHEMA.empty_table(),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                ),
+                info,
+            )
+        S = _mat(_init_nodes(adj, B), B)
+    for level in range(start_level, max_levels):
         level_moves = 0
         zero_streak = 0
         rounds = 0
@@ -688,6 +739,24 @@ def louvain(
         adj = _mat(_contract(adj, Sa, B), B)
         S = _mat(_communities(Sa, B), B)
         _log(f"level {level} contracted: {S.count()} communities, {adj.count()} edges")
+        if ck:
+            # write-then-rename-manifest: a level is resumable only once its
+            # three tables are fully on disk (the K1-K4 atomicity contract)
+            d = _os.path.join(ck, f"level={level}")
+            import shutil as _shutil
+
+            if _os.path.isdir(d):
+                _shutil.rmtree(d)
+            adj.write_parquet(_os.path.join(d, "adj"))
+            S.write_parquet(_os.path.join(d, "S"))
+            mapping.write_parquet(_os.path.join(d, "mapping"))
+            tmp = _os.path.join(d, ".manifest.tmp")
+            with open(tmp, "w") as f:
+                _json.dump({"level": level, "m2": int(m2), "B": B,
+                            "max_rounds": max_rounds,
+                            "history": info["history"]}, f)
+            _os.replace(tmp, _os.path.join(d, "manifest.json"))
+            _log(f"level {level} checkpointed")
     info["modularity"] = round(_modularity_final(adj, S, m2), 9)
     if mapping is None:  # nothing ever moved: every vertex its own community
         mapping = S.select_columns(["vid", "label"])

