@@ -269,7 +269,9 @@ def main(argv=None) -> dict:
         # (vid, community) parquet out
         from drone_ray.pipelines.louvain import louvain as _louvain
 
-        ds, linfo = _louvain(ef(), max_rounds=args.max_rounds or 6)
+        ds, linfo = _louvain(ef(), max_rounds=args.max_rounds or 6,
+                             checkpoint_dir=hk.get("checkpoint_dir"),
+                             resume=hk.get("resume", True))
         ds.write_parquet(args.out)
         return {"command": args.command, "out": args.out,
                 "n_vertices": ds.count(), **{k: v for k, v in linfo.items()
