@@ -40,10 +40,27 @@ def _session(args):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _is_text_edges(path) -> bool:
+    """True when ``path`` is a reference-style TXT edge list (``src dst
+    [weight]`` lines — S1): a .txt/.tsv file, or a directory of them."""
+    import os
+
+    if str(path).endswith((".txt", ".tsv")):
+        return True
+    if os.path.isdir(path):
+        names = os.listdir(path)
+        return bool(names) and all(n.endswith((".txt", ".tsv")) for n in names)
+    return False
+
+
 def _edges_factory(path):
     def factory():
         import ray.data as rd
 
+        if _is_text_edges(path):
+            from drone_ray.sources.text import read_edge_text
+
+            return read_edge_text(path)
         return rd.read_parquet(path, columns=["src", "dst"])
 
     return factory
@@ -139,7 +156,7 @@ def main(argv=None) -> dict:
         from drone_ray.pipelines.cc_star import connected_components_star
 
         ds, rounds = connected_components_star(
-            rd.read_parquet(args.edges, columns=["src", "dst"])
+            _edges_factory(args.edges)()
         )
         # streaming, partitioned output — labels never touch the driver
         ds = ds.materialize()
@@ -153,7 +170,7 @@ def main(argv=None) -> dict:
         from drone_ray.pipelines.triangles import triangles_per_vertex
 
         tri = triangles_per_vertex(
-            rd.read_parquet(args.edges, columns=["src", "dst"]), args.partitions
+            _edges_factory(args.edges)(), args.partitions
         )
         tri.write_parquet(args.out)
         return {"command": args.command, "out": args.out}
@@ -164,7 +181,7 @@ def main(argv=None) -> dict:
         from drone_ray.pipelines.triangles import ktruss
 
         out = ktruss(
-            rd.read_parquet(args.edges, columns=["src", "dst"]), args.k,
+            _edges_factory(args.edges)(), args.k,
             args.partitions,
         ).materialize()
         out.write_parquet(args.out)
@@ -194,6 +211,13 @@ def main(argv=None) -> dict:
     if args.command in ("pagerank-weighted", "sssp-weighted", "sssp-negative"):
         # weighted commands read the weight column alongside src/dst
         wc, path = args.weight_col, args.edges
+        if _is_text_edges(path):
+            # reference TXT loader forces weight 1.0 (graph.go:335-362) —
+            # refusing beats silently running "weighted" on unit weights
+            raise SystemExit(
+                "weighted commands need a parquet edge table with a weight "
+                "column; TXT edge lists carry no usable weights"
+            )
 
         def ef():
             import ray.data as rd

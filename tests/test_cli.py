@@ -127,3 +127,35 @@ def test_cli_fourth_wave_commands(tmp_path):
     t = pq.read_table(co)
     assert set(t.column_names) == {"vid", "color"}
     assert t["color"].to_pandas().min() >= 0
+
+
+def test_cli_reads_reference_txt_edge_list(tmp_path):
+    """S1 parity at the CLI: a reference-style TXT edge list (src dst
+    [weight], weight ignored) drives pagerank to the same result as the
+    parquet path."""
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 40, 150).astype(np.int64)
+    dst = rng.integers(0, 40, 150).astype(np.int64)
+    txt = tmp_path / "edges.txt"
+    with open(txt, "w") as f:
+        f.write("# comment line tolerated\n")
+        for s, d in zip(src, dst):
+            f.write(f"{s} {d} 1.0\n")
+    out = str(tmp_path / "pr_txt")
+    res = main(["pagerank", "--edges", str(txt), "--out", out,
+                "--partitions", "2", "--num-cpus", "4"])
+    assert res["converged"]
+    t = pq.read_table(out).to_pandas().sort_values("vid")
+    ovids, opr = pagerank_oracle(src, dst)
+    assert np.array_equal(t["vid"].to_numpy(), ovids)
+    assert np.abs(t["score"].to_numpy() - opr).max() < 1e-6
+
+
+def test_cli_weighted_refuses_txt(tmp_path):
+    import pytest
+
+    txt = tmp_path / "edges.txt"
+    txt.write_text("0 1 2.5\n")
+    with pytest.raises(SystemExit):
+        main(["sssp-weighted", "--edges", str(txt),
+              "--out", str(tmp_path / "o"), "--num-cpus", "4"])
