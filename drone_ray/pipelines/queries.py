@@ -1125,6 +1125,27 @@ def q_louvain(sf_dir: str):
     return out
 
 
+def q_host_louvain(sf_dir: str):
+    """Louvain over the weighted contracted host graph — the page→site
+    coarsening (multi-edge counts as integer weights) composed with the
+    weighted Louvain path. Rows-only (same stance as q_louvain); the
+    weighted path itself is equivalence-tested against the expanded
+    multigraph in tests/test_louvain.py."""
+    from drone_ray.pipelines.graphstats import contract_edges
+    from drone_ray.pipelines.louvain import louvain
+
+    he = contract_edges(lg_edges(sf_dir), HOST_BLOCK).map_batches(
+        lambda b: pa.table(
+            {"src": b["hsrc"], "dst": b["hdst"], "w": b["weight"]}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out, _info = louvain(he, max_rounds=5, max_levels=3, num_buckets=8,
+                         weight_col="w")
+    return out
+
+
 def q_corpus_clean(sf_dir: str):
     """The composed training-data cleaning chain (webtext.corpus_clean):
     PII scrub → Gopher repetition gate → corpus-wide chunk dedup, one row
@@ -3345,6 +3366,7 @@ SELECT vid, CAST(min(dist) AS DOUBLE) AS dist FROM bfs GROUP BY vid""",
     "harmonic": (q_harmonic, _HARMONIC_SQL),
     "closeness": (q_closeness, _CLOSENESS_SQL),
     "louvain": (q_louvain, None),
+    "host_louvain": (q_host_louvain, None),
     "eigenvector": (q_eigenvector, _EIGEN_SQL),
     "pagerank_pages": (q_pagerank_pages, None),  # vids are custom url hashes
     "pagerank_pages_hostloc": (q_pagerank_pages_hostloc, None),  # host-partitioned
@@ -3580,6 +3602,7 @@ _ORDER = [
     # tier 5 — no_oracle by design (approximate / non-SQL-expressible),
     # each pytest-gated
     "pagerank_incremental", "graph_simulation", "ktruss", "hyperanf", "louvain",
+    "host_louvain",
     "pagerank_pages",
     "pagerank_pages_hostloc", "vocabulary_hll", "ann_topk_lsh",
     "ann_topk_ivf", "ann_topk_ivf_dist", "embedding_near_dup_lsh",
