@@ -453,9 +453,11 @@ def louvain_oracle(
             selfm = cC == Du
             stay_w = np.zeros(node.size, np.int64)
             stay_w[cpos[selfm]] = cw[selfm]
-            stay_gain = stay_w - k * (a_of_node - k) / m2
+            # float64 k·a products, exactly as the engine (int64 wraps
+            # silently past ~3e9 edges)
+            stay_gain = stay_w - k.astype(np.float64) * (a_of_node - k) / m2
             nd = ~selfm
-            gain = cw[nd] - ku[nd] * aC[nd] / m2
+            gain = cw[nd] - ku[nd].astype(np.float64) * aC[nd] / m2
             un, Cn = cu[nd], cC[nd]
             newlab = label.copy()
             mv = 0

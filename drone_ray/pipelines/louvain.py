@@ -437,9 +437,12 @@ def _decide(r: int, m2: int):
         selfm = cC == Du
         stay_w = np.zeros(svid.size, np.int64)
         stay_w[pos[selfm]] = cw[selfm]
-        stay_gain = stay_w - sk * (saD - sk) / m2
+        # k·a products go through float64 (not int64 — k and a are O(2m),
+        # so the int product wraps silently past ~3e9 edges; the float
+        # product rounds at 2^53, deterministically, mirrored in the oracle)
+        stay_gain = stay_w - sk.astype(np.float64) * (saD - sk) / m2
         nd = ~selfm
-        gain = cw[nd] - ku[nd] * ca[nd] / m2
+        gain = cw[nd] - ku[nd].astype(np.float64) * ca[nd] / m2
         un, Cn = cu[nd], cC[nd]
         newlab = sD.copy()
         moved = np.zeros(svid.size, np.int64)
